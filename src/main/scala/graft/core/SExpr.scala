@@ -34,13 +34,9 @@ object SExpr {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length + 1 && i + 2 <= s.length - 1 + 1 && i + 2 < s.length + 1) {
-        // guard: need two hex digits after '%'
-        if (i + 2 < s.length &&
-            isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
-          bytes += Integer.parseInt(s.substring(i + 1, i + 3), 16).toByte
-          i += 3
-        } else { bytes ++= c.toString.getBytes("UTF-8"); i += 1 }
+      if (c == '%' && i + 2 < s.length && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        bytes += Integer.parseInt(s.substring(i + 1, i + 3), 16).toByte
+        i += 3
       } else { bytes ++= c.toString.getBytes("UTF-8"); i += 1 }
     }
     new String(bytes.toArray, "UTF-8")
@@ -71,7 +67,11 @@ object SExpr {
         val node = ArchiTree(Label.parse(label.get), children)
         stack = (stack.head._1, stack.head._2 :+ Child.Node(node)) :: stack.tail
       } else if (token == "(") {
-        throw ParseException(s"bare '(' at ${m.start}")
+        // A lone '(' opens a node with an empty label — the reference parser
+        // (and NLTK) accepts '((A b))' as Tree('', [Tree('A', ['b'])]).
+        if (stack.length == 1 && stack.head._2.nonEmpty)
+          throw ParseException(s"expected end-of-string but got '$token' at ${m.start}")
+        stack = (Some(""), Vector.empty) :: stack
       } else {
         if (stack.length == 1)
           throw ParseException(s"expected '(' but got '$token' at ${m.start}")
