@@ -1,0 +1,431 @@
+package graft.sources
+
+import graft.core._
+import graft.model.{Forest, TreeRow}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Foreign-key edge: `column` of the owning table references
+  * `refTable.refColumn`.
+  */
+final case class Fk(column: String, refTable: String, refColumn: String)
+
+/** Static description of one table. Column list is inferred from the data
+  * source at load time; only keys must be declared.
+  */
+final case class TableDef(name: String, pks: Seq[String], fks: Seq[Fk])
+
+/** Database description for the loader — the information the reference
+  * obtains from SQLAlchemy reflection (database/loader/sql.py:34-36).
+  */
+final case class DbConfig(namespace: String, tables: Seq[TableDef]) {
+  def table(name: String): TableDef = tables.find(_.name == name).get
+
+  /** Tables not referenced by any FK, plus one designated root per FK
+    * cycle (the cycle member with the most FKs) — reference semantics at
+    * database/loader/sql.py:51-102.
+    */
+  def rootTables: Seq[TableDef] = {
+    val referenced = tables.flatMap(_.fks.map(_.refTable)).toSet
+    val roots = tables.filterNot(t => referenced.contains(t.name))
+    (roots ++ cycleRoots.map(table)).distinctBy(_.name)
+  }
+
+  private def cycleRoots: Seq[String] = {
+    def findCycle(name: String, path: Set[String]): Set[String] =
+      if (path.contains(name)) path
+      else
+        table(name).fks.iterator
+          .map(fk => findCycle(fk.refTable, path + name))
+          .find(_.nonEmpty)
+          .getOrElse(Set.empty)
+
+    val referenced = tables.flatMap(_.fks.map(_.refTable)).toSet
+    val pending = mutable.Set.from(referenced)
+    val out = mutable.ListBuffer.empty[String]
+    while (pending.nonEmpty) {
+      val t = pending.head; pending.remove(t)
+      val cycle = findCycle(t, Set.empty)
+      if (cycle.nonEmpty) {
+        pending --= cycle
+        out += cycle.maxBy(n => table(n).fks.size)
+      }
+    }
+    out.toSeq
+  }
+}
+
+/** Join-based `read_sql` equivalent (reference
+  * database/loader/sql.py:18-417): reads every table once, walks the FK
+  * graph with the reference's visited-edge semantics, and constructs one
+  * metamodel tree per root-table row — `ROOT` over a flat list of
+  * `GROUP::<table>` and `REL::<a><->(b)` nodes.
+  *
+  * Spark-first re-expression: the reference's per-row recursive SELECTs
+  * (an N+1 pattern, sql.py:266-304) become one left join per FK edge
+  * occurrence; Catalyst broadcasts the small dimension sides and the
+  * per-root-row tree assembly is a single shuffle-free `map` over the
+  * joined wide row. Scales to arbitrarily large fact tables: no
+  * driver-side iteration, no collect.
+  */
+object RelationalLoader {
+
+  /** One occurrence of a table in the traversal (the same table can occur
+    * multiple times via different FK paths, e.g. nation via customer and
+    * via supplier).
+    */
+  private final case class Occ(table: TableDef, alias: String, fks: Seq[(Fk, Occ)])
+
+  /** Mirror of parse_table's traversal (sql.py:234-264): FKs sorted by
+    * column name, each FK edge visited at most once per root tree (shared
+    * visited set across the whole traversal).
+    */
+  private def buildPlan(root: TableDef, cfg: DbConfig): Occ = {
+    val visited = mutable.Set.empty[(String, String)] // (table, fkColumn)
+    var n = 0
+    def go(t: TableDef): Occ = {
+      val alias = s"t${n}_${t.name}"; n += 1
+      val children = t.fks.sortBy(_.column).flatMap { fk =>
+        if (visited.add((t.name, fk.column))) Some(fk -> go(cfg.table(fk.refTable)))
+        else None
+      }
+      Occ(t, alias, children)
+    }
+    go(root)
+  }
+
+  private def allOccs(o: Occ): Seq[Occ] = o +: o.fks.flatMap(c => allOccs(c._2))
+
+  /** Association table: exactly 2 columns, both PK and FK
+    * (sql.py:105-112).
+    */
+  def isAssociation(t: TableDef, columnCount: Int): Boolean =
+    t.fks.size == 2 && t.pks.size == 2 && columnCount == 2
+
+  /** Load the forest for every root table of `cfg` from parquet files at
+    * `dir/<table>.parquet`.
+    *
+    * @param sample if > 0, limit each root table to `sample` rows
+    *               (sql.py:140-143).
+    */
+  def load(
+      spark: SparkSession,
+      dir: String,
+      cfg: DbConfig,
+      sample: Int = 0,
+      simplifyAssociation: Boolean = true,
+      searchAllInstances: Boolean = false,
+  ): Dataset[TreeRow] = {
+    val raw: Map[String, DataFrame] =
+      cfg.tables.map(t => t.name -> spark.read.parquet(s"$dir/${t.name}.parquet")).toMap
+    loadFrom(spark, raw, cfg, sample, simplifyAssociation, searchAllInstances)
+  }
+
+  /** Same, over already-loaded DataFrames (tests, alternative sources). */
+  def loadFrom(
+      spark: SparkSession,
+      raw: Map[String, DataFrame],
+      cfg: DbConfig,
+      sample: Int = 0,
+      simplifyAssociation: Boolean = true,
+      searchAllInstances: Boolean = false,
+  ): Dataset[TreeRow] = {
+    import spark.implicits._
+
+    // Original column types survive as entity metadata for cast-on-export;
+    // all values are stringified at the scan, matching the reference's
+    // str(entity_data) contract (sql.py:336).
+    val colTypes: Map[String, Map[String, String]] =
+      raw.map { case (n, df) => n -> df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap }
+    val columns: Map[String, Seq[String]] = raw.map { case (n, df) => n -> df.columns.toSeq }
+    val tables: Map[String, DataFrame] = raw.map { case (n, df) =>
+      n -> df.select(df.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
+    }
+
+    val forests = cfg.rootTables.map { root =>
+      val rootForest =
+        if (simplifyAssociation && isAssociation(root, columns(root.name).size))
+          loadAssociationRoot(spark, tables, columns, colTypes, cfg, root, sample)
+        else
+          loadRoot(spark, tables, columns, colTypes, cfg, root, sample, isAssociationRoot = false)
+
+      val extra =
+        if (!searchAllInstances) Seq.empty
+        else unreferencedForests(spark, tables, columns, colTypes, cfg, root, sample)
+
+      extra.foldLeft(rootForest)(_ union _)
+    }
+
+    forests.reduceOption(_ union _).getOrElse(spark.emptyDataset[TreeRow])
+  }
+
+  /** One forest Dataset for a (non-association) root table. */
+  private def loadRoot(
+      spark: SparkSession,
+      tables: Map[String, DataFrame],
+      columns: Map[String, Seq[String]],
+      colTypes: Map[String, Map[String, String]],
+      cfg: DbConfig,
+      root: TableDef,
+      sample: Int,
+      isAssociationRoot: Boolean,
+  ): Dataset[TreeRow] = {
+    val plan = buildPlan(root, cfg)
+    val limited = if (sample > 0) tables(root.name).limit(sample) else tables(root.name)
+    val wide = joinPlan(limited, plan, tables, columns)
+    assemble(spark, wide, plan, columns, colTypes, cfg.namespace)
+  }
+
+  /** Association root with simplify_association (sql.py:188-231): the
+    * association row becomes a single REL between the two referenced
+    * rows, followed by both sides' normal traversals (shared visited set).
+    */
+  private def loadAssociationRoot(
+      spark: SparkSession,
+      tables: Map[String, DataFrame],
+      columns: Map[String, Seq[String]],
+      colTypes: Map[String, Map[String, String]],
+      cfg: DbConfig,
+      root: TableDef,
+      sample: Int,
+  ): Dataset[TreeRow] = {
+    import spark.implicits._
+    val Seq(leftFk, rightFk) = root.fks.sortBy(_.column)
+
+    // Shared visited set across both side traversals (sql.py:227-231).
+    val visited = mutable.Set.empty[(String, String)]
+    var n = 0
+    def go(t: TableDef): Occ = {
+      val alias = s"t${n}_${t.name}"; n += 1
+      val children = t.fks.sortBy(_.column).flatMap { fk =>
+        if (visited.add((t.name, fk.column))) Some(fk -> go(cfg.table(fk.refTable)))
+        else None
+      }
+      Occ(t, alias, children)
+    }
+    val leftPlan = go(cfg.table(leftFk.refTable))
+    val rightPlan = go(cfg.table(rightFk.refTable))
+
+    val limited = if (sample > 0) tables(root.name).limit(sample) else tables(root.name)
+    val assoc = limited.select(columns(root.name).map(c => col(c).as(s"assoc__$c")).toIndexedSeq: _*)
+    var wide = assoc.join(
+      prefixed(tables(leftPlan.table.name), leftPlan.alias, columns),
+      col(s"assoc__${leftFk.column}") === col(s"${leftPlan.alias}__${leftFk.refColumn}"), "left")
+    wide = leftPlan.fks.foldLeft(wide) { case (df, (fk, child)) => attach(df, leftPlan.alias, fk, child, tables, columns) }
+    wide = wide.join(
+      prefixed(tables(rightPlan.table.name), rightPlan.alias, columns),
+      col(s"assoc__${rightFk.column}") === col(s"${rightPlan.alias}__${rightFk.refColumn}"), "left")
+    wide = rightPlan.fks.foldLeft(wide) { case (df, (fk, child)) => attach(df, rightPlan.alias, fk, child, tables, columns) }
+
+    val idx = wide.schema.fieldNames.zipWithIndex.toMap
+    val ns = cfg.namespace
+    val assocName = root.name.replace(' ', '_')
+    val leftTable = leftPlan.table
+    val rightTable = rightPlan.table
+    val cols = columns
+    val types = colTypes
+    val lp = leftPlan
+    val rp = rightPlan
+
+    wide.map { row =>
+      val get = (field: String) => { val i = idx(field); if (row.isNullAt(i)) null else row.getString(i) }
+      val leftGroup = buildGroup(lp, get, cols, types, ns)
+      val rightGroup = buildGroup(rp, get, cols, types, ns)
+      val relOid = {
+        val pkData =
+          leftTable.pks.map(c => s"left_$c" -> get(s"${lp.alias}__$c")) ++
+            rightTable.pks.map(c => s"right_$c" -> get(s"${rp.alias}__$c"))
+        oid(ns, assocName, pkData.toMap)
+      }
+      val rel = ArchiTree(Typed(NodeType.Rel, assocName), Vector(Child.Node(leftGroup), Child.Node(rightGroup)), relOid)
+      val children = Vector(Child.Node(rel)) ++
+        parseChildren(lp, get, cols, types, ns) ++ parseChildren(rp, get, cols, types, ns)
+      val tree = ArchiTree(Plain("ROOT"), children)
+      TreeRow(treeIdOf(relOid), TreeJson.toJson(tree))
+    }(org.apache.spark.sql.Encoders.product[TreeRow])
+  }
+
+  /** search_all_instances support (sql.py:149-185): rows of referenced
+    * tables that no referencing row points at, found with an anti-join
+    * instead of the reference's per-row NOT EXISTS scan.
+    */
+  private def unreferencedForests(
+      spark: SparkSession,
+      tables: Map[String, DataFrame],
+      columns: Map[String, Seq[String]],
+      colTypes: Map[String, Map[String, String]],
+      cfg: DbConfig,
+      root: TableDef,
+      sample: Int,
+  ): Seq[Dataset[TreeRow]] = {
+    val rootNames = cfg.rootTables.map(_.name).toSet
+    val visited = mutable.Set.empty[(String, String)]
+    val out = mutable.ListBuffer.empty[Dataset[TreeRow]]
+
+    def walk(t: TableDef): Unit =
+      t.fks.sortBy(_.column).foreach { fk =>
+        if (visited.add((t.name, fk.column))) {
+          val target = cfg.table(fk.refTable)
+          if (!rootNames.contains(target.name)) {
+            val unref = tables(target.name).join(
+              tables(t.name).select(col(fk.column).as("__ref")),
+              col(fk.refColumn) === col("__ref"), "left_anti")
+            val limited = if (sample > 0) unref.limit(sample) else unref
+            val plan = buildPlan(target, cfg)
+            val wide = joinPlan(limited, plan, tables, columns)
+            out += assemble(spark, wide, plan, columns, colTypes, cfg.namespace)
+          }
+          walk(target)
+        }
+      }
+
+    walk(root)
+    out.toSeq
+  }
+
+  private def prefixed(df: DataFrame, alias: String, columns: Map[String, Seq[String]]): DataFrame =
+    df.select(df.columns.map(c => col(c).as(s"${alias}__$c")).toIndexedSeq: _*)
+
+  private def attach(
+      df: DataFrame,
+      parentAlias: String,
+      fk: Fk,
+      child: Occ,
+      tables: Map[String, DataFrame],
+      columns: Map[String, Seq[String]],
+  ): DataFrame = {
+    val joined = df.join(
+      prefixed(tables(child.table.name), child.alias, columns),
+      col(s"${parentAlias}__${fk.column}") === col(s"${child.alias}__${fk.refColumn}"),
+      "left")
+    child.fks.foldLeft(joined) { case (d, (f, c)) => attach(d, child.alias, f, c, tables, columns) }
+  }
+
+  private def joinPlan(
+      rootDf: DataFrame,
+      plan: Occ,
+      tables: Map[String, DataFrame],
+      columns: Map[String, Seq[String]],
+  ): DataFrame = {
+    val base = prefixed(rootDf, plan.alias, columns)
+    plan.fks.foldLeft(base) { case (df, (fk, child)) => attach(df, plan.alias, fk, child, tables, columns) }
+  }
+
+  /** Turn the joined wide rows into trees — one shuffle-free map. */
+  private def assemble(
+      spark: SparkSession,
+      wide: DataFrame,
+      plan: Occ,
+      columns: Map[String, Seq[String]],
+      colTypes: Map[String, Map[String, String]],
+      namespace: String,
+  ): Dataset[TreeRow] = {
+    val idx = wide.schema.fieldNames.zipWithIndex.toMap
+    val cols = columns
+    val types = colTypes
+    val ns = namespace
+    val p = plan
+    wide.map { row =>
+      val get = (field: String) => { val i = idx(field); if (row.isNullAt(i)) null else row.getString(i) }
+      val rootGroup = buildGroup(p, get, cols, types, ns)
+      val children = Vector(Child.Node(rootGroup)) ++ relChildren(p, rootGroup, get, cols, types, ns)
+      val tree = ArchiTree(Plain("ROOT"), children)
+      TreeRow(treeIdOf(rootGroup.oid), TreeJson.toJson(tree))
+    }(org.apache.spark.sql.Encoders.product[TreeRow])
+  }
+
+  /** parse_table minus the leading group (sql.py:234-264). */
+  private def parseChildren(
+      occ: Occ,
+      get: String => String,
+      columns: Map[String, Seq[String]],
+      colTypes: Map[String, Map[String, String]],
+      ns: String,
+  ): Vector[Child] = {
+    val group = buildGroup(occ, get, columns, colTypes, ns)
+    Vector(Child.Node(group)) ++ relChildren(occ, group, get, columns, colTypes, ns)
+  }
+
+  /** The REL + recursive subtree children emitted after a group
+    * (_parse_relation, sql.py:266-304). A child row "exists" iff any of
+    * its PK columns survived the left join non-null.
+    */
+  private def relChildren(
+      occ: Occ,
+      group: ArchiTree,
+      get: String => String,
+      columns: Map[String, Seq[String]],
+      colTypes: Map[String, Map[String, String]],
+      ns: String,
+  ): Vector[Child] =
+    occ.fks.toVector.flatMap { case (fk, child) =>
+      val exists = child.table.pks.exists(c => get(s"${child.alias}__$c") != null)
+      if (!exists) Vector.empty
+      else {
+        val childGroup = buildGroup(child, get, columns, colTypes, ns)
+        val relName = s"${occ.table.name.replace(' ', '_')}<->${child.table.name.replace(' ', '_')}"
+        val pkData =
+          occ.table.pks.map(c => s"left_$c" -> get(s"${occ.alias}__$c")) ++
+            child.table.pks.map(c => s"right_$c" -> get(s"${child.alias}__$c"))
+        val rel = ArchiTree(
+          Typed(NodeType.Rel, relName),
+          Vector(Child.Node(group), Child.Node(childGroup)),
+          oid(ns, relName, pkData.toMap),
+          Map("source" -> occ.table.name, "target" -> child.table.name, "source_column" -> fk.column))
+        Vector(Child.Node(rel)) ++ parseChildren(child, get, columns, colTypes, ns)
+      }
+    }
+
+  /** build_group (sql.py:307-351): ENT per non-FK, non-null column; FK
+    * source columns never become entities; PK values feed the oid.
+    */
+  private def buildGroup(
+      occ: Occ,
+      get: String => String,
+      columns: Map[String, Seq[String]],
+      colTypes: Map[String, Map[String, String]],
+      ns: String,
+  ): ArchiTree = {
+    val t = occ.table
+    val fkCols = t.fks.map(_.column).toSet
+    val groupName = t.name.replace(' ', '_')
+    val ents = columns(t.name).iterator.flatMap { c =>
+      val v = get(s"${occ.alias}__$c")
+      if (v == null || fkCols.contains(c)) None
+      else
+        Some(Child.Node(ArchiTree(
+          Typed(NodeType.Ent, c.replace(' ', '_')),
+          Vector(Child.Leaf(v)),
+          metadata = Map("type" -> colTypes(t.name)(c)))))
+    }.toVector
+    val pkData = t.pks.map(c => c -> get(s"${occ.alias}__$c")).toMap
+    ArchiTree(
+      Typed(NodeType.Group, groupName),
+      ents,
+      oid(ns, groupName, pkData),
+      Map("primary_keys" -> t.pks.sorted.mkString(",")))
+  }
+
+  /** get_oid (sql.py:399-417): namespace → name → sorted "k=v" pk data,
+    * re-expressed with the repo's sha1-based deterministic oid.
+    */
+  private def oid(ns: String, name: String, data: Map[String, String]): String = {
+    val dataStr = data.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
+    ArchiTree.deterministicOid(ns, name, dataStr)
+  }
+
+  /** 63-bit tree id from the defining oid. Collision odds at 1e12 trees
+    * are ~1e-4 per pair-free birthday bound — acceptable as a partition /
+    * grouping key; the oid string remains the durable identity.
+    */
+  private[graft] def treeIdOf(oid: String): Long = {
+    val h = java.lang.Long.parseUnsignedLong(oid.take(15), 16)
+    h & Long.MaxValue
+  }
+
+  /** Forest as Dataset[TreeRow] plus helper to go straight to node rows. */
+  def loadNodes(spark: SparkSession, dir: String, cfg: DbConfig, sample: Int = 0) =
+    Forest.toNodesDF(load(spark, dir, cfg, sample))
+}
