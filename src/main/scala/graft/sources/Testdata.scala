@@ -14,9 +14,13 @@ object Testdata {
   val supplier = TableDef("supplier", Seq("s_suppkey"), Seq(Fk("s_nationkey", "nation", "n_nationkey")))
   val part = TableDef("part", Seq("p_partkey"), Nil)
   val orders = TableDef("orders", Seq("o_orderkey"), Seq(Fk("o_custkey", "customer", "c_custkey")))
+  // NOTE: unlike real TPC-H, the synthetic corpus does not keep
+  // (l_orderkey, l_linenumber) unique — only the 4-column key is. A
+  // non-unique declared PK collides deterministic oids (and tree ids),
+  // which the loader relies on for identity.
   val lineitem = TableDef(
     "lineitem",
-    Seq("l_orderkey", "l_linenumber"),
+    Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
     Seq(
       Fk("l_orderkey", "orders", "o_orderkey"),
       Fk("l_partkey", "part", "p_partkey"),
