@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality operators for training-data pipelines: integer-exact
+  * statistics, heuristic language identification, and a winnowing-style
+  * document fingerprint. Everything is built-in-function based (codegen
+  * friendly), no UDFs in the hot path.
+  */
+object TextAnalysis {
+
+  /** Per-document integer statistics. All counts are arithmetic on the
+    * raw string, so an external SQL engine can reproduce them bit-exact:
+    * n_tokens = spaces-in-trimmed + 1 (0 for blank).
+    */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val trimmed = trim(t)
+    val nTokens = when(length(trimmed) === 0, 0L)
+      .otherwise(length(trimmed) - length(regexp_replace(trimmed, " ", "")) + 1)
+    val toks = split(trimmed, " ")
+    df.select(
+      col(idCol).as("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      nTokens.cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("long").as("n_digits"),
+      (length(t) - length(regexp_replace(t, "[.,;:!?'\"()\\[\\]{}-]", ""))).cast("long").as("n_punct"),
+      (nTokens < 10).cast("boolean").as("is_short"))
+  }
+
+  /** Stopword profiles for the heuristic language id. Kept tiny and
+    * literal so the same lists can be embedded in an oracle SQL.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "fr" -> Seq("le", "les", "des", "et", "un", "une", "que", "pour", "dans", "ce"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "auf"))
+
+  private val langOrder = Seq("en", "es", "fr", "de")
+
+  /** Heuristic language identification: CJK character ratio → zh;
+    * otherwise argmax of stopword hits in a fixed language order
+    * ('und' when no stopword matches). Deterministic and reproducible
+    * in plain SQL for the oracle lane.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = array_distinct(split(lower(trim(t)), " "))
+    val cjk = length(t) - length(regexp_replace(t, "[一-鿿]", ""))
+    val hits: Map[String, Column] = stopwords.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    // argmax with ties broken by langOrder: first language in order that
+    // has positive hits and is >= every other language's hits.
+    val lang = langOrder.foldLeft(Option.empty[Column]) { (acc, l) =>
+      val isMax = langOrder.filterNot(_ == l).map(o => hits(l) >= hits(o)).reduce(_ && _)
+      val cond = hits(l) > 0 && isMax
+      Some(acc.fold(when(cond, lit(l)))(_.when(cond, lit(l))))
+    }.get.otherwise(lit("und"))
+
+    df.select(
+      col(idCol).as("doc_id"),
+      when(cjk * 10 > length(t) * 3, lit("zh")).otherwise(lang).as("lang_pred"))
+  }
+
+  /** Winnowing-style fingerprint: the k smallest distinct hashes over
+    * `window`-token rolling windows. Output (doc_id, fingerprint) with
+    * fingerprint = xxhash64 of the sorted k-min sketch — documents with
+    * identical sketches are candidate near-duplicates.
+    */
+  def fingerprint(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 4,
+      k: Int = 8,
+  ): DataFrame = {
+    val windows = Dedup.shingles(df, idCol, textCol, window)
+    windows
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+      .groupBy("id")
+      .agg(slice(sort_array(collect_set(col("h"))), 1, k).as("sketch"))
+      .select(col("id").as("doc_id"), xxhash64(concat_ws(",", col("sketch"))).as("fingerprint"))
+  }
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.metrics.{FdMetrics, ForestInspector}
 import graft.model.{Forest, NodeRow, Schema}
+import graft.operators.{Ann, Dedup, Events, TextAnalysis}
 import graft.sources.{DbConfig, RelationalLoader, Testdata}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.storage.StorageLevel
@@ -88,6 +89,42 @@ object GraftQueries {
     "inspect_counts_customer" -> ((s, d) =>
       ForestInspector.inspectTable(customerNodes(s, d))
         .filter(org.apache.spark.sql.functions.col("stat").startsWith("total_"))),
+
+    // Training-data pipeline operators over documents/embeddings/events
+    "dedup_exact_documents" -> ((s, d) =>
+      Dedup.exact(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
+    "dedup_ngram_documents" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", n = 3, threshold = 0.8)),
+    "dedup_minhash_documents" -> ((s, d) =>
+      Dedup.minHashLshPairs(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", n = 3, threshold = 0.8)),
+    "dedup_simhash_documents" -> ((s, d) =>
+      Dedup.simHashPairs(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
+    "text_stats_documents" -> ((s, d) =>
+      TextAnalysis.stats(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
+    "lang_id_documents" -> ((s, d) =>
+      TextAnalysis.langId(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
+    "fingerprint_documents" -> ((s, d) =>
+      TextAnalysis.fingerprint(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
+    "ann_topk_brute" -> ((s, d) =>
+      Ann.bruteForceTopK(
+        s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0L to 9L, k = 5)),
+    "ann_topk_ivf" -> ((s, d) =>
+      Ann.ivfTopK(
+        s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0L to 9L, k = 5)),
+    "events_hourly" -> ((s, d) => {
+      // the corpus stores ts as TIMESTAMP(NANOS), which Spark's parquet
+      // reader only accepts as raw int64; floor-divide to micros (same
+      // truncation DuckDB applies when reading nanos)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val ev =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        else raw
+      Events.hourlyStats(ev).drop("approx_users")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -174,5 +211,86 @@ object GraftQueries {
         |  + (((SELECT v FROM c) + (SELECT v FROM m)) * 4
         |     + (2 * (SELECT v FROM m) + (SELECT v FROM mr)) * 2
         |     + 2 * (SELECT v FROM mr) * 2)""".stripMargin,
+
+    "dedup_exact_documents" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS content_hash,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_ngram_documents" -> ngramJaccardOracle,
+    // MinHash-LSH with b=32, r=4 has miss probability ~5e-8 at j ≥ 0.8,
+    // and candidates are verified with exact Jaccard — so the oracle is
+    // the same exact-pair SQL as the n-gram query.
+    "dedup_minhash_documents" -> ngramJaccardOracle,
+
+    "text_stats_documents" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS BIGINT) AS n_punct,
+        |  (CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END) < 10 AS is_short
+        |FROM documents""".stripMargin,
+
+    "lang_id_documents" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    list_distinct(string_split(lower(trim(text)), ' ')) AS toks,
+         |    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk
+         |  FROM documents),
+         |h AS (SELECT doc_id, text, cjk,
+         |    len(list_intersect(toks, [${sqlList("en")}])) AS he,
+         |    len(list_intersect(toks, [${sqlList("es")}])) AS hs,
+         |    len(list_intersect(toks, [${sqlList("fr")}])) AS hf,
+         |    len(list_intersect(toks, [${sqlList("de")}])) AS hd
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN cjk * 10 > length(text) * 3 THEN 'zh'
+         |       WHEN he > 0 AND he >= hs AND he >= hf AND he >= hd THEN 'en'
+         |       WHEN hs > 0 AND hs >= he AND hs >= hf AND hs >= hd THEN 'es'
+         |       WHEN hf > 0 AND hf >= he AND hf >= hs AND hf >= hd THEN 'fr'
+         |       WHEN hd > 0 AND hd >= he AND hd >= hs AND hd >= hf THEN 'de'
+         |       ELSE 'und' END AS lang_pred
+         |FROM h""".stripMargin,
+
+    "ann_topk_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT qid, vec_id AS neighbor_id,
+        |             list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS sim
+        |      FROM q, embeddings WHERE vec_id <> qid),
+        |r AS (SELECT qid AS query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rk
+        |      FROM s)
+        |SELECT query_id, neighbor_id FROM r WHERE rk <= 5""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
+
+  /** Exact 3-gram-shingle Jaccard pairs at threshold 0.8 — DuckDB form of
+    * Dedup.ngramJaccardPairs (1-based inclusive list slicing).
+    */
+  private lazy val ngramJaccardOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id,
+      |       unnest(list_distinct([array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)])) AS shingle
+      |       FROM toks WHERE len(ts) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT a_id, b_id
+      |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin
+
+  private def sqlList(lang: String): String =
+    TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite with SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id per content and counts copies") {
+    val df = docs(3L -> "a b c", 1L -> "a b c", 2L -> "x y z")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("shingles: distinct word 3-grams; short texts yield none") {
+    val sh = Dedup.shingles(docs(1L -> "a b c d", 2L -> "a b"), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sh == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("ngram jaccard pairs: near-identical docs pair, distinct ones don't") {
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      3L -> "completely different words here nothing shared at all")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash-LSH pairs equal the exact ngram pairs on sf0.001 documents") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(df, "doc_id", "text", 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty) // the corpus plants near-duplicates
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs at hamming 0; near boost") {
+    val df = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", 3L -> "qq ww ee rr")
+    val sig = Dedup.simHash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+    val pairs = Dedup.simHashPairs(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("text stats golden") {
+    val out = TextAnalysis.stats(docs(7L -> "ab cd, 12 ef!"), "doc_id", "text").head
+    assert(out.getLong(0) == 7L)
+    assert(out.getLong(1) == 13L) // n_chars
+    assert(out.getLong(2) == 4L) // n_tokens
+    assert(out.getLong(3) == 4L) // distinct
+    assert(out.getLong(4) == 2L) // digits
+    assert(out.getLong(5) == 2L) // punct , !
+    assert(out.getBoolean(6)) // short
+  }
+
+  test("lang id heuristic: en / es / zh / und") {
+    val df = docs(
+      1L -> "the cat is in the house and it is warm",
+      2L -> "el gato es de la casa y no es gris",
+      3L -> "这是一个中文句子的测试文本",
+      4L -> "zzz qqq www")
+    val out = TextAnalysis.langId(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "zh", 4L -> "und"))
+  }
+
+  test("fingerprint: identical docs share it, different ones don't") {
+    val df = docs(1L -> "a b c d e f g h", 2L -> "a b c d e f g h", 3L -> "t u v w x y z q")
+    val fp = TextAnalysis.fingerprint(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("brute-force ANN: nearest vector by cosine, ties by id") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Ann.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L), (0L, 2L)))
+  }
+
+  test("IVF ANN achieves >=0.8 recall vs brute force on sf0.001") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bf = Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L to 9L, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(emb, "vec_id", "embedding", 0L to 9L, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.size == 50)
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("events hourly stats: window bounds, counts, cent sums") {
+    import spark.implicits._
+    val ev = Seq(
+      ("2024-01-01 10:15:00", "click", 10L, 1.25),
+      ("2024-01-01 10:45:00", "click", 11L, 2.50),
+      ("2024-01-01 11:05:00", "click", 10L, 4.00),
+      ("2024-01-01 10:30:00", "view", 12L, 0.10))
+      .toDF("tss", "event_type", "user_id", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = Events.hourlyStats(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("2024-01-01 10:00:00", "click")) == (2L, 375L))
+    assert(out(("2024-01-01 11:00:00", "click")) == (1L, 400L))
+    assert(out(("2024-01-01 10:00:00", "view")) == (1L, 10L))
+  }
+}
