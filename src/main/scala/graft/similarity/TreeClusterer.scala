@@ -1,0 +1,310 @@
+package graft.similarity
+
+import graft.core._
+import graft.model.{Forest, TreeRow}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Serializable feature rows (Set → sorted Seq for the product encoder). */
+final case class LevelRow(id: String, label: String, isTyped: Boolean, ents: Seq[String]) {
+  def toFeature: LevelFeature = LevelFeature(id, label, isTyped, ents.toSet)
+}
+final case class CandRow(
+    key: String,
+    treeId: Long,
+    height: Int,
+    depth: Int,
+    labelName: String,
+    labelTyped: Boolean,
+    levels: Seq[LevelRow]) {
+  def toFeature: SubtreeFeature =
+    SubtreeFeature(levels.map(_.toFeature).toVector, height, depth)
+}
+
+/** One clustered subtree: cluster name + membership weight. */
+final case class Assignment(key: String, treeId: Long, cluster: String, prob: Double)
+
+/** Broadcastable cluster summary for get_equiv_of scoring
+  * (reference similarity.py:370-432): members sorted by probability
+  * descending, capped at `keep` features per cluster.
+  */
+final case class ClusterSummary(
+    name: String,
+    support: Int,
+    memberIds: Set[String],
+    members: Vector[(SubtreeFeature, Double)]) extends Serializable
+
+final class ClusterModel(
+    val clusters: Map[String, ClusterSummary],
+    val tau: Double,
+    val decay: Double,
+    metricName: String) extends Serializable {
+
+  @transient private lazy val metric = SeqMetrics.byName(metricName)
+
+  def support(name: String): Int = clusters.get(name).map(_.support).getOrElse(0)
+
+  /** Mirror of TreeClusterer.get_equiv_of: membership by id; else early
+    * accept when similarity to the cluster center ≥ tau; else
+    * probability-weighted mean similarity against the top_k members in
+    * center-similarity order.
+    */
+  def getEquivOf(f: SubtreeFeature, topK: Int = 20): Option[String] = {
+    val centerSims = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    for ((name, c) <- clusters) {
+      if (c.memberIds.contains(f.self.id)) return Some(name)
+      c.members.headOption.foreach { case (center, _) =>
+        val sim = Similarity.similarity(f, center, metric, decay)
+        if (sim >= tau) return Some(name)
+        centerSims += name -> sim
+      }
+    }
+    centerSims.sortBy(-_._2).foreach { case (name, _) =>
+      val c = clusters(name)
+      var simSum = 0.0
+      var wSum = 0.0
+      c.members.take(topK).foreach { case (m, p) =>
+        simSum += Similarity.similarity(f, m, metric, decay) * p
+        wSum += p
+      }
+      if (wSum > 0 && simSum / wSum >= tau) return Some(name)
+    }
+    None
+  }
+}
+
+/** Spark-native replacement of the reference's O(n²)+HDBSCAN clusterer
+  * (similarity.py:200-368), per SURVEY §2.5:
+  *
+  *   1. candidate subtrees (height ≤ 5, non-ENT, no duplicate entities)
+  *      with precomputed ancestor features — one flatMap, no shuffle;
+  *   2. pair generation by BLOCKING on shared entity label (the
+  *      reference's own shortcut proves disjoint pairs score 0), plus the
+  *      height/depth-gap prune (similarity.py:456-461) as a join filter;
+  *   3. similarity scoring of surviving pairs only; keep ≥ tau;
+  *   4. clusters = connected components of the tau-graph via iterative
+  *      min-label propagation (O(log n) rounds);
+  *   5. membership "probability" = mean incident-edge similarity
+  *      (replaces HDBSCAN's soft membership), clusters named
+  *      `<modalTypedLabel>_<i>` like the reference (:341-368).
+  *
+  * This reproduces the role (equivalence classes of similar subtrees) —
+  * not HDBSCAN's exact labels; quality is validated by AMI in tests.
+  */
+object TreeClusterer {
+
+  final case class Result(assignments: Dataset[Assignment], model: ClusterModel)
+
+  def candidates(
+      forest: Dataset[TreeRow],
+      maxHeight: Int = 5,
+      entityParentsOnly: Boolean = false,
+  ): Dataset[CandRow] = {
+    import forest.sparkSession.implicits._
+    forest.flatMap { row =>
+      val tree = TreeJson.fromJson(row.tree)
+      val feats = Similarity.treeFeatures(tree, row.treeId.toString, maxHeight)
+      val kept =
+        if (!entityParentsOnly) feats
+        else {
+          // entity_labels mode (similarity.py:539-545): only subtrees
+          // with a direct ENT child participate
+          val parents = tree.positionedSubtrees.collect {
+            case (path, t) if !t.hasType(NodeType.Ent) && t.hasEntityChild =>
+              s"${row.treeId}/${path.mkString(".")}"
+          }.toSet
+          feats.filter { case (k, _) => parents.contains(k) }
+        }
+      kept.map { case (key, f) =>
+        CandRow(
+          key, row.treeId, f.height, f.depth,
+          // label NAME for cluster naming; typed flag filters untyped
+          keyLabelName(f.self.label), f.self.isTyped,
+          f.levels.map(l => LevelRow(l.id, l.label, l.isTyped, l.entLabels.toSeq.sorted)))
+      }
+    }
+  }
+
+  private def keyLabelName(rendered: String): String = Label.parse(rendered).name
+
+  def fit(
+      forest: Dataset[TreeRow],
+      tau: Double = 0.7,
+      decay: Double = Similarity.Decay,
+      metricName: String = "jaro",
+      maxHeight: Int = 5,
+      minClusterSize: Int = 2,
+      keepPerCluster: Int = 20,
+      entityParentsOnly: Boolean = false,
+  ): Result = {
+    require(tau >= 0 && tau <= 1, "tau must be between 0 and 1")
+    val spark = forest.sparkSession
+    import spark.implicits._
+
+    val cands = candidates(forest, maxHeight, entityParentsOnly)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // --- blocking join on shared entity label ---
+    val byEnt = cands
+      .select(col("key"), col("height"), col("depth"), explode(col("levels")(0)("ents")).as("ent"))
+    val rawPairs = byEnt.as("a")
+      .join(byEnt.as("b"),
+        col("a.ent") === col("b.ent") && col("a.key") < col("b.key") &&
+          // reference prune (similarity.py:456-461): skip pairs whose
+          // min(|Δheight|, |Δdepth|) ≥ maxHeight
+          least(
+            abs(col("a.height") - col("b.height")),
+            abs(col("a.depth") - col("b.depth"))) < maxHeight)
+      .select(col("a.key").as("ka"), col("b.key").as("kb"))
+      .distinct()
+
+    val metric = metricName
+    val d = decay
+    val scoreUdf = udf { (la: Seq[org.apache.spark.sql.Row], lb: Seq[org.apache.spark.sql.Row]) =>
+      Similarity.similarity(rowsToFeature(la), rowsToFeature(lb), SeqMetrics.byName(metric), d)
+    }
+    val edges = rawPairs
+      .join(cands.select(col("key").as("ka"), col("levels").as("la")), "ka")
+      .join(cands.select(col("key").as("kb"), col("levels").as("lb")), "kb")
+      .withColumn("sim", scoreUdf(col("la"), col("lb")))
+      .filter(col("sim") >= tau)
+      .select("ka", "kb", "sim")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // --- connected components: iterative min-label propagation ---
+    val bidir = edges.select(col("ka").as("src"), col("kb").as("dst"))
+      .union(edges.select(col("kb").as("src"), col("ka").as("dst")))
+    var labels = edges.select(col("ka").as("node")).union(edges.select(col("kb").as("node")))
+      .distinct()
+      .withColumn("comp", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < 30) {
+      val neighborMin = bidir
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min("comp").as("nComp"))
+      val updated = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("comp").as("oldComp"),
+          when(col("nComp").isNotNull && col("nComp") < col("comp"), col("nComp"))
+            .otherwise(col("comp")).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = updated.filter(col("comp") =!= col("oldComp")).count()
+      labels.unpersist()
+      labels = updated.select("node", "comp").localCheckpoint(true)
+      iter += 1
+    }
+
+    // --- membership probability: mean incident kept-edge similarity ---
+    val incident = edges.select(col("ka").as("node"), col("sim"))
+      .union(edges.select(col("kb").as("node"), col("sim")))
+      .groupBy("node").agg(avg("sim").as("prob"))
+
+    val membersDf = labels
+      .join(incident, "node")
+      .join(cands.withColumnRenamed("key", "node"), "node")
+
+    // component stats for deterministic naming
+    val compStats = membersDf
+      .groupBy("comp")
+      .agg(count(lit(1)).as("size"), min("node").as("minNode"))
+      .filter(col("size") >= minClusterSize)
+      .orderBy(col("size").desc, col("minNode").asc)
+      .collect()
+    val modal = membersDf
+      .filter(col("labelTyped"))
+      .groupBy("comp", "labelName")
+      .count()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (comp, rows) =>
+        comp -> rows.maxBy(r => (r.getLong(2), r.getString(1))).getString(1)
+      }
+
+    val naming: Map[String, String] = compStats.zipWithIndex.map { case (r, i) =>
+      val comp = r.getString(0)
+      val name = modal.get(comp).map(m => s"${m}_$i").getOrElse(i.toString)
+      comp -> name
+    }.toMap
+    val namingDf = naming.toSeq.toDF("comp", "cluster")
+
+    val assignments = membersDf
+      .join(broadcast(namingDf), Seq("comp"))
+      .select(col("node").as("key"), col("treeId"), col("cluster"), col("prob"))
+      .as[Assignment]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // --- broadcastable model: top-`keep` members per cluster by prob ---
+    val summaries = assignments
+      .joinWith(cands, assignments("key") === cands("key"))
+      .collect()
+      .groupBy(_._1.cluster)
+      .map { case (name, rows) =>
+        val sorted = rows.sortBy { case (a, _) => (-a.prob, a.key) }
+        val members = sorted.take(keepPerCluster)
+          .map { case (a, c) => (c.toFeature, a.prob) }.toVector
+        name -> ClusterSummary(name, rows.length, rows.map(_._1.key).toSet, members)
+      }
+
+    cands.unpersist()
+    Result(assignments, new ClusterModel(summaries, tau, decay, metricName))
+  }
+
+  private def rowsToFeature(levels: Seq[org.apache.spark.sql.Row]): SubtreeFeature = {
+    val ls = levels.map { r =>
+      LevelFeature(r.getString(0), r.getString(1), r.getBoolean(2), r.getSeq[String](3).toSet)
+    }.toVector
+    SubtreeFeature(ls, 0, 0)
+  }
+
+  /** entity_labels (similarity.py:514-553): cluster the entity PARENTS
+    * (non-ENT subtrees with an ENT child), then assign each child entity
+    * oid its parent's cluster name. `metricName = null` variant maps each
+    * entity to its parent's label directly.
+    */
+  def entityLabels(
+      forest: Dataset[TreeRow],
+      tau: Double,
+      metricName: String = "jaro",
+      decay: Double = Similarity.Decay,
+  ): Map[String, String] = {
+    import forest.sparkSession.implicits._
+    if (metricName == null) {
+      return forest.flatMap { row =>
+        val tree = TreeJson.fromJson(row.tree)
+        tree.positionedSubtrees.flatMap { case (path, t) =>
+          t.childTrees.zipWithIndex.collect {
+            case (c, i) if c.hasType(NodeType.Ent) =>
+              val oid = if (c.oid.nonEmpty) c.oid else s"${row.treeId}/${(path :+ i).mkString(".")}"
+              oid -> t.label.render
+          }
+        }
+      }.collect().toMap
+    }
+
+    val result = fit(forest, tau = tau, decay = decay, metricName = metricName,
+      entityParentsOnly = true)
+    val parentKeys: Map[String, String] = result.assignments.collect()
+      .map(a => a.key -> a.cluster).toMap
+    val pk = forest.sparkSession.sparkContext.broadcast(parentKeys)
+
+    forest.flatMap { row =>
+      val tree = TreeJson.fromJson(row.tree)
+      tree.positionedSubtrees.flatMap { case (path, t) =>
+        val key = s"${row.treeId}/${path.mkString(".")}"
+        pk.value.get(key) match {
+          case Some(cluster) =>
+            t.childTrees.zipWithIndex.collect {
+              case (c, i) if c.hasType(NodeType.Ent) =>
+                val oid = if (c.oid.nonEmpty) c.oid else s"${row.treeId}/${(path :+ i).mkString(".")}"
+                oid -> cluster
+            }
+          case None => Vector.empty
+        }
+      }
+    }.collect().toMap
+  }
+}

@@ -1,0 +1,111 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.core._
+import graft.model.Forest
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  test("jaccard doctests (similarity.py:50-60)") {
+    assert(SeqMetrics.jaccard(Set("A", "B"), Set("A", "B", "C")) == 2.0 / 3.0)
+    assert(SeqMetrics.jaccard(Set("apple", "banana", "cherry"), Set("apple", "cherry", "date")) == 0.5)
+    assert(SeqMetrics.jaccard(Set.empty, Set.empty) == 1.0)
+  }
+
+  test("levenshtein ratio over sorted label sequences") {
+    // indel distance semantics: ratio = 2·LCS/(|a|+|b|)
+    assert(SeqMetrics.levenshtein(Set("A", "B"), Set("A", "B", "C")) == 0.8)
+    assert(SeqMetrics.levenshtein(Set("A"), Set("B")) == 0.0)
+    assert(SeqMetrics.levenshtein(Set("A", "B"), Set("A", "B")) == 1.0)
+    assert(SeqMetrics.levenshtein(Set.empty, Set.empty) == 1.0)
+  }
+
+  test("jaro-winkler over sorted label sequences") {
+    val jw = SeqMetrics.jaro(Set("A", "B"), Set("A", "B", "C"))
+    assert(math.abs(jw - 0.9111111111111111) < 1e-12, s"got $jw")
+    assert(SeqMetrics.jaro(Set("A", "B"), Set("A", "B")) == 1.0)
+    assert(SeqMetrics.jaro(Set("A"), Set("B")) == 0.0)
+  }
+
+  private def featuresOf(treeStr: String): Map[String, SubtreeFeature] =
+    Similarity.treeFeatures(SExpr.parse(treeStr), "t").toMap
+
+  test("similarity doctest: siblings under one root = 0.5555… with jaccard") {
+    val fs = featuresOf(
+      "(S (X (ENT::person Alice) (ENT::fruit apple)) (Y (ENT::person Bob) (ENT::animal rabbit)))")
+    val sim = Similarity.similarity(fs("t/0"), fs("t/1"), SeqMetrics.jaccard)
+    assert(math.abs(sim - 0.5555555555555555) < 1e-12, s"got $sim")
+  }
+
+  test("similarity shortcuts: disjoint → 0, same typed label → 1") {
+    val fs = featuresOf("(S (GROUP::A (ENT::x 1)) (GROUP::A (ENT::x 2)) (Z (ENT::q 3)))")
+    assert(Similarity.similarity(fs("t/0"), fs("t/1")) == 1.0) // same typed label
+    assert(Similarity.similarity(fs("t/0"), fs("t/2")) == 0.0) // disjoint ents
+  }
+
+  test("candidate predicate: ENTs, tall and duplicate-entity subtrees excluded") {
+    val t = SExpr.parse("(S (ENT::a 1) (X (ENT::b 2) (ENT::b 3)))")
+    assert(!Similarity.isCandidate(t(Vector(0)))) // ENT node
+    assert(!Similarity.isCandidate(t(Vector(1)))) // duplicate entity labels
+    assert(!Similarity.isCandidate(t)) // dup propagates to the root
+    val ok = SExpr.parse("(X (ENT::b 2) (ENT::c 3))")
+    assert(Similarity.isCandidate(ok))
+    assert(!Similarity.isCandidate(ok, maxHeight = 2)) // too tall for cap
+  }
+
+  test("clusterer groups equivalent subtrees across trees") {
+    def tree(p: String, f: String, a: String) =
+      SExpr.parse(s"(S (X (ENT::person $p) (ENT::fruit $f)) (Y (ENT::person $p) (ENT::animal $a)))")
+    val forest = Forest.fromTrees(spark,
+      Seq(tree("Alice", "apple", "rabbit"), tree("Bob", "banana", "dog"), tree("Carol", "cherry", "cat")))
+    val result = TreeClusterer.fit(forest, tau = 0.7, metricName = "jaccard")
+    val byCluster = result.assignments.collect().groupBy(_.cluster)
+    assert(byCluster.size == 2)
+    // each cluster holds the three same-role nodes, one per tree
+    assert(byCluster.values.map(_.length).toSet == Set(3))
+    val keysByCluster = byCluster.values.map(_.map(_.key.split("/")(1)).toSet).toSet
+    assert(keysByCluster == Set(Set("0"), Set("1"))) // all X together, all Y together
+  }
+
+  test("cluster naming uses the modal typed label") {
+    def tree(k: String) = SExpr.parse(s"(S (GROUP::Person (ENT::name $k) (ENT::age 1)))")
+    val forest = Forest.fromTrees(spark, Seq(tree("a"), tree("b")))
+    val result = TreeClusterer.fit(forest, tau = 0.7, metricName = "jaccard")
+    assert(result.model.clusters.keySet.exists(_.startsWith("Person_")))
+  }
+
+  test("getEquivOf finds the cluster of an equivalent new subtree") {
+    def tree(p: String, f: String) =
+      SExpr.parse(s"(S (X (ENT::person $p) (ENT::fruit $f)))")
+    val forest = Forest.fromTrees(spark, Seq(tree("Alice", "apple"), tree("Bob", "banana")))
+    val result = TreeClusterer.fit(forest, tau = 0.7, metricName = "jaccard")
+    assert(result.model.clusters.size == 1)
+    val name = result.model.clusters.keys.head
+
+    // a brand-new equivalent subtree (not a member)
+    val fresh = Similarity.treeFeatures(tree("Carol", "cherry"), "fresh").toMap
+    assert(result.model.getEquivOf(fresh("fresh/0")) == Some(name))
+    // a dissimilar one
+    val other = Similarity.treeFeatures(
+      SExpr.parse("(S (Z (ENT::qq 1) (ENT::ww 2)))"), "other").toMap
+    assert(result.model.getEquivOf(other("other/0")).isEmpty)
+  }
+
+  test("entityLabels with null metric maps entities to parent labels") {
+    val forest = Forest.fromTrees(spark, Seq(
+      SExpr.parse("(S (X (ENT::a 1)) (GROUP::G (ENT::b 2)))")))
+    val labels = TreeClusterer.entityLabels(forest, tau = 0.7, metricName = null)
+    assert(labels.values.toSet == Set("X", "GROUP::G"))
+  }
+
+  test("entityLabels clusters entity parents and labels their children") {
+    def tree(p: String, f: String) =
+      SExpr.parse(s"(S (X (ENT::person $p) (ENT::fruit $f)))")
+    val forest = Forest.fromTrees(spark, Seq(tree("Alice", "apple"), tree("Bob", "banana")))
+    val labels = TreeClusterer.entityLabels(forest, tau = 0.7, metricName = "jaccard")
+    // 4 entities (2 per tree), all labelled with the single X-cluster
+    assert(labels.size == 4)
+    assert(labels.values.toSet.size == 1)
+  }
+}
