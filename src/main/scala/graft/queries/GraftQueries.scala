@@ -113,6 +113,57 @@ object GraftQueries {
     "ann_topk_ivf" -> ((s, d) =>
       Ann.ivfTopK(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0L to 9L, k = 5)),
+    // §2.3 simple_rewrite: strip the loader's typed labels (simulating an
+    // untyped ingestion), collapse each tree to one GROUP of its distinct
+    // entities, then extract the dataset of the single resulting group.
+    "simple_rewrite_customer" -> ((s, d) => {
+      import graft.core._
+      import graft.rewrite.Rewrite
+      val raw = RelationalLoader.load(s, d, Testdata.customerDb)
+      val untyped = Forest.mapTrees(raw) { tree =>
+        def strip(t: ArchiTree): ArchiTree = {
+          val kids = t.children.map {
+            case Child.Node(c) => Child.Node(strip(c)): Child
+            case l             => l
+          }
+          t.label match {
+            case Typed(NodeType.Group, n) => t.copy(label = Plain(n), children = kids)
+            case Typed(NodeType.Rel, n)   => t.copy(label = Plain(n), children = kids)
+            case _                        => t.copy(children = kids)
+          }
+        }
+        strip(tree)
+      }
+      val rewritten = Rewrite.simpleRewrite(untyped)
+      Schema.extractDataset(Forest.toNodesDF(rewritten), "1")
+    }),
+
+    // §2.3 full rewrite fixpoint on generator synthetics (rows-only:
+    // approximate clustering has no SQL oracle); output = the resulting
+    // schema's productions, deterministic for a fixed generator input.
+    "rewrite_fixpoint_synthetic" -> ((s, d) => {
+      import s.implicits._
+      import graft.core._
+      import graft.model.{Group => SGroup, Relation => SRelation, RelationOrientation => SRO}
+      import graft.rewrite.{Generator, Rewrite}
+      val schema = Schema.fromDescription(
+        groups = Set(
+          SGroup("SOSY", Set("SOSY", "ANATOMIE", "SUBSTANCE")),
+          SGroup("TREATMENT", Set("SUBSTANCE", "DOSAGE", "ADMINISTRATION", "FREQUENCY")),
+          SGroup("EXAM", Set("DIAGNOSTIC_PROCEDURE", "ANATOMIE"))),
+        relations = Set(
+          SRelation("PRESCRIPTION", "SOSY", "TREATMENT", SRO.Both),
+          SRelation("EXAM_RESULT", "EXAM", "SOSY", SRO.Both)),
+        collections = false)
+      val noised = Generator.genInstance(schema, size = 10, generateCollections = false)
+        .map(tr => ArchiTree(Plain("ROOT"),
+          Vector(Child.Node(ArchiTree(Plain("S"), Vector(Child.Node(tr)))))))
+      val forest = Forest.fromTrees(s, noised)
+      val out = Rewrite.rewrite(forest, Rewrite.Config(tau = 0.85, epochs = 4, minSupport = Some(2)))
+      Schema.fromForest(Forest.toNodesDF(out), keepUnlabelled = false)
+        .productions.map(p => (p.lhs, p.rhs.mkString(" "))).sorted.toDF("lhs", "rhs")
+    }),
+
     "events_hourly" -> ((s, d) => {
       // the corpus stores ts as TIMESTAMP(NANOS), which Spark's parquet
       // reader only accepts as raw int64; floor-divide to micros (same
@@ -211,6 +262,14 @@ object GraftQueries {
         |  + (((SELECT v FROM c) + (SELECT v FROM m)) * 4
         |     + (2 * (SELECT v FROM m) + (SELECT v FROM mr)) * 2
         |     + 2 * (SELECT v FROM mr) * 2)""".stripMargin,
+
+    "simple_rewrite_customer" ->
+      s"""SELECT DISTINCT ${castCols(Seq(
+           "c_acctbal", "c_custkey", "c_mktsegment", "c_name",
+           "n_name", "n_nationkey", "r_name", "r_regionkey"))}
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
 
     "dedup_exact_documents" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS content_hash,

@@ -1,0 +1,260 @@
+package graft.rewrite
+
+import graft.core._
+import graft.model.{Forest, TreeRow}
+import graft.similarity.{ClusterModel, TreeClusterer}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The iterative rewrite driver — Spark re-expression of `rewrite()`
+  * (simplification/tree_rewriting/__init__.py:56-308).
+  *
+  * Per epoch: reduce_all({ENT}) → cluster → find_groups → apply the
+  * operation list with early exit at the first operation that changed
+  * anything; stop when an epoch changes nothing. Post-process runs
+  * naming-only FindRelations/FindCollections, then group/relation names
+  * are canonicalized.
+  *
+  * The reference's ProcessPoolExecutor + barrier + OID-queue machinery
+  * (tree_rewriting/__init__.py:311-633) disappears into Spark stages:
+  * each operation is one shuffle-free Dataset map plus a boolean
+  * aggregation; the forest is checkpointed per epoch to break lineage.
+  */
+object Rewrite {
+
+  /** One rewrite operation: pure per-tree function that may consult the
+    * broadcast cluster model.
+    */
+  final case class Op(name: String, fn: (ArchiTree, ClusterModel, Int, String) => (ArchiTree, Boolean))
+
+  val defaultOperations: Seq[Op] = Seq(
+    Op("FindSubGroups", (t, m, ms, k) => GroupOps.findSubGroups(t, m, ms, k)),
+    Op("MergeGroups", (t, m, ms, k) => GroupOps.mergeGroups(t, m, ms, k)),
+    Op("FindCollections", (t, _, _, _) => TreeOps.findCollections(t)),
+    Op("FindRelations", (t, _, _, _) => TreeOps.findRelations(t)),
+    Op("FindCollections2", (t, _, _, _) => TreeOps.findCollections(t)),
+    Op("ReduceBottom", (t, _, _, _) => TreeOps.reduceBottom(t)),
+    Op("ReduceTop", (t, _, _, _) => TreeOps.reduceTop(t)),
+  )
+
+  final case class Config(
+      tau: Double = 0.7,
+      decay: Double = 2.0,
+      epochs: Int = 100,
+      minSupport: Option[Int] = None,
+      metricName: String = "jaro",
+      operations: Seq[Op] = defaultOperations,
+      simplifyNames: Boolean = true)
+
+  def rewrite(forest: Dataset[TreeRow], cfg: Config = Config()): Dataset[TreeRow] = {
+    val spark = forest.sparkSession
+    import spark.implicits._
+
+    val total = forest.count()
+    if (total == 0) return forest
+    val minSupport = cfg.minSupport.getOrElse(math.max((total / 10).toInt, 2))
+
+    var current = Forest.checkpoint(forest)
+    var epoch = 1
+    var converged = false
+
+    while (epoch < cfg.epochs && !converged) {
+      // 1. reduce_all({ENT}) (tree_rewriting/__init__.py:196-201)
+      current = Forest.mapTrees(current)(_.reduceAll(Set(NodeType.Ent)))
+
+      // 2. cluster the candidate subtrees
+      val result = TreeClusterer.fit(current, cfg.tau, cfg.decay, cfg.metricName)
+      val model = result.model
+      val modelB = spark.sparkContext.broadcast(model)
+
+      // 3. find_groups (tree_rewriting/__init__.py:648-706): relabel
+      // qualifying cluster members as GROUPs, frequent clusters first
+      val rank: Map[String, Int] = model.clusters.values.toSeq
+        .filter(_.support > minSupport)
+        .sortBy(c => (-c.support, -c.avgEntities, -c.avgDepth, c.name))
+        .zipWithIndex.map { case (c, i) => c.name -> i }.toMap
+      val assignByTree = result.assignments
+        .groupByKey(_.treeId)
+        .mapGroups((tid, as) => tid -> as.map(a => a.key -> a.cluster).toSeq)
+        .toDF("treeId", "assigns")
+      val rankB = spark.sparkContext.broadcast(rank)
+      current = current.toDF()
+        .join(assignByTree, Seq("treeId"), "left")
+        .map { row =>
+          val treeId = row.getAs[Long]("treeId")
+          val json = row.getAs[String]("tree")
+          val assigns = Option(row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("assigns"))
+            .map(_.iterator.map(r => r.getString(0) -> r.getString(1)).toSeq).getOrElse(Seq.empty)
+          val tree = TreeJson.fromJson(json)
+          TreeRow(treeId, TreeJson.toJson(findGroupsInTree(tree, treeId, assigns, rankB.value)))
+        }
+
+      // 4. operations with early exit
+      current = Forest.checkpoint(current)
+      var opChanged = false
+      val it = cfg.operations.iterator
+      while (it.hasNext && !opChanged) {
+        val op = it.next()
+        val mapped = current.map { row =>
+          val (t, ch) = op.fn(TreeJson.fromJson(row.tree), modelB.value, minSupport, row.treeId.toString)
+          (TreeRow(row.treeId, TreeJson.toJson(t)), ch)
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+        val changed = mapped.filter(_._2).count()
+        if (changed > 0) {
+          opChanged = true
+          current = Forest.checkpoint(mapped.map(_._1))
+        }
+        mapped.unpersist()
+      }
+
+      converged = !opChanged
+      epoch += 1
+    }
+
+    // post-process (tree_rewriting/__init__.py:227-259): naming-only
+    // relations + collections, no early exit
+    current = Forest.mapTrees(current) { t =>
+      val (t1, _) = TreeOps.findRelations(t, namingOnly = true)
+      val (t2, _) = TreeOps.findCollections(t1, namingOnly = true)
+      t2
+    }
+
+    if (cfg.simplifyNames) current = simplifyNames(current)
+    Forest.checkpoint(current)
+  }
+
+  /** find_groups applied inside one tree: assignments ordered by cluster
+    * rank (frequent first); conditions re-checked on the evolving tree.
+    */
+  private[rewrite] def findGroupsInTree(
+      tree: ArchiTree,
+      treeId: Long,
+      assigns: Seq[(String, String)],
+      rank: Map[String, Int],
+  ): ArchiTree = {
+    val ordered = assigns
+      .flatMap { case (key, cluster) =>
+        rank.get(cluster).map { r =>
+          val path = key.split("/", 2)(1) match {
+            case ""   => Vector.empty[Int]
+            case rest => rest.split("\\.").map(_.toInt).toVector
+          }
+          (r, path, cluster)
+        }
+      }
+      .sortBy { case (r, path, _) => (r, path.mkString(".")) }
+
+    ordered.foldLeft(tree) { case (t, (_, path, cluster)) =>
+      nodeAt(t, path) match {
+        case Some(node) if qualifies(t, path, node) =>
+          if (node.hasType(NodeType.Group))
+            t.updated(path, node.copy(label = Typed(NodeType.Group, cluster)))
+          else
+            t.updated(path, TreeOps.createGroup(node, cluster))
+        case _ => t
+      }
+    }
+  }
+
+  private def nodeAt(t: ArchiTree, path: Vector[Int]): Option[ArchiTree] =
+    path.foldLeft(Option(t)) {
+      case (Some(n), i) if i < n.children.size =>
+        n.children(i) match {
+          case Child.Node(c) => Some(c)
+          case _             => None
+        }
+      case _ => None
+    }
+
+  private def qualifies(root: ArchiTree, path: Vector[Int], node: ArchiTree): Boolean = {
+    val parentIsGroup = path.nonEmpty &&
+      nodeAt(root, path.dropRight(1)).exists(_.hasType(NodeType.Group))
+    node.children.size >= 2 &&
+    !parentIsGroup &&
+    node.children.forall {
+      case Child.Node(c) => c.hasType(NodeType.Ent)
+      case _             => false
+    } &&
+    !node.hasDuplicateEntity
+  }
+
+  /** _simplify_names (tree_rewriting/__init__.py:262-308): canonicalize
+    * group names (strip `_<n>` suffixes, disambiguate collisions with an
+    * index), then rename RELs `A<->B` and COLLs after contained groups.
+    * The reference indexes original labels in forest-iteration order;
+    * here they are sorted for determinism.
+    */
+  def simplifyNames(forest: Dataset[TreeRow]): Dataset[TreeRow] = {
+    import forest.sparkSession.implicits._
+    val groupNames = forest.flatMap { row =>
+      TreeJson.fromJson(row.tree).subtrees.collect {
+        case t if t.hasType(NodeType.Group) => t.label.name
+      }
+    }.distinct().collect().sorted
+
+    val renames: Map[String, String] = groupNames
+      .groupBy(baseName)
+      .flatMap { case (base, originals) =>
+        originals.sorted.zipWithIndex.map { case (orig, i) =>
+          orig -> (if (i == 0) base else s"${base}_$i")
+        }
+      }
+    val renamesB = forest.sparkSession.sparkContext.broadcast(renames)
+
+    Forest.mapTrees(forest) { tree =>
+      def rename(t: ArchiTree): ArchiTree = {
+        val kids = t.children.map {
+          case Child.Node(c) => Child.Node(rename(c)): Child
+          case l             => l
+        }
+        val relabelled = t.label match {
+          case Typed(NodeType.Group, n) =>
+            Typed(NodeType.Group, renamesB.value.getOrElse(n, n))
+          case other => other
+        }
+        t.copy(label = relabelled, children = kids)
+      }
+      val renamed = rename(tree)
+      def fixRelColl(t: ArchiTree): ArchiTree = {
+        val kids = t.children.map {
+          case Child.Node(c) => Child.Node(fixRelColl(c)): Child
+          case l             => l
+        }
+        val withKids = t.copy(children = kids)
+        val groups = withKids.groups
+        val relabelled =
+          if (withKids.hasType(NodeType.Rel) && groups.nonEmpty)
+            withKids.copy(label = Typed(NodeType.Rel, groups.toSeq.sorted.mkString("<->")))
+          else if (withKids.hasType(NodeType.Coll) && groups.nonEmpty)
+            withKids.copy(label = Typed(NodeType.Coll, groups.toSeq.sorted.head))
+          else withKids
+        relabelled
+      }
+      fixRelColl(renamed)
+    }
+  }
+
+  private def baseName(name: String): String = {
+    val base = name.replaceAll("(_\\d+)+$", "")
+    if (base.matches("^\\d*$")) "UndefinedGroup" else base
+  }
+
+  /** simple_rewrite (simplification/simple_rewrite.py:19-66): collapse
+    * every tree with unlabelled nodes into one GROUP of its distinct
+    * entities; group ids are assigned per distinct sorted entity-label
+    * set (sorted order here; insertion order in the reference).
+    */
+  def simpleRewrite(forest: Dataset[TreeRow]): Dataset[TreeRow] = {
+    import forest.sparkSession.implicits._
+    val keys = forest
+      .flatMap(row => TreeOps.simpleRewriteKey(TreeJson.fromJson(row.tree)))
+      .distinct()
+      .collect()
+      .sortBy(_.mkString(""))
+    val ids: Map[Seq[String], String] =
+      keys.zipWithIndex.map { case (k, i) => (k: Seq[String]) -> (i + 1).toString }.toMap
+    val idsB = forest.sparkSession.sparkContext.broadcast(ids)
+    Forest.mapTrees(forest)(t => TreeOps.simpleRewriteTree(t, idsB.value))
+  }
+}

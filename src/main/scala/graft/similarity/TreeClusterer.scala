@@ -33,7 +33,9 @@ final case class ClusterSummary(
     name: String,
     support: Int,
     memberIds: Set[String],
-    members: Vector[(SubtreeFeature, Double)]) extends Serializable
+    members: Vector[(SubtreeFeature, Double)],
+    avgEntities: Double,
+    avgDepth: Double) extends Serializable
 
 final class ClusterModel(
     val clusters: Map[String, ClusterSummary],
@@ -246,7 +248,9 @@ object TreeClusterer {
         val sorted = rows.sortBy { case (a, _) => (-a.prob, a.key) }
         val members = sorted.take(keepPerCluster)
           .map { case (a, c) => (c.toFeature, a.prob) }.toVector
-        name -> ClusterSummary(name, rows.length, rows.map(_._1.key).toSet, members)
+        val avgEnts = rows.map(_._2.levels.head.ents.size).sum.toDouble / rows.length
+        val avgDepth = rows.map(_._2.depth).sum.toDouble / rows.length
+        name -> ClusterSummary(name, rows.length, rows.map(_._1.key).toSet, members, avgEnts, avgDepth)
       }
 
     cands.unpersist()
