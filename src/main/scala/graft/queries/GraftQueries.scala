@@ -113,6 +113,43 @@ object GraftQueries {
     "ann_topk_ivf" -> ((s, d) =>
       Ann.ivfTopK(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0L to 9L, k = 5)),
+    // §2.7 export_sql: the customer group table after cast-on-export,
+    // minus the (sha1) oid PK the oracle cannot recompute
+    "export_sql_customer" -> ((s, d) => {
+      val nodes = customerNodes(s, d)
+      val schema = Schema.fromForest(nodes, keepUnlabelled = false)
+      val ex = graft.sinks.SqlExporter.export(nodes, schema)
+      ex.tables("customer").drop(graft.sinks.SqlExporter.pkColumn("customer"))
+        .dropDuplicates()
+    }),
+
+    // §2.7/§2.1 JSONL round trip: write the forest as JSONL, read it
+    // back, and emit the inspector counts (same oracle as the direct
+    // inspection — the round trip must be lossless)
+    "jsonl_roundtrip_customer" -> ((s, d) => {
+      val forest = RelationalLoader.load(s, d, Testdata.customerDb)
+      val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/forest"
+      graft.sinks.Jsonl.write(forest, dir)
+      val back = graft.sinks.Jsonl.read(s, dir)
+      ForestInspector.inspectTable(Forest.toNodesDF(back))
+        .filter(org.apache.spark.sql.functions.col("stat").startsWith("total_"))
+    }),
+
+    // §2.1 read_document: every events.props JSON document → metamodel
+    // forest → dataset of the single discovered group
+    "read_document_props" -> ((s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
+      val props = s.read.parquet(s"$d/events.parquet").select("props").as[String]
+      val forest = props.rdd.zipWithIndex()
+        .flatMap { case (json, i) =>
+          graft.sources.DocumentLoader.fromJsonString(json).zipWithIndex.map {
+            case (t, j) => graft.model.TreeRow(i * 100 + j, graft.core.TreeJson.toJson(t))
+          }
+        }.toDS()
+      Schema.extractDataset(Forest.toNodesDF(forest), "root")
+    }),
+
     // §2.3 simple_rewrite: strip the loader's typed labels (simulating an
     // untyped ingestion), collapse each tree to one GROUP of its distinct
     // entities, then extract the dataset of the single resulting group.
@@ -234,34 +271,15 @@ object GraftQueries {
     "fd_confidence_customer_nokey" -> confidenceOracle(
       "customer", Seq("c_acctbal", "c_mktsegment", "c_name")),
 
-    // Loader node-count identities (no nulls in this corpus): per tree the
-    // customer group materializes once standalone + once per REL; nation
-    // 2× per matched pair + 1× inside the nation<->region REL; region 2×
-    // per matched chain. ents = groups × their column counts.
-    "inspect_counts_customer" ->
-      """WITH c AS (SELECT CAST(count(*) AS BIGINT) v FROM customer),
-        |     m AS (SELECT CAST(count(*) AS BIGINT) v FROM customer JOIN nation ON c_nationkey = n_nationkey),
-        |     mr AS (SELECT CAST(count(*) AS BIGINT) v
-        |            FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |            JOIN region ON n_regionkey = r_regionkey)
-        |SELECT 'total_trees' AS stat, (SELECT v FROM c) AS value
-        |UNION ALL SELECT 'total_entities',
-        |  ((SELECT v FROM c) + (SELECT v FROM m)) * 4
-        |  + (2 * (SELECT v FROM m) + (SELECT v FROM mr)) * 2
-        |  + 2 * (SELECT v FROM mr) * 2
-        |UNION ALL SELECT 'total_groups',
-        |  (SELECT v FROM c) + (SELECT v FROM m)
-        |  + 2 * (SELECT v FROM m) + (SELECT v FROM mr)
-        |  + 2 * (SELECT v FROM mr)
-        |UNION ALL SELECT 'total_relations', (SELECT v FROM m) + (SELECT v FROM mr)
-        |UNION ALL SELECT 'total_collections', CAST(0 AS BIGINT)
-        |UNION ALL SELECT 'total_nodes',
-        |  (SELECT v FROM c)
-        |  + ((SELECT v FROM c) + (SELECT v FROM m) + 2 * (SELECT v FROM m) + (SELECT v FROM mr) + 2 * (SELECT v FROM mr))
-        |  + ((SELECT v FROM m) + (SELECT v FROM mr))
-        |  + (((SELECT v FROM c) + (SELECT v FROM m)) * 4
-        |     + (2 * (SELECT v FROM m) + (SELECT v FROM mr)) * 2
-        |     + 2 * (SELECT v FROM mr) * 2)""".stripMargin,
+    "inspect_counts_customer" -> inspectCountsCustomerOracle,
+    // lossless round trip ⇒ identical counts
+    "jsonl_roundtrip_customer" -> inspectCountsCustomerOracle,
+
+    "export_sql_customer" ->
+      "SELECT DISTINCT c_acctbal, CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment, c_name FROM customer",
+
+    "read_document_props" ->
+      "SELECT DISTINCT CAST(props::JSON->>'k' AS VARCHAR) AS k FROM events",
 
     "simple_rewrite_customer" ->
       s"""SELECT DISTINCT ${castCols(Seq(
@@ -333,6 +351,36 @@ object GraftQueries {
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
   )
+
+  /** Loader node-count identities (no nulls in this corpus): per tree the
+    * customer group materializes once standalone + once per REL; nation
+    * 2× per matched pair + 1× inside the nation<->region REL; region 2×
+    * per matched chain. ents = groups × their column counts.
+    */
+  private lazy val inspectCountsCustomerOracle: String =
+    """WITH c AS (SELECT CAST(count(*) AS BIGINT) v FROM customer),
+      |     m AS (SELECT CAST(count(*) AS BIGINT) v FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |     mr AS (SELECT CAST(count(*) AS BIGINT) v
+      |            FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |            JOIN region ON n_regionkey = r_regionkey)
+      |SELECT 'total_trees' AS stat, (SELECT v FROM c) AS value
+      |UNION ALL SELECT 'total_entities',
+      |  ((SELECT v FROM c) + (SELECT v FROM m)) * 4
+      |  + (2 * (SELECT v FROM m) + (SELECT v FROM mr)) * 2
+      |  + 2 * (SELECT v FROM mr) * 2
+      |UNION ALL SELECT 'total_groups',
+      |  (SELECT v FROM c) + (SELECT v FROM m)
+      |  + 2 * (SELECT v FROM m) + (SELECT v FROM mr)
+      |  + 2 * (SELECT v FROM mr)
+      |UNION ALL SELECT 'total_relations', (SELECT v FROM m) + (SELECT v FROM mr)
+      |UNION ALL SELECT 'total_collections', CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'total_nodes',
+      |  (SELECT v FROM c)
+      |  + ((SELECT v FROM c) + (SELECT v FROM m) + 2 * (SELECT v FROM m) + (SELECT v FROM mr) + 2 * (SELECT v FROM mr))
+      |  + ((SELECT v FROM m) + (SELECT v FROM mr))
+      |  + (((SELECT v FROM c) + (SELECT v FROM m)) * 4
+      |     + (2 * (SELECT v FROM m) + (SELECT v FROM mr)) * 2
+      |     + 2 * (SELECT v FROM mr) * 2)""".stripMargin
 
   /** Exact 3-gram-shingle Jaccard pairs at threshold 0.8 — DuckDB form of
     * Dedup.ngramJaccardPairs (1-based inclusive list slicing).

@@ -1,0 +1,161 @@
+package graft.sinks
+
+import graft.model.{NodeRow, RelationOrientation, Schema}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Relational export (reference database/export/sql.py:47-371),
+  * re-expressed set-wise: group tables are oid-keyed pivots, FK columns
+  * come from a join on REL member oids, BOTH-oriented relations become
+  * junction tables — the reference's per-row recursive INSERT with
+  * SELECT-before-INSERT dedup disappears entirely.
+  */
+object SqlExporter {
+
+  /** default_pk_factory (export/sql.py:35-44). */
+  def pkColumn(table: String): String = s"architxt_${table}ID"
+
+  final case class Export(tables: Map[String, DataFrame], ddl: Seq[String])
+
+  def export(nodes: Dataset[NodeRow], schema: Schema): Export = {
+    val groupTables = scala.collection.mutable.Map.empty[String, DataFrame]
+
+    for (group <- schema.groups) {
+      val df = groupTable(nodes, group.name)
+      groupTables(group.name) = df
+    }
+
+    val junctions = scala.collection.mutable.Map.empty[String, DataFrame]
+    for (rel <- schema.relations) {
+      val pairs = relationPairs(nodes, rel.name, rel.left, rel.right)
+      rel.orientation match {
+        case RelationOrientation.Both =>
+          junctions(rel.name) = pairs
+            .select(
+              col("leftOid").as(pkColumn(rel.left)),
+              col("rightOid").as(pkColumn(rel.right)))
+            .dropDuplicates()
+        case orientation =>
+          // LEFT: source=left gets an FK to right; RIGHT: source=right
+          val (srcName, tgtName, srcCol, tgtCol) =
+            if (orientation == RelationOrientation.Left)
+              (rel.left, rel.right, "leftOid", "rightOid")
+            else (rel.right, rel.left, "rightOid", "leftOid")
+          val fkName = if (srcName == tgtName) rel.name else pkColumn(tgtName)
+          val fk = pairs
+            .select(col(srcCol).as(pkColumn(srcName)), col(tgtCol).as(fkName))
+            .dropDuplicates(pkColumn(srcName))
+          groupTables(srcName) = groupTables(srcName).join(fk, Seq(pkColumn(srcName)), "left")
+      }
+    }
+
+    val all = groupTables.toMap ++ junctions.toMap
+    val casted = all.map { case (name, df) => name -> castOnExport(df, pkColumns = df.columns.filter(_.startsWith("architxt_")).toSet) }
+    Export(casted, ddlFor(schema, casted))
+  }
+
+  /** One row per distinct group oid, columns = entity names + oid PK. */
+  private def groupTable(nodes: Dataset[NodeRow], groupName: String): DataFrame = {
+    val groups = nodes
+      .filter(col("nodeType") === "GROUP" && col("name") === groupName)
+      .select(col("treeId").as("gTree"), col("nodeId").as("gNode"), col("oid").as("gOid"))
+    val ents = nodes
+      .filter(col("nodeType") === "ENT")
+      .select(col("treeId"), col("parentId"), col("name").as("entName"), col("value"))
+    val joined = ents.join(groups, col("treeId") === col("gTree") && col("parentId") === col("gNode"))
+    val entCols = joined.select("entName").distinct().collect().map(_.getString(0)).sorted
+    joined
+      .groupBy(col("gOid").as(pkColumn(groupName)))
+      .pivot("entName", entCols)
+      .agg(max("value"))
+  }
+
+  /** (relOid, leftOid, rightOid) per REL instance, sides matched by group
+    * name (export/sql.py:216-236).
+    */
+  private def relationPairs(nodes: Dataset[NodeRow], relName: String, left: String, right: String): DataFrame = {
+    val rels = nodes
+      .filter(col("nodeType") === "REL" && col("name") === relName)
+      .select(col("treeId").as("rTree"), col("nodeId").as("rNode"))
+    val members = nodes
+      .filter(col("nodeType") === "GROUP")
+      .select(col("treeId"), col("parentId"), col("name").as("gName"), col("oid"))
+      .join(rels, col("treeId") === col("rTree") && col("parentId") === col("rNode"))
+    members.filter(col("gName") === left)
+      .select(col("rTree"), col("rNode"), col("oid").as("leftOid"))
+      .join(
+        members.filter(col("gName") === right)
+          .select(col("rTree").as("t2"), col("rNode").as("n2"), col("oid").as("rightOid")),
+        col("rTree") === col("t2") && col("rNode") === col("n2"))
+      .select("leftOid", "rightOid")
+  }
+
+  /** Value re-casting (export/sql.py:262-300) lifted to column level: a
+    * column gets the strongest type every non-null value satisfies, in
+    * the reference's precedence (boolean, int, float, datetime, date),
+    * else stays string. try_cast keeps it null-safe.
+    */
+  def castOnExport(df: DataFrame, pkColumns: Set[String]): DataFrame = {
+    // try_* variants everywhere: ANSI mode (Spark 4 default) makes plain
+    // cast throw on malformed values
+    val candidates: Seq[(String, String => Column)] = Seq(
+      "boolean" -> (n => when(lower(col(n)).isin("true", "false"), lower(col(n)).cast("boolean"))),
+      "bigint" -> (n => expr(s"try_cast(`$n` AS BIGINT)")),
+      "double" -> (n => expr(s"try_cast(`$n` AS DOUBLE)")),
+      "timestamp" -> (n => expr(s"try_to_timestamp(`$n`, 'yyyy-MM-dd HH:mm:ss')")),
+      "date" -> (n => expr(s"try_cast(`$n` AS DATE)")))
+
+    val valueCols = df.columns.filterNot(pkColumns.contains)
+    if (valueCols.isEmpty) return df
+
+    // one aggregation pass: count non-null per column and per candidate
+    val checks = valueCols.flatMap { name =>
+      count(col(name)).as(s"n__$name") +: candidates.map { case (t, f) =>
+        count(f(name)).as(s"${t}__$name")
+      }
+    }
+    val row = df.agg(checks.head, checks.tail: _*).head()
+
+    val castCols = df.columns.map { name =>
+      if (pkColumns.contains(name)) col(name)
+      else {
+        val n = row.getAs[Long](s"n__$name")
+        val chosen = candidates.collectFirst {
+          case (t, f) if n > 0 && row.getAs[Long](s"${t}__$name") == n => f(name)
+        }
+        chosen.getOrElse(col(name)).as(name)
+      }
+    }
+    df.select(castCols.toIndexedSeq: _*)
+  }
+
+  private def ddlFor(schema: Schema, tables: Map[String, DataFrame]): Seq[String] = {
+    val relNames = schema.relations.map(_.name)
+    tables.toSeq.sortBy(_._1).map { case (name, df) =>
+      val isJunction = relNames.contains(name)
+      val cols = df.schema.fields.map { f =>
+        val sqlType = f.dataType.simpleString match {
+          case "string" => "VARCHAR"
+          case "bigint" => "BIGINT"
+          case "double" => "DOUBLE"
+          case "boolean" => "BOOLEAN"
+          case "timestamp" => "TIMESTAMP"
+          case "date" => "DATE"
+          case other => other.toUpperCase
+        }
+        val pk = if (f.name == pkColumn(name) && !isJunction) " PRIMARY KEY" else ""
+        s"  ${f.name} $sqlType$pk"
+      }
+      s"CREATE TABLE $name (\n${cols.mkString(",\n")}\n);"
+    }
+  }
+
+  /** Write every exported table as parquet under `outDir/<table>`. */
+  def writeParquet(nodes: Dataset[NodeRow], schema: Schema, outDir: String): Export = {
+    val ex = export(nodes, schema)
+    ex.tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    ex
+  }
+}

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Events
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class EventStreamSpec extends AnyFunSuite with SparkSpec {
+
+  test("streaming hourly stats (file source) equal the batch transform") {
+    import spark.implicits._
+
+    val rows = Seq(
+      (1L, "2024-01-01 10:15:00", 1L, "click", 1.25, "{}"),
+      (2L, "2024-01-01 10:45:00", 2L, "click", 2.50, "{}"),
+      (3L, "2024-01-01 11:05:00", 3L, "view", 4.00, "{}"))
+      .map { case (id, ts, u, t, v, p) => (id, Timestamp.valueOf(ts), u, t, v, p) }
+    val batchDf = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    val srcDir = dir.resolve("src").toString
+    batchDf.write.parquet(srcDir)
+
+    val stats = EventStream.hourlyStats(EventStream.readEvents(spark, srcDir), watermark = "1 hour")
+    val query = stats.writeStream
+      .format("memory")
+      .queryName("hourly_stream_test")
+      .outputMode("complete")
+      .start()
+    try {
+      query.processAllAvailable()
+      val got = spark.sql("SELECT * FROM hourly_stream_test").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val want = Events.hourlyStats(batchDf).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want)
+      assert(got.contains(("2024-01-01 10:00:00", "click", 2L, 375L)))
+    } finally query.stop()
+  }
+}
