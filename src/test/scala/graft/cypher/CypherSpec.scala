@@ -1,0 +1,77 @@
+package graft.cypher
+
+import graft.SparkSpec
+import graft.core._
+import graft.model.{Forest, Schema}
+import org.scalatest.funsuite.AnyFunSuite
+
+class CypherSpec extends AnyFunSuite with SparkSpec {
+
+  private def graph() = {
+    import spark.implicits._
+    val nodes = Seq(
+      ("p1", "Person", Map("name" -> "Alice")),
+      ("p2", "Person", Map("name" -> "Bob")),
+      ("c1", "City", Map("city" -> "Paris"))).toDF("id", "label", "props")
+    val edges = Seq(
+      ("p1", "c1", "LIVES_IN", Map.empty[String, String]),
+      ("p2", "c1", "LIVES_IN", Map.empty[String, String]),
+      ("p1", "p2", "KNOWS", Map("since" -> "2020"))).toDF("src", "dst", "tpe", "props")
+    (nodes, edges)
+  }
+
+  test("read_cypher: roots, undirected BFS, per-type visited, edge data") {
+    val (nodes, edges) = graph()
+    val forest = CypherLoader.load(spark, nodes, edges)
+    val trees = Forest.collectTrees(forest)
+    // p1 and p2 have no incoming edges? p2 has incoming (p1->p2 KNOWS)
+    // and c1 has incoming; only p1 is a root
+    assert(trees.size == 1)
+    val rendered = trees.head.render
+    assert(rendered.contains("(GROUP::Person (ENT::name Alice))"))
+    assert(rendered.contains("(REL::LIVES_IN (GROUP::Person (ENT::name Alice)) (GROUP::City (ENT::city Paris)))"))
+    // KNOWS carries properties → GROUP-with-data linked by two RELs
+    assert(rendered.contains("(REL::KNOWS (GROUP::KNOWS (ENT::since 2020))"))
+    // per-type visited: LIVES_IN traversed once even though both persons have it
+    assert("REL::LIVES_IN".r.findAllIn(rendered).size == 1)
+  }
+
+  test("export_cypher: node MERGEs, edge MERGEs, cleanup") {
+    val tree = SExpr.parse(
+      "(ROOT (GROUP::customer (ENT::c_name Alice)) " +
+        "(REL::customer<->nation (GROUP::customer (ENT::c_name Alice)) (GROUP::nation (ENT::n_name FRANCE))))")
+      .copy(oid = "")
+    val forest = Forest.fromTrees(spark, Seq(tree))
+    val schema = Schema.fromForest(Forest.toNodesDF(forest), keepUnlabelled = false)
+    val ex = CypherExporter.export(forest, schema)
+    val stmts = ex.statements.collect().toSeq
+    assert(stmts.exists(s => s.startsWith("MERGE (n:`customer`") && s.contains("`c_name`: 'Alice'")))
+    assert(stmts.exists(s => s.startsWith("MERGE (n:`nation`")))
+    assert(stmts.exists(s => s.contains("MERGE (src)-[r:`customer_nation`]->(dest)")))
+    assert(ex.cleanup.exists(_.contains("REMOVE n._architxt_oid")))
+  }
+
+  test("export_cypher: collapsible group becomes an attributed edge") {
+    import graft.model.{Group, Relation, RelationOrientation}
+    // A --LEFT--> M <--RIGHT-- B ⇒ M collapsible
+    val tree = SExpr.parse(
+      "(ROOT (REL::r1 (GROUP::A (ENT::a 1)) (GROUP::M (ENT::m 5))) " +
+        "(REL::r2 (GROUP::M (ENT::m 5)) (GROUP::B (ENT::b 2))))")
+    val schema = Schema(
+      productions = Seq.empty,
+      groups = Set(Group("A", Set("a")), Group("M", Set("m")), Group("B", Set("b"))),
+      relations = Set(
+        Relation("r1", "A", "M", RelationOrientation.Left),
+        Relation("r2", "M", "B", RelationOrientation.Right)))
+    assert(schema.findCollapsibleGroups == Set("M"))
+    val stmts = CypherExporter.treeStatements(tree, Set("M"))
+    assert(!stmts.exists(_.contains("MERGE (n:`M`"))) // collapsible → no node
+    assert(stmts.exists(s => s.contains("[r:`M` { `m`: 5 }]")))
+  }
+
+  test("cypher literals: numbers bare, booleans lowercase, strings quoted") {
+    val props = CypherExporter.properties(SExpr.parse(
+      "(GROUP::x (ENT::n 42) (ENT::f 1.5) (ENT::b true) (ENT::s O'Brien))"))
+    assert(props.toMap == Map("n" -> "42", "f" -> "1.5", "b" -> "true", "s" -> "'O\\'Brien'"))
+  }
+}
