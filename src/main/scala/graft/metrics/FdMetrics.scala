@@ -92,13 +92,18 @@ object FdMetrics {
   }
 
   /** Per-consequent confidence table — the query-surface form:
-    * one row (consequent, confidence) per column.
+    * one row (consequent, confidence) per column. The input is cached for
+    * the duration: each consequent triggers two aggregations, and without
+    * the cache an expensive upstream (e.g. a dataset pivot) re-runs per
+    * column.
     */
   def confidenceTable(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.columns.toSeq
-      .map(c => c -> confidence(df, c))
+    val cached = df.persist()
+    try df.columns.toSeq
+      .map(c => c -> confidence(cached, c))
       .toDF("consequent", "confidence")
+    finally cached.unpersist(blocking = false)
   }
 }

@@ -25,7 +25,8 @@ object GraftQueries {
 
   private def nodes(spark: SparkSession, dir: String, cfgName: String, cfg: DbConfig): Dataset[NodeRow] =
     cache.getOrElseUpdate((dir, cfgName), {
-      val n = Forest.toNodesDF(RelationalLoader.load(spark, dir, cfg))
+      // direct wide-row → NodeRow flatten (no TreeRow JSON round trip)
+      val n = RelationalLoader.loadNodes(spark, dir, cfg)
       n.persist(StorageLevel.MEMORY_AND_DISK)
     })
 

@@ -425,7 +425,44 @@ object RelationalLoader {
     h & Long.MaxValue
   }
 
-  /** Forest as Dataset[TreeRow] plus helper to go straight to node rows. */
-  def loadNodes(spark: SparkSession, dir: String, cfg: DbConfig, sample: Int = 0) =
-    Forest.toNodesDF(load(spark, dir, cfg, sample))
+  /** Straight-to-node-rows load: flattens each assembled tree in the same
+    * map that builds it, skipping the TreeRow JSON round trip entirely —
+    * at sf0.1 the tpch forest is 600k trees × ~120 nodes, and the double
+    * codec (serialize at assembly + parse at toNodesDF) dominated the
+    * dataset-extraction wall time.
+    */
+  def loadNodes(spark: SparkSession, dir: String, cfg: DbConfig, sample: Int = 0): Dataset[graft.model.NodeRow] = {
+    import spark.implicits._
+    val raw: Map[String, DataFrame] =
+      cfg.tables.map(t => t.name -> spark.read.parquet(s"$dir/${t.name}.parquet")).toMap
+    val colTypes = raw.map { case (n, df) => n -> df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap }
+    val columns = raw.map { case (n, df) => n -> df.columns.toSeq }
+    // association roots take the tree-building path; everything here is
+    // the plain star walk
+    if (cfg.rootTables.exists(root => isAssociation(root, columns(root.name).size)))
+      return Forest.toNodesDF(load(spark, dir, cfg, sample))
+    val tables = raw.map { case (n, df) =>
+      n -> df.select(df.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
+    }
+    val forests = cfg.rootTables
+      .map { root =>
+        val plan = buildPlan(root, cfg)
+        val limited = if (sample > 0) tables(root.name).limit(sample) else tables(root.name)
+        val wide = joinPlan(limited, plan, tables, columns)
+        val idx = wide.schema.fieldNames.zipWithIndex.toMap
+        val ns = cfg.namespace
+        val cols = columns
+        val types = colTypes
+        val p = plan
+        wide.flatMap { row =>
+          val get = (field: String) => { val i = idx(field); if (row.isNullAt(i)) null else row.getString(i) }
+          val rootGroup = buildGroup(p, get, cols, types, ns)
+          val children = Vector(Child.Node(rootGroup)) ++ relChildren(p, rootGroup, get, cols, types, ns)
+          val tree = ArchiTree(Plain("ROOT"), children)
+          Forest.nodeRows(treeIdOf(rootGroup.oid), tree)
+        }
+      }
+    forests.reduceOption(_ union _)
+      .getOrElse(spark.emptyDataset[graft.model.NodeRow])
+  }
 }
