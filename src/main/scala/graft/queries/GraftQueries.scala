@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.metrics.{FdMetrics, ForestInspector}
 import graft.model.{Forest, NodeRow, Schema}
-import graft.operators.{Ann, Dedup, Events, TextAnalysis}
+import graft.operators.{Ann, Dedup, Events, Multimodal, TextAnalysis}
 import graft.sources.{DbConfig, RelationalLoader, Testdata}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.storage.StorageLevel
@@ -202,6 +202,16 @@ object GraftQueries {
         .productions.map(p => (p.lhs, p.rhs.mkString(" "))).sorted.toDF("lhs", "rhs")
     }),
 
+    // Multimodal plumbing: documents' text bytes as an opaque binary
+    // payload through the stub decode + feature extraction (mean_byte
+    // dropped here: the fake-plane average has no SQL oracle)
+    "media_features_documents" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text").cast("binary").as("media"))
+      Multimodal.extractFeatures(docs, "doc_id", "media").drop("mean_byte")
+    }),
+
     "events_hourly" -> ((s, d) => {
       // the corpus stores ts as TIMESTAMP(NANOS), which Spark's parquet
       // reader only accepts as raw int64; floor-divide to micros (same
@@ -343,6 +353,13 @@ object GraftQueries {
         |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rk
         |      FROM s)
         |SELECT query_id, neighbor_id FROM r WHERE rk <= 5""".stripMargin,
+
+    "media_features_documents" ->
+      """SELECT doc_id AS id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+        |       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
