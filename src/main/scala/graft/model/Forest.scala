@@ -26,7 +26,6 @@ final case class TreeRow(treeId: Long, tree: String)
   * @param depth     distance from the root
   * @param height    NLTK height (leaf-only node = 2)
   * @param nChildren direct child count (leaves + subtrees)
-  * @param entLabels sorted distinct entity labels beneath this node
   */
 final case class NodeRow(
     treeId: Long,
@@ -40,7 +39,6 @@ final case class NodeRow(
     depth: Int,
     height: Int,
     nChildren: Int,
-    entLabels: Seq[String],
 )
 
 object Forest {
@@ -90,7 +88,6 @@ object Forest {
         depth = depth,
         height = t.height,
         nChildren = t.children.size,
-        entLabels = t.entityLabels.toSeq.sorted,
       )
       t.children.zipWithIndex.foreach {
         case (Child.Node(c), i) => go(c, id, i, depth + 1)

@@ -450,9 +450,22 @@ object Schema {
     * drop-duplicates.
     */
   def extractDataset(nodes: Dataset[NodeRow], groupName: String): org.apache.spark.sql.DataFrame = {
-    val groupsDf = nodes
+    // Same-oid occurrences are the same logical instance by the oid
+    // contract (tree.py:290-305) — the loader materializes a group once
+    // standalone plus once per REL side, so deduping occurrences by oid
+    // BEFORE the pivot shrinks it by the occurrence factor; the final
+    // value-level dropDuplicates (reference semantics) still runs.
+    // Occurrences with no oid keep their (treeId, nodeId) identity.
+    val occurrences = nodes
       .filter(col("nodeType") === "GROUP" && col("name") === groupName)
-      .select(col("treeId").as("gTree"), col("nodeId").as("gNode"))
+      .select(col("treeId").as("gTree"), col("nodeId").as("gNode"), col("oid"))
+    val groupsDf = occurrences
+      .withColumn("k",
+        when(col("oid").isNull || col("oid") === "",
+          concat_ws(":", col("gTree"), col("gNode"))).otherwise(col("oid")))
+      .groupBy("k")
+      .agg(min(struct(col("gTree"), col("gNode"))).as("g"))
+      .select(col("g.gTree").as("gTree"), col("g.gNode").as("gNode"))
     val ents = nodes
       .filter(col("nodeType") === "ENT")
       .select(col("treeId"), col("parentId"), col("pos"), col("name").as("entName"), col("value"))
