@@ -102,9 +102,13 @@ object Forest {
   def collectTrees(forest: Dataset[TreeRow]): Seq[ArchiTree] =
     forest.collect().sortBy(_.treeId).map(r => TreeJson.fromJson(r.tree)).toSeq
 
-  /** Break lineage between rewrite iterations (SURVEY §7.5.4): serialize the
-    * forest to parquet-backed storage via localCheckpoint.
+  /** Break lineage between rewrite iterations (SURVEY §7.5.4). Uses the
+    * reliable checkpoint when a checkpoint dir is configured — on a real
+    * cluster an executor loss must not kill a 100-epoch lineage —
+    * and falls back to localCheckpoint in plain local runs.
     */
   def checkpoint(forest: Dataset[TreeRow]): Dataset[TreeRow] =
-    forest.localCheckpoint(true)
+    if (forest.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      forest.checkpoint(true)
+    else forest.localCheckpoint(true)
 }

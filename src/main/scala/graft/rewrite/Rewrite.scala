@@ -90,23 +90,39 @@ object Rewrite {
           TreeRow(treeId, TreeJson.toJson(findGroupsInTree(tree, treeId, assigns, rankB.value)))
         }
 
-      // 4. operations with early exit
+      // 4. operations with early exit. Within the epoch the forest stays
+      // a Kryo-encoded Dataset[(treeId, ArchiTree)] — one JSON parse at
+      // epoch start and one serialize at the end, not a codec round trip
+      // per operation (the reference applies up to 7 ops × 100 epochs).
       current = Forest.checkpoint(current)
+      implicit val kryoEnc: org.apache.spark.sql.Encoder[(Long, ArchiTree)] =
+        org.apache.spark.sql.Encoders.kryo[(Long, ArchiTree)]
+      implicit val kryoChangedEnc: org.apache.spark.sql.Encoder[((Long, ArchiTree), Boolean)] =
+        org.apache.spark.sql.Encoders.kryo[((Long, ArchiTree), Boolean)]
+      var trees: Dataset[(Long, ArchiTree)] =
+        current.map(row => (row.treeId, TreeJson.fromJson(row.tree)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
       var opChanged = false
       val it = cfg.operations.iterator
       while (it.hasNext && !opChanged) {
         val op = it.next()
-        val mapped = current.map { row =>
-          val (t, ch) = op.fn(TreeJson.fromJson(row.tree), modelB.value, minSupport, row.treeId.toString)
-          (TreeRow(row.treeId, TreeJson.toJson(t)), ch)
+        val mapped = trees.map { case (id, tree) =>
+          val (t, ch) = op.fn(tree, modelB.value, minSupport, id.toString)
+          ((id, t), ch)
         }.persist(StorageLevel.MEMORY_AND_DISK)
         val changed = mapped.filter(_._2).count()
         if (changed > 0) {
           opChanged = true
-          current = Forest.checkpoint(mapped.map(_._1))
+          trees.unpersist()
+          trees = mapped.map(_._1).persist(StorageLevel.MEMORY_AND_DISK)
         }
         mapped.unpersist()
       }
+      if (opChanged) {
+        current = Forest.checkpoint(
+          trees.map { case (id, t) => TreeRow(id, TreeJson.toJson(t)) })
+      }
+      trees.unpersist()
 
       converged = !opChanged
       epoch += 1
