@@ -452,17 +452,95 @@ object RelationalLoader {
         val idx = wide.schema.fieldNames.zipWithIndex.toMap
         val ns = cfg.namespace
         val cols = columns
-        val types = colTypes
         val p = plan
         wide.flatMap { row =>
           val get = (field: String) => { val i = idx(field); if (row.isNullAt(i)) null else row.getString(i) }
-          val rootGroup = buildGroup(p, get, cols, types, ns)
-          val children = Vector(Child.Node(rootGroup)) ++ relChildren(p, rootGroup, get, cols, types, ns)
-          val tree = ArchiTree(Plain("ROOT"), children)
-          Forest.nodeRows(treeIdOf(rootGroup.oid), tree)
+          emitNodeRows(p, get, cols, ns)
         }
       }
     forests.reduceOption(_ union _)
       .getOrElse(spark.emptyDataset[graft.model.NodeRow])
+  }
+
+  /** Emit the pre-order NodeRows of one root row straight from the wide
+    * join row — no intermediate tree objects, no per-node subtree walks.
+    * Must stay byte-identical to `Forest.nodeRows(treeIdOf(rootOid),
+    * assemble(...))`; a differential test pins that.
+    */
+  private def emitNodeRows(
+      plan: Occ,
+      get: String => String,
+      columns: Map[String, Seq[String]],
+      ns: String,
+  ): Seq[graft.model.NodeRow] = {
+    import graft.model.NodeRow
+    val buf = Vector.newBuilder[NodeRow]
+    var nextId = 0
+
+    final case class GroupInfo(occ: Occ, ents: Vector[(String, String)], oid: String, height: Int)
+
+    def groupInfo(occ: Occ): GroupInfo = {
+      val t = occ.table
+      val fkCols = t.fks.map(_.column).toSet
+      val ents = columns(t.name).iterator.flatMap { c =>
+        val v = get(s"${occ.alias}__$c")
+        if (v == null || fkCols.contains(c)) None else Some((c.replace(' ', '_'), v))
+      }.toVector
+      val pkData = t.pks.map(c => c -> get(s"${occ.alias}__$c")).toMap
+      val dataStr = pkData.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
+      val o = ArchiTree.deterministicOid(ns, t.name.replace(' ', '_'), dataStr)
+      GroupInfo(occ, ents, o, if (ents.isEmpty) 1 else 3)
+    }
+
+    def emitGroup(treeId: Long, g: GroupInfo, parentId: Int, pos: Int, depth: Int): Unit = {
+      val id = nextId; nextId += 1
+      buf += NodeRow(treeId, id, parentId, pos, "GROUP", g.occ.table.name.replace(' ', '_'),
+        null, g.oid, depth, g.height, g.ents.size)
+      g.ents.zipWithIndex.foreach { case ((name, v), i) =>
+        val eid = nextId; nextId += 1
+        buf += NodeRow(treeId, eid, id, i, "ENT", name, v, "", depth + 1, 2, 1)
+      }
+    }
+
+    def childExists(occ: Occ): Boolean =
+      occ.table.pks.exists(c => get(s"${occ.alias}__$c") != null)
+
+    /** parse_table shape: the group, then per FK the REL (with both group
+      * copies) followed by the child's own walk.
+      */
+    def emit(treeId: Long, occ: Occ, g: GroupInfo, parentId: Int, posRef: Array[Int], depth: Int): Unit = {
+      emitGroup(treeId, g, parentId, posRef(0), depth); posRef(0) += 1
+      occ.fks.foreach { case (fk, child) =>
+        if (childExists(child)) {
+          val cg = groupInfo(child)
+          val relName = s"${occ.table.name.replace(' ', '_')}<->${child.table.name.replace(' ', '_')}"
+          val pkData =
+            occ.table.pks.map(c => s"left_$c" -> get(s"${occ.alias}__$c")) ++
+              child.table.pks.map(c => s"right_$c" -> get(s"${child.alias}__$c"))
+          val dataStr = pkData.toMap.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
+          val relOid = ArchiTree.deterministicOid(ns, relName, dataStr)
+          val relId = nextId; nextId += 1
+          buf += NodeRow(treeId, relId, parentId, posRef(0), "REL", relName, null, relOid,
+            depth, 1 + math.max(g.height, cg.height), 2)
+          posRef(0) += 1
+          emitGroup(treeId, g, relId, 0, depth + 1)
+          emitGroup(treeId, cg, relId, 1, depth + 1)
+          emit(treeId, child, cg, parentId, posRef, depth)
+        }
+      }
+    }
+
+    val rootGroup = groupInfo(plan)
+    val treeId = treeIdOf(rootGroup.oid)
+    // placeholder for ROOT: children count and height known only after the
+    // walk; emit ROOT first with a patch afterwards
+    val rootId = nextId; nextId += 1
+    val posRef = Array(0)
+    buf += NodeRow(treeId, rootId, -1, 0, null, "ROOT", null, "", 0, 0, 0)
+    emit(treeId, plan, rootGroup, rootId, posRef, 1)
+    val rows = buf.result()
+    val rootChildren = posRef(0)
+    val rootHeight = 1 + rows.iterator.filter(_.parentId == rootId).map(_.height).max
+    rows.updated(0, rows(0).copy(height = rootHeight, nChildren = rootChildren))
   }
 }

@@ -119,6 +119,16 @@ class RelationalLoaderSpec extends AnyFunSuite with SparkSpec {
     assert(custEnts == Set("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))
   }
 
+  test("direct NodeRow emission is identical to the tree-building path") {
+    for (cfg <- Seq(Testdata.customerDb, Testdata.ordersDb, Testdata.tpch)) {
+      val direct = RelationalLoader.loadNodes(spark, "/root/testdata/sf0.001", cfg)
+        .collect().toSet
+      val viaTrees = Forest.toNodesDF(
+        RelationalLoader.load(spark, "/root/testdata/sf0.001", cfg)).collect().toSet
+      assert(direct == viaTrees, s"divergence for ${cfg.rootTables.map(_.name)}")
+    }
+  }
+
   test("sf0.001 lineitem forest: shared visited FK edges prune repeat RELs") {
     val forest = RelationalLoader.load(spark, "/root/testdata/sf0.001", Testdata.tpch, sample = 5)
     val trees = Forest.collectTrees(forest)
