@@ -202,6 +202,17 @@ object GraftQueries {
         .productions.map(p => (p.lhs, p.rhs.mkString(" "))).sorted.toDF("lhs", "rhs")
     }),
 
+    // §2.4 extract_valid_trees: filter the forest to schema-valid
+    // structure, then re-inspect — the loader forest is already valid
+    // under its own schema, so the counts must be preserved exactly
+    "extract_valid_trees_customer" -> ((s, d) => {
+      val forest = RelationalLoader.load(s, d, Testdata.customerDb)
+      val schema = Schema.fromForest(Forest.toNodesDF(forest), keepUnlabelled = false)
+      val valid = schema.extractValidTrees(forest)
+      ForestInspector.inspectTable(Forest.toNodesDF(valid))
+        .filter(org.apache.spark.sql.functions.col("stat").startsWith("total_"))
+    }),
+
     // Multimodal plumbing: documents' text bytes as an opaque binary
     // payload through the stub decode + feature extraction (mean_byte
     // dropped here: the fake-plane average has no SQL oracle)
@@ -285,6 +296,8 @@ object GraftQueries {
     "inspect_counts_customer" -> inspectCountsCustomerOracle,
     // lossless round trip ⇒ identical counts
     "jsonl_roundtrip_customer" -> inspectCountsCustomerOracle,
+    // valid-tree filtering on an already-valid forest ⇒ identical counts
+    "extract_valid_trees_customer" -> inspectCountsCustomerOracle,
 
     "export_sql_customer" ->
       "SELECT DISTINCT c_acctbal, CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment, c_name FROM customer",
