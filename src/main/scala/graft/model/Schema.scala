@@ -449,7 +449,20 @@ object Schema {
     * one instance keep the last by child position; global
     * drop-duplicates.
     */
-  def extractDataset(nodes: Dataset[NodeRow], groupName: String): org.apache.spark.sql.DataFrame = {
+  /** @param broadcastGroups hash-broadcast the deduplicated group-instance
+    *        keyset into the ENT join (default). The keyset is one (treeId,
+    *        nodeId) pair per logical instance — orders of magnitude smaller
+    *        than the ENT side it filters, and without the hint Catalyst
+    *        sees only an unsized aggregate and falls back to shuffling +
+    *        sorting every ENT row. Pass false when a single group's
+    *        instance count is itself too large for executor memory (then
+    *        Catalyst picks a shuffled hash/sort-merge join).
+    */
+  def extractDataset(
+      nodes: Dataset[NodeRow],
+      groupName: String,
+      broadcastGroups: Boolean = true,
+  ): org.apache.spark.sql.DataFrame = {
     // Same-oid occurrences are the same logical instance by the oid
     // contract (tree.py:290-305) — the loader materializes a group once
     // standalone plus once per REL side, so deduping occurrences by oid
@@ -459,13 +472,14 @@ object Schema {
     val occurrences = nodes
       .filter(col("nodeType") === "GROUP" && col("name") === groupName)
       .select(col("treeId").as("gTree"), col("nodeId").as("gNode"), col("oid"))
-    val groupsDf = occurrences
+    val deduped = occurrences
       .withColumn("k",
         when(col("oid").isNull || col("oid") === "",
           concat_ws(":", col("gTree"), col("gNode"))).otherwise(col("oid")))
       .groupBy("k")
       .agg(min(struct(col("gTree"), col("gNode"))).as("g"))
       .select(col("g.gTree").as("gTree"), col("g.gNode").as("gNode"))
+    val groupsDf = if (broadcastGroups) broadcast(deduped) else deduped
     val ents = nodes
       .filter(col("nodeType") === "ENT")
       .select(col("treeId"), col("parentId"), col("pos"), col("name").as("entName"), col("value"))

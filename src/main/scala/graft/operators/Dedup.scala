@@ -135,6 +135,82 @@ object Dedup {
     agg.select(col("id"), sim.as("simhash"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (a < b) with cosine ≥
+    * threshold, via random-hyperplane (sign) LSH + exact verification.
+    *
+    * Scale design: each vector gets `bands` bucket keys (one per band of
+    * `rowsPerBand` sign bits against seeded Gaussian hyperplanes); only
+    * bucket-colliding pairs are generated and then verified with the
+    * exact cosine — no all-pairs. A pair at angle θ shares one bit with
+    * p = 1 − θ/π, so it collides in ≥1 band with 1 − (1 − p^r)^b: at
+    * cosine 0.95 and the default r=8, b=24 the miss probability is
+    * ~1.6e-6 (and exact-duplicate / scaled vectors collide with
+    * probability 1 — their sign signatures are identical).
+    *
+    * The signature kernel is a per-partition matrix multiply (b·r dot
+    * products per row) — plain loops, since Spark's higher-order array
+    * expressions are interpreted, not codegen'd.
+    */
+  def embeddingCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.9,
+      bands: Int = 24,
+      rowsPerBand: Int = 8,
+      seed: Long = 42L,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(
+      col(idCol).cast("long").as("id"),
+      transform(col(vecCol), _.cast("double")).as("v")).cache()
+
+    val first = vecs.limit(1).collect()
+    if (first.isEmpty)
+      return spark.emptyDataFrame
+        .withColumn("a_id", lit(0L)).withColumn("b_id", lit(0L)).limit(0)
+    val dim = first(0).getSeq[Double](1).size
+    val rnd = new java.util.Random(seed)
+    val hp: Array[Array[Double]] =
+      Array.fill(bands * rowsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
+    val nb = bands
+    val rpb = rowsPerBand
+
+    val buckets = vecs.as[(Long, Seq[Double])].mapPartitions { it =>
+      it.flatMap { case (id, v) =>
+        val arr = v.toArray
+        (0 until nb).iterator.map { b =>
+          var bucket = 0L
+          var r = 0
+          while (r < rpb) {
+            val w = hp(b * rpb + r)
+            var s = 0.0
+            var i = 0
+            val n = math.min(arr.length, w.length)
+            while (i < n) { s += arr(i) * w(i); i += 1 }
+            bucket = (bucket << 1) | (if (s >= 0) 1L else 0L)
+            r += 1
+          }
+          (id, b, bucket)
+        }
+      }
+    }.toDF("id", "band", "bucket")
+
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+
+    candidates
+      .join(vecs.select(col("id").as("a_id"), col("v").as("va")), "a_id")
+      .join(vecs.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
+      .filter(Ann.cosine(col("va"), col("vb")) >= threshold)
+      .select("a_id", "b_id")
+  }
+
   /** Near-duplicate pairs by SimHash hamming distance ≤ maxDistance
     * (≤ 3 with the default 4 chunks, by pigeonhole). Banded on 16-bit
     * chunks: only pairs agreeing on at least one chunk are compared.

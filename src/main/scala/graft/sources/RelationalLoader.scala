@@ -449,17 +449,91 @@ object RelationalLoader {
         val plan = buildPlan(root, cfg)
         val limited = if (sample > 0) tables(root.name).limit(sample) else tables(root.name)
         val wide = joinPlan(limited, plan, tables, columns)
-        val idx = wide.schema.fieldNames.zipWithIndex.toMap
+        val ord = wide.schema.fieldNames.zipWithIndex.toMap
+        val cp = compilePlan(plan, columns, ord)
         val ns = cfg.namespace
-        val cols = columns
-        val p = plan
-        wide.flatMap { row =>
-          val get = (field: String) => { val i = idx(field); if (row.isNullAt(i)) null else row.getString(i) }
-          emitNodeRows(p, get, cols, ns)
-        }
+        wide.flatMap(row => emitNodeRows(cp, row, ns))
       }
     forests.reduceOption(_ union _)
       .getOrElse(spark.emptyDataset[graft.model.NodeRow])
+  }
+
+  /** Emission plan with wide-row ordinals and static strings resolved
+    * once per load — the per-row hot loop does only int-indexed row
+    * access: no string interpolation, no map lookups, no per-row sorts.
+    */
+  private final case class CGroup(
+      name: String,             // table name, spaces replaced
+      entNames: Array[String],  // non-FK column names (emission order)
+      entOrds: Array[Int],      // wide-row ordinal per entNames entry
+      pkKeys: Array[String],    // "<pk>=" fragments in sorted-key order
+      pkOrds: Array[Int])       // wide-row ordinal per pkKeys entry
+
+  private final case class CRel(
+      name: String,               // "<parent><->(child)"
+      keyFrags: Array[String],    // "left_<pk>=" / "right_<pk>=" sorted
+      keyOrds: Array[Int],
+      childExistOrds: Array[Int], // child pk ordinals (existence probe)
+      child: CPlan)
+
+  private final case class CPlan(group: CGroup, rels: Array[CRel])
+
+  private def compilePlan(occ: Occ, columns: Map[String, Seq[String]], ord: Map[String, Int]): CPlan = {
+    val t = occ.table
+    val fkCols = t.fks.map(_.column).toSet
+    val entCols = columns(t.name).filterNot(fkCols.contains)
+    val pkSorted = t.pks.sorted
+    val group = CGroup(
+      t.name.replace(' ', '_'),
+      entCols.map(_.replace(' ', '_')).toArray,
+      entCols.map(c => ord(s"${occ.alias}__$c")).toArray,
+      pkSorted.map(c => s"$c=").toArray,
+      pkSorted.map(c => ord(s"${occ.alias}__$c")).toArray)
+    val rels = occ.fks.map { case (_, child) =>
+      val keys =
+        (t.pks.map(c => s"left_$c" -> ord(s"${occ.alias}__$c")) ++
+          child.table.pks.map(c => s"right_$c" -> ord(s"${child.alias}__$c")))
+          .toMap.toSeq.sortBy(_._1)
+      CRel(
+        s"${t.name.replace(' ', '_')}<->${child.table.name.replace(' ', '_')}",
+        keys.map(k => k._1 + "=").toArray,
+        keys.map(_._2).toArray,
+        child.table.pks.map(c => ord(s"${child.alias}__$c")).toArray,
+        compilePlan(child, columns, ord))
+    }.toArray
+    CPlan(group, rels)
+  }
+
+  /** Per-row group snapshot: indices into the compiled ent arrays for the
+    * non-null entities, their values, and the deterministic oid.
+    */
+  private final class GInfo(
+      val cg: CGroup, val entIdx: Array[Int], val entVals: Array[String],
+      val nEnts: Int, val oid: String) {
+    def height: Int = if (nEnts == 0) 1 else 3
+  }
+
+  private def groupInfo(row: org.apache.spark.sql.Row, cg: CGroup, ns: String): GInfo = {
+    val n = cg.entOrds.length
+    val idxs = new Array[Int](n)
+    val vals = new Array[String](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val o = cg.entOrds(i)
+      if (!row.isNullAt(o)) { idxs(k) = i; vals(k) = row.getString(o); k += 1 }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < cg.pkOrds.length) {
+      if (j > 0) sb.append(';')
+      sb.append(cg.pkKeys(j))
+      val o = cg.pkOrds(j)
+      sb.append(if (row.isNullAt(o)) "null" else row.getString(o))
+      j += 1
+    }
+    new GInfo(cg, idxs, vals, k, ArchiTree.deterministicOid(ns, cg.name, sb.toString))
   }
 
   /** Emit the pre-order NodeRows of one root row straight from the wide
@@ -468,69 +542,63 @@ object RelationalLoader {
     * assemble(...))`; a differential test pins that.
     */
   private def emitNodeRows(
-      plan: Occ,
-      get: String => String,
-      columns: Map[String, Seq[String]],
+      plan: CPlan,
+      row: org.apache.spark.sql.Row,
       ns: String,
   ): Seq[graft.model.NodeRow] = {
     import graft.model.NodeRow
     val buf = Vector.newBuilder[NodeRow]
     var nextId = 0
 
-    final case class GroupInfo(occ: Occ, ents: Vector[(String, String)], oid: String, height: Int)
-
-    def groupInfo(occ: Occ): GroupInfo = {
-      val t = occ.table
-      val fkCols = t.fks.map(_.column).toSet
-      val ents = columns(t.name).iterator.flatMap { c =>
-        val v = get(s"${occ.alias}__$c")
-        if (v == null || fkCols.contains(c)) None else Some((c.replace(' ', '_'), v))
-      }.toVector
-      val pkData = t.pks.map(c => c -> get(s"${occ.alias}__$c")).toMap
-      val dataStr = pkData.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
-      val o = ArchiTree.deterministicOid(ns, t.name.replace(' ', '_'), dataStr)
-      GroupInfo(occ, ents, o, if (ents.isEmpty) 1 else 3)
-    }
-
-    def emitGroup(treeId: Long, g: GroupInfo, parentId: Int, pos: Int, depth: Int): Unit = {
+    def emitGroup(treeId: Long, g: GInfo, parentId: Int, pos: Int, depth: Int): Unit = {
       val id = nextId; nextId += 1
-      buf += NodeRow(treeId, id, parentId, pos, "GROUP", g.occ.table.name.replace(' ', '_'),
-        null, g.oid, depth, g.height, g.ents.size)
-      g.ents.zipWithIndex.foreach { case ((name, v), i) =>
-        val eid = nextId; nextId += 1
-        buf += NodeRow(treeId, eid, id, i, "ENT", name, v, "", depth + 1, 2, 1)
+      buf += NodeRow(treeId, id, parentId, pos, "GROUP", g.cg.name, null, g.oid, depth, g.height, g.nEnts)
+      var i = 0
+      while (i < g.nEnts) {
+        buf += NodeRow(treeId, nextId, id, i, "ENT", g.cg.entNames(g.entIdx(i)), g.entVals(i), "", depth + 1, 2, 1)
+        nextId += 1
+        i += 1
       }
     }
-
-    def childExists(occ: Occ): Boolean =
-      occ.table.pks.exists(c => get(s"${occ.alias}__$c") != null)
 
     /** parse_table shape: the group, then per FK the REL (with both group
       * copies) followed by the child's own walk.
       */
-    def emit(treeId: Long, occ: Occ, g: GroupInfo, parentId: Int, posRef: Array[Int], depth: Int): Unit = {
+    def emit(treeId: Long, p: CPlan, g: GInfo, parentId: Int, posRef: Array[Int], depth: Int): Unit = {
       emitGroup(treeId, g, parentId, posRef(0), depth); posRef(0) += 1
-      occ.fks.foreach { case (fk, child) =>
-        if (childExists(child)) {
-          val cg = groupInfo(child)
-          val relName = s"${occ.table.name.replace(' ', '_')}<->${child.table.name.replace(' ', '_')}"
-          val pkData =
-            occ.table.pks.map(c => s"left_$c" -> get(s"${occ.alias}__$c")) ++
-              child.table.pks.map(c => s"right_$c" -> get(s"${child.alias}__$c"))
-          val dataStr = pkData.toMap.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
-          val relOid = ArchiTree.deterministicOid(ns, relName, dataStr)
+      var r = 0
+      while (r < p.rels.length) {
+        val rel = p.rels(r)
+        var exists = false
+        var e = 0
+        while (!exists && e < rel.childExistOrds.length) {
+          exists = !row.isNullAt(rel.childExistOrds(e)); e += 1
+        }
+        if (exists) {
+          val cg = groupInfo(row, rel.child.group, ns)
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < rel.keyOrds.length) {
+            if (j > 0) sb.append(';')
+            sb.append(rel.keyFrags(j))
+            val o = rel.keyOrds(j)
+            sb.append(if (row.isNullAt(o)) "null" else row.getString(o))
+            j += 1
+          }
+          val relOid = ArchiTree.deterministicOid(ns, rel.name, sb.toString)
           val relId = nextId; nextId += 1
-          buf += NodeRow(treeId, relId, parentId, posRef(0), "REL", relName, null, relOid,
+          buf += NodeRow(treeId, relId, parentId, posRef(0), "REL", rel.name, null, relOid,
             depth, 1 + math.max(g.height, cg.height), 2)
           posRef(0) += 1
           emitGroup(treeId, g, relId, 0, depth + 1)
           emitGroup(treeId, cg, relId, 1, depth + 1)
-          emit(treeId, child, cg, parentId, posRef, depth)
+          emit(treeId, rel.child, cg, parentId, posRef, depth)
         }
+        r += 1
       }
     }
 
-    val rootGroup = groupInfo(plan)
+    val rootGroup = groupInfo(row, plan.group, ns)
     val treeId = treeIdOf(rootGroup.oid)
     // placeholder for ROOT: children count and height known only after the
     // walk; emit ROOT first with a patch afterwards
