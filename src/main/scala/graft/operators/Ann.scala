@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
 object Ann {
 
   /** Cosine similarity between two array<double> columns, computed with a
-    * sequential fold so the summation order is deterministic.
+    * sequential fold so the summation order is deterministic. A zero-norm
+    * side yields NaN (as in non-ANSI float math) rather than ANSI mode's
+    * DIVIDE_BY_ZERO error — callers must NaN-guard threshold filters,
+    * since Spark orders NaN above every double.
     */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
     val nb = sqrt(aggregate(zip_with(b, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
+    val denom = na * nb
+    when(denom === 0.0, lit(Double.NaN)).otherwise(dot / denom)
   }
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))

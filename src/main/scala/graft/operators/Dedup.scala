@@ -53,12 +53,15 @@ object Dedup {
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    val out = pairs
       .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n", "na"), "a_id")
       .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n", "nb"), "b_id")
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id")
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** MinHash signature + banded LSH candidate generation, then exact
@@ -110,26 +113,37 @@ object Dedup {
       .filter(col("sa") === col("sb"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n", "na"), "a_id")
       .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n", "nb"), "b_id")
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id")
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
-  /** 64-bit SimHash per document over whitespace tokens. */
+  /** SimHash bit width. 60 (not 64) so the per-token hash is
+    * TextAnalysis.portableHash — reproducible in the DuckDB oracle —
+    * and the signature still fits a signed long.
+    */
+  val SimHashBits = 60
+
+  /** 60-bit SimHash per document over whitespace tokens (all
+    * occurrences, not distinct — token frequency weights the bits).
+    */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(
       col(idCol).as("id"),
       explode(split(col(textCol), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums: Seq[Column] = (0 until 64).map { j =>
+      .withColumn("h", TextAnalysis.portableHash(col("tok")))
+    val bitSums: Seq[Column] = (0 until SimHashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
     val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { j =>
+    val sim = (0 until SimHashBits).map { j =>
       when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("id"), sim.as("simhash"))
@@ -162,9 +176,15 @@ object Dedup {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.select(
-      col(idCol).cast("long").as("id"),
-      transform(col(vecCol), _.cast("double")).as("v")).cache()
+    // ids must be numeric (cast to long); null ids / null vectors are
+    // dropped up front rather than NPE-ing in the signature kernel.
+    val vecs = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(
+        col(idCol).cast("long").as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .filter(col("id").isNotNull)
+      .cache()
 
     val first = vecs.limit(1).collect()
     if (first.isEmpty)
@@ -177,7 +197,12 @@ object Dedup {
     val nb = bands
     val rpb = rowsPerBand
 
-    val buckets = vecs.as[(Long, Seq[Double])].mapPartitions { it =>
+    // vectors of a different length than the first row would be silently
+    // signature-truncated — exclude them (uniform dimension is the
+    // operator's contract, as in any ANN index).
+    val uniform = vecs.filter(size(col("v")) === dim)
+
+    val buckets = uniform.as[(Long, Seq[Double])].mapPartitions { it =>
       it.flatMap { case (id, v) =>
         val arr = v.toArray
         (0 until nb).iterator.map { b =>
@@ -204,15 +229,25 @@ object Dedup {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
 
-    candidates
-      .join(vecs.select(col("id").as("a_id"), col("v").as("va")), "a_id")
-      .join(vecs.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
-      .filter(Ann.cosine(col("va"), col("vb")) >= threshold)
+    // NaN guard: a zero-norm vector makes cosine 0/0 = NaN, and Spark
+    // orders NaN above every double — so `>= threshold` would be TRUE.
+    // Zero vectors all share the all-ones sign signature, so without the
+    // guard they surface as false-positive pairs.
+    val sim = Ann.cosine(col("va"), col("vb"))
+    val out = candidates
+      .join(uniform.select(col("id").as("a_id"), col("v").as("va")), "a_id")
+      .join(uniform.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
+      .filter(!isnan(sim) && sim >= threshold)
       .select("a_id", "b_id")
+      // materialize the (small) verified pairs so the input cache can be
+      // released instead of leaking for the session lifetime
+      .localCheckpoint(true)
+    vecs.unpersist()
+    out
   }
 
   /** Near-duplicate pairs by SimHash hamming distance ≤ maxDistance
-    * (≤ 3 with the default 4 chunks, by pigeonhole). Banded on 16-bit
+    * (≤ 3 with the default 4 chunks, by pigeonhole). Banded on 15-bit
     * chunks: only pairs agreeing on at least one chunk are compared.
     */
   def simHashPairs(
@@ -222,18 +257,23 @@ object Dedup {
       maxDistance: Int = 3,
   ): DataFrame = {
     val sig = simHash(df, idCol, textCol).cache()
+    val chunkBits = SimHashBits / 4
     val chunks = sig.select(
       col("id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("v"))): _*)).as("cc"))
+          shiftright(col("simhash"), c * chunkBits)
+            .bitwiseAND((1L << chunkBits) - 1).as("v"))): _*)).as("cc"))
       .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.v"))
-    chunks.as("a")
+    val out = chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
+      .localCheckpoint(true)
+    sig.unpersist()
+    out
   }
 }

@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Portable 60-bit token hash: the first 15 hex digits of md5,
+    * interpreted as an integer. Unlike xxhash64 it is reproducible in any
+    * SQL engine (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`), which puts
+    * simhash/fingerprint on the DuckDB-oracle lane. md5 is a codegen'd
+    * built-in; the extra cost vs xxhash64 is a few ns/token.
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** Per-document integer statistics. All counts are arithmetic on the
     * raw string, so an external SQL engine can reproduce them bit-exact:
     * n_tokens = spaces-in-trimmed + 1 (0 for blank).
@@ -68,8 +77,8 @@ object TextAnalysis {
 
   /** Winnowing-style fingerprint: the k smallest distinct hashes over
     * `window`-token rolling windows. Output (doc_id, fingerprint) with
-    * fingerprint = xxhash64 of the sorted k-min sketch — documents with
-    * identical sketches are candidate near-duplicates.
+    * fingerprint = portableHash of the sorted k-min sketch — documents
+    * with identical sketches are candidate near-duplicates.
     */
   def fingerprint(
       df: DataFrame,
@@ -80,9 +89,11 @@ object TextAnalysis {
   ): DataFrame = {
     val windows = Dedup.shingles(df, idCol, textCol, window)
     windows
-      .select(col("id"), xxhash64(col("shingle")).as("h"))
+      .select(col("id"), portableHash(col("shingle")).as("h"))
       .groupBy("id")
       .agg(slice(sort_array(collect_set(col("h"))), 1, k).as("sketch"))
-      .select(col("id").as("doc_id"), xxhash64(concat_ws(",", col("sketch"))).as("fingerprint"))
+      .select(
+        col("id").as("doc_id"),
+        portableHash(concat_ws(",", col("sketch"))).as("fingerprint"))
   }
 }

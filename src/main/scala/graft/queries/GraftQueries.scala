@@ -22,6 +22,7 @@ object GraftQueries {
 
   // ---- forest memoization (Verify runs many queries per session) ----
   private val cache = scala.collection.concurrent.TrieMap.empty[(String, String), Dataset[NodeRow]]
+  private val treeCache = scala.collection.concurrent.TrieMap.empty[(String, String), Dataset[graft.model.TreeRow]]
 
   private def nodes(spark: SparkSession, dir: String, cfgName: String, cfg: DbConfig): Dataset[NodeRow] =
     cache.getOrElseUpdate((dir, cfgName), {
@@ -29,6 +30,17 @@ object GraftQueries {
       val n = RelationalLoader.loadNodes(spark, dir, cfg)
       n.persist(StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** Tree-per-row view for the queries that need whole trees (JSONL round
+    * trip, valid-tree filtering, simple_rewrite) — loaded and persisted
+    * once per (dir, config), not once per query.
+    */
+  private def trees(spark: SparkSession, dir: String, cfgName: String, cfg: DbConfig): Dataset[graft.model.TreeRow] =
+    treeCache.getOrElseUpdate((dir, cfgName), {
+      RelationalLoader.load(spark, dir, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private def customerTrees(s: SparkSession, d: String) = trees(s, d, "customerDb", Testdata.customerDb)
 
   private def customerNodes(s: SparkSession, d: String) = nodes(s, d, "customerDb", Testdata.customerDb)
   private def ordersNodes(s: SparkSession, d: String) = nodes(s, d, "ordersDb", Testdata.ordersDb)
@@ -86,6 +98,18 @@ object GraftQueries {
       FdMetrics.confidenceTable(
         Schema.extractDataset(customerNodes(s, d), "customer").drop("c_custkey"))),
 
+    // §2.6 dependency_score / redundancy_score as query surfaces
+    "fd_dependency_customer" -> ((s, d) => {
+      import s.implicits._
+      val df = Schema.extractDataset(customerNodes(s, d), "customer").drop("c_custkey")
+      Seq(FdMetrics.dependencyScore(df, df.columns.toSeq)).toDF("dependency_score")
+    }),
+    "fd_redundancy_customer" -> ((s, d) => {
+      import s.implicits._
+      val df = Schema.extractDataset(customerNodes(s, d), "customer").drop("c_custkey")
+      Seq(FdMetrics.redundancyScore(df, tau = 0.5)).toDF("redundancy_score")
+    }),
+
     // §2.4 ForestInspector core counts
     "inspect_counts_customer" -> ((s, d) =>
       ForestInspector.inspectTable(customerNodes(s, d))
@@ -102,6 +126,14 @@ object GraftQueries {
         s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", n = 3, threshold = 0.8)),
     "dedup_simhash_documents" -> ((s, d) =>
       Dedup.simHashPairs(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
+    // threshold 0.5 and r=4/b=64 are tuned to this corpus: the synthetic
+    // embeddings are near-orthogonal (max pairwise cosine 0.513), so a
+    // realistic 0.9 threshold has an empty answer; at 0.5 the band miss
+    // probability is ~5e-7, so the LSH+verify output equals brute force.
+    "dedup_embedding_cosine" -> ((s, d) =>
+      Dedup.embeddingCosinePairs(
+        s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
+        threshold = 0.5, bands = 64, rowsPerBand = 4)),
     "text_stats_documents" -> ((s, d) =>
       TextAnalysis.stats(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     "lang_id_documents" -> ((s, d) =>
@@ -128,7 +160,7 @@ object GraftQueries {
     // back, and emit the inspector counts (same oracle as the direct
     // inspection — the round trip must be lossless)
     "jsonl_roundtrip_customer" -> ((s, d) => {
-      val forest = RelationalLoader.load(s, d, Testdata.customerDb)
+      val forest = customerTrees(s, d)
       val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/forest"
       graft.sinks.Jsonl.write(forest, dir)
       val back = graft.sinks.Jsonl.read(s, dir)
@@ -157,7 +189,7 @@ object GraftQueries {
     "simple_rewrite_customer" -> ((s, d) => {
       import graft.core._
       import graft.rewrite.Rewrite
-      val raw = RelationalLoader.load(s, d, Testdata.customerDb)
+      val raw = customerTrees(s, d)
       val untyped = Forest.mapTrees(raw) { tree =>
         def strip(t: ArchiTree): ArchiTree = {
           val kids = t.children.map {
@@ -206,8 +238,8 @@ object GraftQueries {
     // structure, then re-inspect — the loader forest is already valid
     // under its own schema, so the counts must be preserved exactly
     "extract_valid_trees_customer" -> ((s, d) => {
-      val forest = RelationalLoader.load(s, d, Testdata.customerDb)
-      val schema = Schema.fromForest(Forest.toNodesDF(forest), keepUnlabelled = false)
+      val forest = customerTrees(s, d)
+      val schema = Schema.fromForest(customerNodes(s, d), keepUnlabelled = false)
       val valid = schema.extractValidTrees(forest)
       ForestInspector.inspectTable(Forest.toNodesDF(valid))
         .filter(org.apache.spark.sql.functions.col("stat").startsWith("total_"))
@@ -292,6 +324,12 @@ object GraftQueries {
       "orders", Seq("o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")),
     "fd_confidence_customer_nokey" -> confidenceOracle(
       "customer", Seq("c_acctbal", "c_mktsegment", "c_name")),
+    "fd_dependency_customer" ->
+      s"""SELECT max(confidence) AS dependency_score FROM (
+         |${confidenceOracle("customer", Seq("c_acctbal", "c_mktsegment", "c_name"))}
+         |)""".stripMargin,
+    "fd_redundancy_customer" -> redundancyOracle(
+      "customer", Seq("c_acctbal", "c_mktsegment", "c_name"), tau = 0.5),
 
     "inspect_counts_customer" -> inspectCountsCustomerOracle,
     // lossless round trip ⇒ identical counts
@@ -323,6 +361,18 @@ object GraftQueries {
     // and candidates are verified with exact Jaccard — so the oracle is
     // the same exact-pair SQL as the n-gram query.
     "dedup_minhash_documents" -> ngramJaccardOracle,
+    // SimHash is fully SQL-expressible now that the token hash is the
+    // portable md5-prefix (TextAnalysis.portableHash).
+    "dedup_simhash_documents" -> simhashOracle,
+    "fingerprint_documents" -> fingerprintOracle,
+    // sign-LSH + exact-verify ≡ brute force w.h.p. (miss ~5e-7 at the
+    // registered band config); NaN (zero-norm) pairs excluded both sides
+    // because DuckDB, like Spark, orders NaN above every double.
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5
+        |  AND NOT isnan(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))""".stripMargin,
 
     "text_stats_documents" ->
       """SELECT doc_id,
@@ -431,4 +481,75 @@ object GraftQueries {
 
   private def sqlList(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+
+  /** The portable 60-bit hash (TextAnalysis.portableHash) in DuckDB. */
+  private def duckHash(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** DuckDB form of Dedup.simHash + simHashPairs: 60-bit simhash over
+    * all whitespace tokens, 15-bit chunk banding, hamming ≤ 3.
+    */
+  private lazy val simhashOracle: String = {
+    val bits = graft.operators.Dedup.SimHashBits
+    val bsums = (0 until bits)
+      .map(j => s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val sig = (0 until bits)
+      .map(j => s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       |h AS (
+       |  SELECT doc_id, ${duckHash("tok")} AS h FROM toks WHERE length(tok) > 0),
+       |bits AS (SELECT doc_id, $bsums FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sig AS simhash FROM bits),
+       |chunks AS (
+       |  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 15)) & 32767 AS v
+       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+  }
+
+  /** DuckDB form of TextAnalysis.fingerprint (window=4, k=8): k-min
+    * sketch of portable-hashed distinct 4-token shingles, re-hashed.
+    */
+  private lazy val fingerprintOracle: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |sh AS (SELECT doc_id,
+       |       unnest(list_distinct([array_to_string(ts[i:i+3], ' ') for i in range(1, len(ts) - 2)])) AS shingle
+       |       FROM toks WHERE len(ts) >= 4),
+       |h AS (SELECT doc_id, ${duckHash("shingle")} AS h FROM sh),
+       |sk AS (SELECT doc_id, list_sort(list(DISTINCT h))[1:8] AS sketch FROM h GROUP BY doc_id)
+       |SELECT doc_id, ${duckHash("array_to_string(sketch, ',')")} AS fingerprint
+       |FROM sk""".stripMargin
+
+  /** DuckDB form of FdMetrics.redundancyScore over the deduplicated
+    * projection of `cols`: fraction of rows duplicated on at least one
+    * attribute subset (size ≥ 2) whose dependency score ≥ tau.
+    */
+  private def redundancyOracle(table: String, cols: Seq[String], tau: Double): String = {
+    val sorted = cols.sorted
+    val ds = s"SELECT DISTINCT ${castCols(cols)} FROM $table"
+    val subsets = (2 to sorted.size).flatMap(k => sorted.combinations(k)).map(_.toSeq)
+    def conf(s: Seq[String], consequent: String): String = {
+      val ants = s.filterNot(_ == consequent)
+      s"""(SELECT CAST(sum(m) AS DOUBLE) / (SELECT count(*) FROM ds)
+         | FROM (SELECT max(cnt) AS m
+         |       FROM (SELECT ${s.mkString(", ")}, count(*) AS cnt FROM ds GROUP BY ${s.mkString(", ")})
+         |       GROUP BY ${ants.mkString(", ")}))""".stripMargin
+    }
+    def dep(s: Seq[String]): String = s"greatest(${s.map(c => conf(s, c)).mkString(", ")})"
+    val winCols = subsets.zipWithIndex.map { case (s, i) =>
+      s"count(*) OVER (PARTITION BY ${s.mkString(", ")}) AS c$i"
+    }
+    val marks = subsets.zipWithIndex.map { case (s, i) => s"(${dep(s)} >= $tau AND c$i > 1)" }
+    s"""WITH ds AS ($ds),
+       |w AS (SELECT *, ${winCols.mkString(", ")} FROM ds)
+       |SELECT CAST((SELECT count(*) FROM w WHERE ${marks.mkString(" OR ")}) AS DOUBLE)
+       |       / (SELECT count(*) FROM ds) AS redundancy_score""".stripMargin
+  }
 }

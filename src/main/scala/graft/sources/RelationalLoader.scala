@@ -482,7 +482,10 @@ object RelationalLoader {
     val t = occ.table
     val fkCols = t.fks.map(_.column).toSet
     val entCols = columns(t.name).filterNot(fkCols.contains)
-    val pkSorted = t.pks.sorted
+    // distinct before sort: the tree-building path builds pk data via
+    // .toMap (which dedupes repeated pk column names) — a duplicated pk
+    // entry in the config must not make this path's oid diverge
+    val pkSorted = t.pks.distinct.sorted
     val group = CGroup(
       t.name.replace(' ', '_'),
       entCols.map(_.replace(' ', '_')).toArray,

@@ -109,6 +109,47 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("embedding-cosine LSH pairs equal brute-force cosine pairs; NaN/zero vectors excluded") {
+    import spark.implicits._
+    // planted structure: 0~1 near-identical, 2 scaled copy of 0 (cosine
+    // 1), 3 orthogonal-ish, 4 zero vector (NaN cosine — must NOT pair),
+    // 5 a different-dimension vector (must be excluded, not truncated)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.2f, 0.1f, 0.0f)),
+      (1L, Array(1.0f, 0.21f, 0.1f, 0.0f)),
+      (2L, Array(2.0f, 0.4f, 0.2f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 2.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+      .union(Seq((5L, Array(1.0f, 0.2f))).toDF("vec_id", "embedding"))
+
+    val lsh = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding",
+      threshold = 0.9, bands = 64, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute-force reference over the uniform-dimension, nonzero vectors
+    val uniform = Seq(
+      0L -> Array(1.0, 0.2, 0.1, 0.0), 1L -> Array(1.0, 0.21, 0.1, 0.0),
+      2L -> Array(2.0, 0.4, 0.2, 0.0), 3L -> Array(0.0, 0.0, 1.0, 2.0))
+    val brute = (for {
+      (i, a) <- uniform; (j, b) <- uniform if i < j
+      dot = a.zip(b).map { case (x, y) => x * y }.sum
+      sim = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      if sim >= 0.9
+    } yield (i, j)).toSet
+    assert(brute == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(lsh == brute)
+  }
+
+  test("portable hash matches the DuckDB hex-prefix contract") {
+    import spark.implicits._
+    // md5("hello") = 5d41402abc4b2a76...; first 15 hex digits as int =
+    // 0x5d41402abc4b2a7 = 419982666956583591 (pinned against DuckDB)
+    val h = Seq("hello").toDF("s")
+      .select(TextAnalysis.portableHash(col("s"))).head.getLong(0)
+    assert(h == 419982666956583591L)
+  }
+
   test("events hourly stats: window bounds, counts, cent sums") {
     import spark.implicits._
     val ev = Seq(
