@@ -66,8 +66,12 @@ object CypherLoader {
         nodesB.value(rootId), nodesB.value, adjB.value, rwdB.value,
         scala.collection.mutable.Set.empty[String])
       val tree = ArchiTree(Plain("ROOT"), children.map(t => Child.Node(t): Child).toVector)
-      TreeRow(RelationalLoader.treeIdOf(
-        ArchiTree.deterministicOid("cypher", rootId)), TreeJson.toJson(tree))
+      // graph node ids are unique, so a 63-bit hash of the root oid is a
+      // collision-safe-enough tree id here (unlike declared relational
+      // pks, which the loader no longer trusts for identity)
+      val oid = ArchiTree.deterministicOid("cypher", rootId)
+      TreeRow(java.lang.Long.parseUnsignedLong(oid.take(15), 16) & Long.MaxValue,
+        TreeJson.toJson(tree))
     }
   }
 

@@ -463,11 +463,13 @@ object Schema {
       groupName: String,
       broadcastGroups: Boolean = true,
   ): org.apache.spark.sql.DataFrame = {
-    // Same-oid occurrences are the same logical instance by the oid
-    // contract (tree.py:290-305) — the loader materializes a group once
-    // standalone plus once per REL side, so deduping occurrences by oid
-    // BEFORE the pivot shrinks it by the occurrence factor; the final
-    // value-level dropDuplicates (reference semantics) still runs.
+    // Within one tree, same-oid occurrences are copies of the same wide
+    // row (the loader materializes a group once standalone plus once per
+    // REL side), so deduping occurrences by (treeId, oid) BEFORE the
+    // pivot shrinks it by the occurrence factor; the final value-level
+    // dropDuplicates (reference semantics) still runs. The dedup is NOT
+    // global: two trees may share an oid (a non-unique declared pk) yet
+    // carry different values — the reference keeps both instances.
     // Occurrences with no oid keep their (treeId, nodeId) identity.
     val occurrences = nodes
       .filter(col("nodeType") === "GROUP" && col("name") === groupName)
@@ -476,25 +478,33 @@ object Schema {
       .withColumn("k",
         when(col("oid").isNull || col("oid") === "",
           concat_ws(":", col("gTree"), col("gNode"))).otherwise(col("oid")))
-      .groupBy("k")
-      .agg(min(struct(col("gTree"), col("gNode"))).as("g"))
-      .select(col("g.gTree").as("gTree"), col("g.gNode").as("gNode"))
+      .groupBy(col("gTree"), col("k"))
+      .agg(min(col("gNode")).as("gNode"))
+      .select(col("gTree"), col("gNode"))
     val groupsDf = if (broadcastGroups) broadcast(deduped) else deduped
     val ents = nodes
       .filter(col("nodeType") === "ENT")
       .select(col("treeId"), col("parentId"), col("pos"), col("name").as("entName"), col("value"))
 
-    val entCols: Seq[String] = ents
+    // Persist the (small) joined projection: both the pivot column
+    // discovery and the pivot itself consume it, and without the persist
+    // each pass re-scans the full nodes dataset + re-runs the join.
+    val joined = ents
       .join(groupsDf, col("treeId") === col("gTree") && col("parentId") === col("gNode"))
-      .select(col("entName")).distinct().collect().map(_.getString(0)).toSeq.sorted
+      .select(col("gTree"), col("gNode"), col("entName"), col("pos"), col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val entCols: Seq[String] =
+        joined.select(col("entName")).distinct().collect().map(_.getString(0)).toSeq.sorted
 
-    val pivoted = ents
-      .join(groupsDf, col("treeId") === col("gTree") && col("parentId") === col("gNode"))
-      .groupBy(col("gTree"), col("gNode"))
-      .pivot("entName", entCols)
-      .agg(max(struct(col("pos"), col("value"))).getField("value"))
-      .drop("gTree", "gNode")
+      val pivoted = joined
+        .groupBy(col("gTree"), col("gNode"))
+        .pivot("entName", entCols)
+        .agg(max(struct(col("pos"), col("value"))).getField("value"))
+        .drop("gTree", "gNode")
 
-    pivoted.dropDuplicates()
+      // materialize before releasing the intermediate cache
+      pivoted.dropDuplicates().localCheckpoint(true)
+    } finally joined.unpersist(blocking = false)
   }
 }

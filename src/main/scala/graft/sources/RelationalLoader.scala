@@ -144,22 +144,37 @@ object RelationalLoader {
       n -> df.select(df.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
     }
 
+    // Every per-root (and per-unreferenced-scan) forest gets a distinct
+    // salt so tree ids are globally unique — one tree per SOURCE ROW, as
+    // in the reference's row iteration. Deriving tree identity from the
+    // root oid instead would merge two rows that collide on their
+    // (possibly non-unique) declared pk into one treeId, corrupting
+    // per-tree grouping downstream.
+    var salt = -1L
+    def nextSalt(): Long = { salt += 1; salt }
+
     val forests = cfg.rootTables.map { root =>
       val rootForest =
         if (simplifyAssociation && isAssociation(root, columns(root.name).size))
-          loadAssociationRoot(spark, tables, columns, colTypes, cfg, root, sample)
+          loadAssociationRoot(spark, tables, columns, colTypes, cfg, root, sample, nextSalt())
         else
-          loadRoot(spark, tables, columns, colTypes, cfg, root, sample, isAssociationRoot = false)
+          loadRoot(spark, tables, columns, colTypes, cfg, root, sample, nextSalt())
 
       val extra =
         if (!searchAllInstances) Seq.empty
-        else unreferencedForests(spark, tables, columns, colTypes, cfg, root, sample)
+        else unreferencedForests(spark, tables, columns, colTypes, cfg, root, sample, nextSalt)
 
       extra.foldLeft(rootForest)(_ union _)
     }
 
     forests.reduceOption(_ union _).getOrElse(spark.emptyDataset[TreeRow])
   }
+
+  /** Globally-unique deterministic tree id: forest salt (6 bits),
+    * partition (20 bits), row-in-partition (36 bits). Sign bit stays 0.
+    */
+  private[graft] def treeId(salt: Long, partition: Int, index: Long): Long =
+    (salt << 56) | (partition.toLong << 36) | index
 
   /** One forest Dataset for a (non-association) root table. */
   private def loadRoot(
@@ -170,12 +185,12 @@ object RelationalLoader {
       cfg: DbConfig,
       root: TableDef,
       sample: Int,
-      isAssociationRoot: Boolean,
+      salt: Long,
   ): Dataset[TreeRow] = {
     val plan = buildPlan(root, cfg)
     val limited = if (sample > 0) tables(root.name).limit(sample) else tables(root.name)
     val wide = joinPlan(limited, plan, tables, columns)
-    assemble(spark, wide, plan, columns, colTypes, cfg.namespace)
+    assemble(spark, wide, plan, columns, colTypes, cfg.namespace, salt)
   }
 
   /** Association root with simplify_association (sql.py:188-231): the
@@ -190,8 +205,8 @@ object RelationalLoader {
       cfg: DbConfig,
       root: TableDef,
       sample: Int,
+      salt: Long,
   ): Dataset[TreeRow] = {
-    import spark.implicits._
     val Seq(leftFk, rightFk) = root.fks.sortBy(_.column)
 
     // Shared visited set across both side traversals (sql.py:227-231).
@@ -229,22 +244,25 @@ object RelationalLoader {
     val lp = leftPlan
     val rp = rightPlan
 
-    wide.map { row =>
-      val get = (field: String) => { val i = idx(field); if (row.isNullAt(i)) null else row.getString(i) }
-      val leftGroup = buildGroup(lp, get, cols, types, ns)
-      val rightGroup = buildGroup(rp, get, cols, types, ns)
-      val relOid = {
-        val pkData =
-          leftTable.pks.map(c => s"left_$c" -> get(s"${lp.alias}__$c")) ++
-            rightTable.pks.map(c => s"right_$c" -> get(s"${rp.alias}__$c"))
-        oid(ns, assocName, pkData.toMap)
+    val rdd = wide.rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.zipWithIndex.map { case (row, i) =>
+        val get = (field: String) => { val j = idx(field); if (row.isNullAt(j)) null else row.getString(j) }
+        val leftGroup = buildGroup(lp, get, cols, types, ns)
+        val rightGroup = buildGroup(rp, get, cols, types, ns)
+        val relOid = {
+          val pkData =
+            leftTable.pks.map(c => s"left_$c" -> get(s"${lp.alias}__$c")) ++
+              rightTable.pks.map(c => s"right_$c" -> get(s"${rp.alias}__$c"))
+          oid(ns, assocName, pkData.toMap)
+        }
+        val rel = ArchiTree(Typed(NodeType.Rel, assocName), Vector(Child.Node(leftGroup), Child.Node(rightGroup)), relOid)
+        val children = Vector(Child.Node(rel)) ++
+          parseChildren(lp, get, cols, types, ns) ++ parseChildren(rp, get, cols, types, ns)
+        val tree = ArchiTree(Plain("ROOT"), children)
+        TreeRow(treeId(salt, pid, i.toLong), TreeJson.toJson(tree))
       }
-      val rel = ArchiTree(Typed(NodeType.Rel, assocName), Vector(Child.Node(leftGroup), Child.Node(rightGroup)), relOid)
-      val children = Vector(Child.Node(rel)) ++
-        parseChildren(lp, get, cols, types, ns) ++ parseChildren(rp, get, cols, types, ns)
-      val tree = ArchiTree(Plain("ROOT"), children)
-      TreeRow(treeIdOf(relOid), TreeJson.toJson(tree))
-    }(org.apache.spark.sql.Encoders.product[TreeRow])
+    }
+    spark.createDataset(rdd)(org.apache.spark.sql.Encoders.product[TreeRow])
   }
 
   /** search_all_instances support (sql.py:149-185): rows of referenced
@@ -259,6 +277,7 @@ object RelationalLoader {
       cfg: DbConfig,
       root: TableDef,
       sample: Int,
+      nextSalt: () => Long,
   ): Seq[Dataset[TreeRow]] = {
     val rootNames = cfg.rootTables.map(_.name).toSet
     val visited = mutable.Set.empty[(String, String)]
@@ -275,7 +294,7 @@ object RelationalLoader {
             val limited = if (sample > 0) unref.limit(sample) else unref
             val plan = buildPlan(target, cfg)
             val wide = joinPlan(limited, plan, tables, columns)
-            out += assemble(spark, wide, plan, columns, colTypes, cfg.namespace)
+            out += assemble(spark, wide, plan, columns, colTypes, cfg.namespace, nextSalt())
           }
           walk(target)
         }
@@ -321,19 +340,23 @@ object RelationalLoader {
       columns: Map[String, Seq[String]],
       colTypes: Map[String, Map[String, String]],
       namespace: String,
+      salt: Long,
   ): Dataset[TreeRow] = {
     val idx = wide.schema.fieldNames.zipWithIndex.toMap
     val cols = columns
     val types = colTypes
     val ns = namespace
     val p = plan
-    wide.map { row =>
-      val get = (field: String) => { val i = idx(field); if (row.isNullAt(i)) null else row.getString(i) }
-      val rootGroup = buildGroup(p, get, cols, types, ns)
-      val children = Vector(Child.Node(rootGroup)) ++ relChildren(p, rootGroup, get, cols, types, ns)
-      val tree = ArchiTree(Plain("ROOT"), children)
-      TreeRow(treeIdOf(rootGroup.oid), TreeJson.toJson(tree))
-    }(org.apache.spark.sql.Encoders.product[TreeRow])
+    val rdd = wide.rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.zipWithIndex.map { case (row, i) =>
+        val get = (field: String) => { val j = idx(field); if (row.isNullAt(j)) null else row.getString(j) }
+        val rootGroup = buildGroup(p, get, cols, types, ns)
+        val children = Vector(Child.Node(rootGroup)) ++ relChildren(p, rootGroup, get, cols, types, ns)
+        val tree = ArchiTree(Plain("ROOT"), children)
+        TreeRow(treeId(salt, pid, i.toLong), TreeJson.toJson(tree))
+      }
+    }
+    spark.createDataset(rdd)(org.apache.spark.sql.Encoders.product[TreeRow])
   }
 
   /** parse_table minus the leading group (sql.py:234-264). */
@@ -416,13 +439,80 @@ object RelationalLoader {
     ArchiTree.deterministicOid(ns, name, dataStr)
   }
 
-  /** 63-bit tree id from the defining oid. Collision odds at 1e12 trees
-    * are ~1e-4 per pair-free birthday bound — acceptable as a partition /
-    * grouping key; the oid string remains the durable identity.
+  /** Dataset-extraction pushdown: `Schema.extractDataset(loadNodes(cfg),
+    * g)` ≡ the DISTINCT non-FK-column projection of table g's rows that
+    * are reachable from any root row along the FK traversal — because (a)
+    * every GROUP::g occurrence in a loader forest is one reachable row of
+    * g, (b) occurrences sharing pk values share the deterministic oid and
+    * carry identical entity values (the oid-dedup step), and (c) the
+    * final value-level dropDuplicates is the DISTINCT.
+    *
+    * This is the 100 TB path: a logical-plan rewrite that never
+    * materializes the node view (74M rows at sf0.1 for the tpch star —
+    * its cache build alone costs ~5 minutes on 32 cores), turning
+    * extraction into FK-path joins Catalyst can optimize end to end
+    * (column pruning to the parquet scan, broadcast dims, AQE).
+    * Equivalence to the generic path is pinned by a differential test
+    * (RelationalLoaderSpec) and by the driver's DuckDB oracle.
     */
-  private[graft] def treeIdOf(oid: String): Long = {
-    val h = java.lang.Long.parseUnsignedLong(oid.take(15), 16)
-    h & Long.MaxValue
+  def extractGroupDataset(
+      spark: SparkSession,
+      dir: String,
+      cfg: DbConfig,
+      groupName: String,
+  ): DataFrame = {
+    val raw: Map[String, DataFrame] =
+      cfg.tables.map(t => t.name -> spark.read.parquet(s"$dir/${t.name}.parquet")).toMap
+    val columns: Map[String, Seq[String]] = raw.map { case (n, df) => n -> df.columns.toSeq }
+
+    // association roots take the two-sided tree shape the path walk below
+    // doesn't model — fall back to the generic metamodel path there
+    if (cfg.rootTables.exists(root => isAssociation(root, columns(root.name).size)))
+      return graft.model.Schema.extractDataset(loadNodes(spark, dir, cfg), groupName)
+
+    // All occurrences of the group's table across every root plan, each
+    // with its FK-edge path from the root.
+    def paths(o: Occ, prefix: Seq[(Occ, Fk, Occ)]): Seq[Seq[(Occ, Fk, Occ)]] = {
+      val here = if (o.table.name == groupName) Seq(prefix) else Seq.empty
+      here ++ o.fks.flatMap { case (fk, child) => paths(child, prefix :+ ((o, fk, child))) }
+    }
+    val occPaths = cfg.rootTables.flatMap { root =>
+      val plan = buildPlan(root, cfg)
+      paths(plan, Seq.empty).map(root -> _)
+    }
+    require(occPaths.nonEmpty, s"group $groupName does not occur in the traversal of ${cfg.namespace}")
+
+    val t = cfg.table(groupName)
+    val fkCols = t.fks.map(_.column).toSet
+    val entCols = columns(groupName).filterNot(fkCols.contains).sorted
+
+    val reachable: Seq[DataFrame] = occPaths.map { case (root, path) =>
+      if (path.isEmpty) raw(root.name)
+      else {
+        // walk root → ... → g keeping only the join keys until the last
+        // hop, so Catalyst prunes every intermediate scan to its key
+        // columns; rows with a null FK don't reach the child (inner join
+        // ≡ the left-join + pk-non-null existence probe of the tree walk)
+        val (_, firstFk, _) = path.head
+        var keys = raw(root.name).select(col(firstFk.column).as("__k"))
+        path.init.zipWithIndex.foreach { case ((_, fk, child), i) =>
+          val nextFk = path(i + 1)._2
+          keys = keys.join(
+            raw(child.table.name).select(
+              col(fk.refColumn).as("__pk"), col(nextFk.column).as("__nk")),
+            col("__k") === col("__pk"))
+            .select(col("__nk").as("__k"))
+        }
+        val (_, lastFk, _) = path.last
+        raw(groupName).join(
+          keys.distinct(), col(lastFk.refColumn) === col("__k"), "left_semi")
+      }
+    }
+
+    reachable
+      .map(_.select(entCols.map(c => col(c).cast("string").as(c)): _*))
+      .reduce(_ union _)
+      .distinct()
   }
 
   /** Straight-to-node-rows load: flattens each assembled tree in the same
@@ -444,15 +534,20 @@ object RelationalLoader {
     val tables = raw.map { case (n, df) =>
       n -> df.select(df.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
     }
-    val forests = cfg.rootTables
-      .map { root =>
+    val forests = cfg.rootTables.zipWithIndex
+      .map { case (root, salt) =>
         val plan = buildPlan(root, cfg)
         val limited = if (sample > 0) tables(root.name).limit(sample) else tables(root.name)
         val wide = joinPlan(limited, plan, tables, columns)
         val ord = wide.schema.fieldNames.zipWithIndex.toMap
         val cp = compilePlan(plan, columns, ord)
         val ns = cfg.namespace
-        wide.flatMap(row => emitNodeRows(cp, row, ns))
+        val rdd = wide.rdd.mapPartitionsWithIndex { (pid, it) =>
+          it.zipWithIndex.flatMap { case (row, i) =>
+            emitNodeRows(cp, row, ns, treeId(salt.toLong, pid, i.toLong))
+          }
+        }
+        spark.createDataset(rdd)(org.apache.spark.sql.Encoders.product[graft.model.NodeRow])
       }
     forests.reduceOption(_ union _)
       .getOrElse(spark.emptyDataset[graft.model.NodeRow])
@@ -548,6 +643,7 @@ object RelationalLoader {
       plan: CPlan,
       row: org.apache.spark.sql.Row,
       ns: String,
+      treeId: Long,
   ): Seq[graft.model.NodeRow] = {
     import graft.model.NodeRow
     val buf = Vector.newBuilder[NodeRow]
@@ -602,7 +698,6 @@ object RelationalLoader {
     }
 
     val rootGroup = groupInfo(row, plan.group, ns)
-    val treeId = treeIdOf(rootGroup.oid)
     // placeholder for ROOT: children count and height known only after the
     // walk; emit ROOT first with a patch afterwards
     val rootId = nextId; nextId += 1

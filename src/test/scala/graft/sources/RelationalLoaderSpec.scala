@@ -129,6 +129,25 @@ class RelationalLoaderSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("extraction pushdown equals the generic metamodel path per group") {
+    val d = "/root/testdata/sf0.001"
+    val cases = Seq(
+      (Testdata.customerDb, "customerDb", Seq("customer", "nation", "region")),
+      (Testdata.ordersDb, "ordersDb", Seq("orders")),
+      (Testdata.tpch, "tpch", Seq("lineitem", "part", "supplier", "nation")))
+    for ((cfg, name, groups) <- cases) {
+      val nodes = RelationalLoader.loadNodes(spark, d, cfg)
+      for (g <- groups) {
+        val generic = graft.model.Schema.extractDataset(nodes, g)
+        val pushed = RelationalLoader.extractGroupDataset(spark, d, cfg, g)
+        assert(generic.columns.toSeq == pushed.columns.toSeq, s"$name/$g columns")
+        val gr = generic.collect().map(_.toSeq).toSet
+        val pr = pushed.collect().map(_.toSeq).toSet
+        assert(gr == pr, s"$name/$g rows diverge (${gr.size} vs ${pr.size})")
+      }
+    }
+  }
+
   test("sf0.001 lineitem forest: shared visited FK edges prune repeat RELs") {
     val forest = RelationalLoader.load(spark, "/root/testdata/sf0.001", Testdata.tpch, sample = 5)
     val trees = Forest.collectTrees(forest)
