@@ -75,6 +75,25 @@ object TextAnalysis {
       when(cjk * 10 > length(t) * 3, lit("zh")).otherwise(lang).as("lang_pred"))
   }
 
+  /** BPE-style pre-tokenization pattern (GPT-2 family, minus the
+    * RE2-unsupported lookahead): a token is an optionally-space-prefixed
+    * letter run, digit run, or punctuation run, or a whitespace run.
+    * Restricted to constructs Java regex and RE2 (DuckDB) evaluate
+    * identically, so the count is oracle-checkable.
+    */
+  val BpeTokenPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Tokenizer-aware size estimate: the number of BPE-style pre-tokens
+    * per document. A real BPE would split rare words further, so this is
+    * a lower bound on (and in practice ~proportional to) the true token
+    * count — the quantity training-data pipelines budget by.
+    */
+  def bpeTokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(BpeTokenPattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+
   /** Winnowing-style fingerprint: the k smallest distinct hashes over
     * `window`-token rolling windows. Output (doc_id, fingerprint) with
     * fingerprint = portableHash of the sorted k-min sketch — documents

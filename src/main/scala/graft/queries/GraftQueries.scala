@@ -167,6 +167,8 @@ object GraftQueries {
       TextAnalysis.langId(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     "fingerprint_documents" -> ((s, d) =>
       TextAnalysis.fingerprint(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
+    "token_count_documents" -> ((s, d) =>
+      TextAnalysis.bpeTokenCount(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     "ann_topk_brute" -> ((s, d) =>
       Ann.bruteForceTopK(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0L to 9L, k = 5)),
@@ -411,6 +413,11 @@ object GraftQueries {
         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS BIGINT) AS n_punct,
         |  (CASE WHEN length(trim(text)) = 0 THEN 0
         |        ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END) < 10 AS is_short
+        |FROM documents""".stripMargin,
+
+    "token_count_documents" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
 
     "lang_id_documents" ->

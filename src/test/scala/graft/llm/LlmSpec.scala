@@ -1,0 +1,138 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.core._
+import graft.model.{Forest, Schema => GraftSchema}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic fake endpoint: parses the numbered list out of the
+  * prompt and "simplifies" each tree by wrapping consecutive ENT
+  * children of untyped nodes into a GROUP named after the first entity —
+  * a stand-in for the reference LLM's schema-induction behavior that
+  * keeps the whole pipeline (batching, numbering, parse, sanitize,
+  * vocab snap, fallback) real and testable offline.
+  */
+class StubLlmClient extends LlmClient {
+  var calls: Int = 0
+
+  private def groupify(t: ArchiTree): ArchiTree = {
+    val kids = t.children.map {
+      case Child.Node(c) => Child.Node(groupify(c)): Child
+      case leaf          => leaf
+    }
+    val out = t.copy(children = kids)
+    if (!out.isTyped && out.childTrees.nonEmpty &&
+      out.childTrees.forall(_.hasType(NodeType.Ent)) && out.children.size == out.childTrees.size)
+      out.copy(label = Typed(NodeType.Group, out.childTrees.head.label.name))
+    else out
+  }
+
+  override def complete(prompt: String): String = {
+    calls += 1
+    LlmRewrite.parseNumberedList(prompt).zipWithIndex.map { case (json, i) =>
+      val tree = TreeJson.fromJson(json)
+      s"${i + 1}. ${TreeJson.toJson(groupify(tree))}"
+    }.mkString("\n")
+  }
+}
+
+class LlmSpec extends AnyFunSuite with SparkSpec {
+
+  test("normalize: NFKC, alnum-only, upper snake_case") {
+    assert(LlmRewrite.normalize("hello, world") == "HELLO_WORLD")
+    assert(LlmRewrite.normalize("  Person-Name  ") == "PERSON_NAME")
+    assert(LlmRewrite.normalize("--") == "")
+  }
+
+  test("ratio matches difflib on knowns; closeMatches ranks by ratio") {
+    assert(LlmRewrite.ratio("abcd", "bcde") == 0.75)
+    assert(LlmRewrite.ratio("abc", "abc") == 1.0)
+    assert(LlmRewrite.ratio("abc", "xyz") == 0.0)
+    val m = LlmRewrite.closeMatches("PERSONS", Seq("PERSON", "LESSON", "CAR"), n = 2, cutoff = 0.6)
+    assert(m.head == "PERSON")
+  }
+
+  test("sanitize: ensures ROOT, relabels invalid GROUP/REL bottom-up") {
+    val bad = ArchiTree.fromString("(GROUP::g (ENT::a x) (inner y))")
+    val out = LlmRewrite.sanitize(bad, "oid1")
+    assert(out.label.render == "ROOT")
+    assert(out.oid == "oid1")
+    val g = out.childTrees.head
+    assert(!g.hasType(NodeType.Group) && g.label.render.startsWith("UNDEF_"))
+
+    val badRel = ArchiTree.fromString("(REL::r (GROUP::a (ENT::x v)))")
+    val rel = LlmRewrite.sanitize(badRel, "oid2").childTrees.head
+    assert(rel.label.render.startsWith("UNDEF_"))
+
+    val good = ArchiTree.fromString("(REL::r (GROUP::a (ENT::x v)) (GROUP::b (ENT::y w)))")
+    val kept = LlmRewrite.sanitize(good, "oid3").childTrees.head
+    assert(kept.label.render == "REL::r")
+  }
+
+  test("fixVocab snaps close GROUP labels onto the vocabulary") {
+    val t = ArchiTree.fromString("(ROOT (GROUP::PERSONS (ENT::name alice)))")
+    val out = LlmRewrite.fixVocab(t, Set("PERSON", "EXAM"), 0.6)
+    assert(out.childTrees.head.label.render == "GROUP::PERSON")
+  }
+
+  test("parseTreeOutput: chatter-wrapped JSON parses; garbage falls back") {
+    val orig = ArchiTree.fromString("(ROOT (ENT::a x))")
+    val answer = "Sure! Here is the tree:\n```json\n" +
+      TreeJson.toJson(ArchiTree.fromString("(ROOT (GROUP::g (ENT::a x)))")) + "\n```"
+    val (parsed, changed) = LlmRewrite.parseTreeOutput(answer, orig, Set.empty)
+    assert(changed && parsed.childTrees.head.hasType(NodeType.Group))
+
+    val (fb, fbChanged) = LlmRewrite.parseTreeOutput("no json here", orig, Set.empty)
+    assert(!fbChanged && fb == orig)
+  }
+
+  test("extractVocab merges close labels and applies min support") {
+    val trees = Seq.fill(3)(ArchiTree.fromString("(ROOT (GROUP::Person (ENT::n v)))")) ++
+      Seq.fill(2)(ArchiTree.fromString("(ROOT (GROUP::Persons (ENT::n v)))")) ++
+      Seq(ArchiTree.fromString("(ROOT (GROUP::Car (ENT::n v)))"))
+    val forest = Forest.fromTrees(spark, trees)
+    val vocab = LlmRewrite.extractVocab(forest, minSupport = 4, minSimilarity = 0.6)
+    assert(vocab == Set("PERSON")) // 3 + 2 merged ≥ 4; CAR at 1 < 4
+  }
+
+  test("llm rewrite end to end with the stub client: groups induced, schema verifies") {
+    val trees = (1 to 8).map { i =>
+      ArchiTree.fromString(s"(ROOT (S (ENT::name p$i) (ENT::age ${20 + i})))")
+    }
+    val forest = Forest.fromTrees(spark, trees)
+    val out = LlmRewrite.rewrite(forest, new StubLlmClient,
+      LlmRewrite.Config(maxTokens = 256, minSupport = Some(2)))
+    val outTrees = Forest.collectTrees(out)
+    assert(outTrees.size == 8)
+    assert(outTrees.forall(_.subtrees.exists(_.hasType(NodeType.Group))))
+    val schema = GraftSchema.fromTrees(outTrees, keepUnlabelled = false)
+    assert(schema.verify)
+  }
+
+  test("llm rewrite falls back to originals when the endpoint errors") {
+    val trees = Seq(ArchiTree.fromString("(ROOT (S (ENT::a x)))"))
+    val forest = Forest.fromTrees(spark, trees)
+    val broken = new LlmClient { def complete(p: String): String = throw new RuntimeException("boom") }
+    val out = Forest.collectTrees(LlmRewrite.rewrite(forest, broken))
+    assert(out == Forest.collectTrees(forest))
+  }
+
+  test("labelling: proposals + broadcast rename application") {
+    val schema = GraftSchema.fromDescription(
+      groups = Set(graft.model.Group("t1", Set("id", "email"))),
+      relations = Set.empty,
+      collections = false)
+    val client = new LlmClient {
+      def complete(prompt: String): String =
+        if (prompt.contains("Current Name: t1")) "user accounts" else "x"
+    }
+    val renames = Labelling.groupLabelling(schema, client)
+    assert(renames == Set(Labelling.Renaming(NodeType.Group, "t1", "USER_ACCOUNTS")))
+
+    val forest = Forest.fromTrees(spark,
+      Seq(ArchiTree.fromString("(ROOT (GROUP::t1 (ENT::id 1)) (GROUP::other (ENT::id 2)))")))
+    val renamed = Forest.collectTrees(Labelling.applyRenaming(forest, renames)).head
+    assert(renamed.childTrees.map(_.label.render) ==
+      Vector("GROUP::USER_ACCOUNTS", "GROUP::other"))
+  }
+}
