@@ -15,19 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity between two array<double> columns, computed with a
-    * sequential fold so the summation order is deterministic. A zero-norm
-    * side yields NaN (as in non-ANSI float math) rather than ANSI mode's
-    * DIVIDE_BY_ZERO error — callers must NaN-guard threshold filters,
-    * since Spark orders NaN above every double.
+  /** Cosine similarity between two array<double> columns — the codegen'd
+    * graft_cosine Catalyst expression (sequential summation, so the
+    * result is deterministic). A zero-norm side yields NaN — callers
+    * must NaN-guard threshold filters, since Spark orders NaN above
+    * every double. Callers in this object register the function on the
+    * input's session first.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(zip_with(b, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
-    val denom = na * nb
-    when(denom === 0.0, lit(Double.NaN)).otherwise(dot / denom)
-  }
+  def cosine(a: Column, b: Column): Column = graft.functions.GraftFunctions.cosine(a, b)
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
@@ -42,6 +37,7 @@ object Ann {
       queryIds: Seq[Long],
       k: Int = 5,
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val corpus = emb.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("vb"))
     val queries = emb
       .filter(col(idCol).isInCollection(queryIds))
@@ -72,6 +68,7 @@ object Ann {
       iters: Int = 2,
   ): DataFrame = {
     val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     val corpus = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")).cache()
 
     // deterministic init: first nLists vectors by id

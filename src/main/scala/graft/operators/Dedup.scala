@@ -176,6 +176,7 @@ object Dedup {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     // ids must be numeric (cast to long); null ids / null vectors are
     // dropped up front rather than NPE-ing in the signature kernel.
     val vecs = df
