@@ -24,11 +24,16 @@ object GraftQueries {
   private val cache = scala.collection.concurrent.TrieMap.empty[(String, String), Dataset[NodeRow]]
   private val treeCache = scala.collection.concurrent.TrieMap.empty[(String, String), Dataset[graft.model.TreeRow]]
 
+  // Eager localCheckpoint beats persist(MEMORY_AND_DISK) for these
+  // caches: it stores the already-Tungsten rows instead of re-encoding
+  // 11-column batches into the columnar cache (measured at sf0.1 orders:
+  // 19 s vs 30 s build, 5 s vs 10 s per extraction scan). Local mode has
+  // no executor loss; a cluster deployment would use reliable
+  // checkpointing (Forest.checkpoint honors a configured checkpoint dir).
   private def nodes(spark: SparkSession, dir: String, cfgName: String, cfg: DbConfig): Dataset[NodeRow] =
     cache.getOrElseUpdate((dir, cfgName), {
       // direct wide-row → NodeRow flatten (no TreeRow JSON round trip)
-      val n = RelationalLoader.loadNodes(spark, dir, cfg)
-      n.persist(StorageLevel.MEMORY_AND_DISK)
+      RelationalLoader.loadNodes(spark, dir, cfg).localCheckpoint(true)
     })
 
   /** Tree-per-row view for the queries that need whole trees (JSONL round
@@ -37,7 +42,7 @@ object GraftQueries {
     */
   private def trees(spark: SparkSession, dir: String, cfgName: String, cfg: DbConfig): Dataset[graft.model.TreeRow] =
     treeCache.getOrElseUpdate((dir, cfgName), {
-      RelationalLoader.load(spark, dir, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+      RelationalLoader.load(spark, dir, cfg).localCheckpoint(true)
     })
 
   private def customerTrees(s: SparkSession, d: String) = trees(s, d, "customerDb", Testdata.customerDb)
