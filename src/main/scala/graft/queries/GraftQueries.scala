@@ -180,6 +180,13 @@ object GraftQueries {
     "ann_topk_ivf" -> ((s, d) =>
       Ann.ivfTopK(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0L to 9L, k = 5)),
+    // probing every list makes IVF exhaustive, so the full index
+    // machinery (centroid training, assignment, probe join, ranking)
+    // must reproduce brute force exactly — the oracle-checkable IVF lane
+    "ann_topk_ivf_full_probe" -> ((s, d) =>
+      Ann.ivfTopK(
+        s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0L to 9L,
+        k = 5, nLists = 16, nProbe = 16)),
     // §2.7 export_sql: the customer group table after cast-on-export,
     // minus the (sha1) oid PK the oracle cannot recompute
     "export_sql_customer" -> ((s, d) => {
@@ -365,6 +372,22 @@ object GraftQueries {
     "fd_redundancy_customer" -> redundancyOracle(
       "customer", Seq("c_acctbal", "c_mktsegment", "c_name"), tau = 0.5),
 
+    // Pinned golden: the generator input is fully deterministic (no
+    // randomness — every leaf is "data"), and the rewrite fixpoint must
+    // recover EXACTLY the generating schema: its 3 groups, 2 relations,
+    // and the collections the noise wrapping induced. A literal oracle is
+    // the reference's own golden-test style for rewrite semantics
+    // (tests/simplification/...), expressed in the driver's oracle lane.
+    "rewrite_fixpoint_synthetic" ->
+      """SELECT 'COLL::EXAM' AS lhs, 'GROUP::EXAM' AS rhs
+        |UNION ALL SELECT 'COLL::SOSY', 'GROUP::SOSY'
+        |UNION ALL SELECT 'COLL::TREATMENT', 'GROUP::TREATMENT'
+        |UNION ALL SELECT 'GROUP::EXAM', 'ENT::ANATOMIE ENT::DIAGNOSTIC_PROCEDURE'
+        |UNION ALL SELECT 'GROUP::SOSY', 'ENT::ANATOMIE ENT::SOSY ENT::SUBSTANCE'
+        |UNION ALL SELECT 'GROUP::TREATMENT', 'ENT::ADMINISTRATION ENT::DOSAGE ENT::FREQUENCY ENT::SUBSTANCE'
+        |UNION ALL SELECT 'REL::EXAM<->SOSY', 'GROUP::EXAM GROUP::SOSY'
+        |UNION ALL SELECT 'REL::SOSY<->TREATMENT', 'GROUP::SOSY GROUP::TREATMENT'""".stripMargin,
+
     "inspect_counts_customer" -> inspectCountsCustomerOracle,
     // lossless round trip ⇒ identical counts
     "jsonl_roundtrip_customer" -> inspectCountsCustomerOracle,
@@ -445,16 +468,8 @@ object GraftQueries {
          |       ELSE 'und' END AS lang_pred
          |FROM h""".stripMargin,
 
-    "ann_topk_brute" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-        |           FROM embeddings WHERE vec_id < 10),
-        |s AS (SELECT qid, vec_id AS neighbor_id,
-        |             list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS sim
-        |      FROM q, embeddings WHERE vec_id <> qid),
-        |r AS (SELECT qid AS query_id, neighbor_id,
-        |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rk
-        |      FROM s)
-        |SELECT query_id, neighbor_id FROM r WHERE rk <= 5""".stripMargin,
+    "ann_topk_ivf_full_probe" -> annBruteOracle,
+    "ann_topk_brute" -> annBruteOracle,
 
     "media_features_documents" ->
       """SELECT doc_id AS id,
@@ -520,6 +535,21 @@ object GraftQueries {
 
   private def sqlList(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+
+  /** Exact top-5 cosine neighbors for query ids 0-9 — oracle for both
+    * the brute-force query and the full-probe IVF query (probing every
+    * list is exhaustive search, so both must match this exactly).
+    */
+  private lazy val annBruteOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 10),
+      |s AS (SELECT qid, vec_id AS neighbor_id,
+      |             list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS sim
+      |      FROM q, embeddings WHERE vec_id <> qid),
+      |r AS (SELECT qid AS query_id, neighbor_id,
+      |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rk
+      |      FROM s)
+      |SELECT query_id, neighbor_id FROM r WHERE rk <= 5""".stripMargin
 
   /** The portable 60-bit hash (TextAnalysis.portableHash) in DuckDB. */
   private def duckHash(expr: String): String =

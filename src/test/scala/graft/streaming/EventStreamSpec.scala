@@ -38,4 +38,30 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       assert(got.contains(("2024-01-01 10:00:00", "click", 2L, 375L)))
     } finally query.stop()
   }
+
+  test("streaming exact dedup keeps first occurrence per content hash") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "same text"),
+      (2L, "2024-01-01 10:05:00", "same text"),
+      (3L, "2024-01-01 10:10:00", "other text"))
+      .map { case (id, ts, t) => (id, Timestamp.valueOf(ts), t) }
+    val dir = java.nio.file.Files.createTempDirectory("docs-stream")
+    val srcDir = dir.resolve("src").toString
+    rows.toDF("doc_id", "ts", "text").write.parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, ts TIMESTAMP, text STRING"))
+      .parquet(srcDir)
+    val deduped = DocStream.dedupDocuments(stream, "text", "ts", watermark = "1 hour")
+    val query = deduped.writeStream
+      .format("memory").queryName("doc_dedup_test").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val got = spark.sql("SELECT text FROM doc_dedup_test").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("other text", "same text"))
+    } finally query.stop()
+  }
 }
