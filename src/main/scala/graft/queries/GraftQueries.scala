@@ -5,7 +5,6 @@ import graft.model.{Forest, NodeRow, Schema}
 import graft.operators.{Ann, Dedup, Events, Multimodal, TextAnalysis}
 import graft.sources.{DbConfig, RelationalLoader, Testdata}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.storage.StorageLevel
 
 /** The registered correctness/bench queries and their DuckDB oracles.
   *
