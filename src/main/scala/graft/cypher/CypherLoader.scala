@@ -66,7 +66,7 @@ object CypherLoader {
         nodesB.value(rootId), nodesB.value, adjB.value, rwdB.value,
         scala.collection.mutable.Set.empty[String])
       val tree = ArchiTree(Plain("ROOT"), children.map(t => Child.Node(t): Child).toVector)
-      // graph node ids are unique, so a 63-bit hash of the root oid is a
+      // graph node ids are unique, so a 60-bit hash of the root oid is a
       // collision-safe-enough tree id here (unlike declared relational
       // pks, which the loader no longer trusts for identity)
       val oid = ArchiTree.deterministicOid("cypher", rootId)

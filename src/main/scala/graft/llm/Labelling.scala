@@ -18,8 +18,10 @@ object Labelling {
 
   final case class Renaming(nodeType: NodeType, oldName: String, newName: String)
 
+  // Full vocabulary normalization (NFKC, non-alphanumerics → '_') — a
+  // chatty multi-line or punctuated answer must never become a label
   private def normalizeAnswer(raw: String): String =
-    raw.replace("`", "").trim.replace(" ", "_").toUpperCase
+    LlmRewrite.normalize(raw.takeWhile(c => c != '\n' && c != '\r'))
 
   /** One rename proposal per group (llm_group_labelling): prompt carries
     * the attribute list and up to `sampleSize` JSON sample rows from the

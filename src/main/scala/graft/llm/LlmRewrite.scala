@@ -49,19 +49,23 @@ object LlmRewrite {
       "{\"name\":\"ROOT\"}.\n\n" + numberedTrees
   }
 
-  /** "N. <json>" list, one line per tree (llm.py:107-119). */
-  private[llm] def toNumberedList(trees: Seq[ArchiTree]): String =
-    trees.zipWithIndex
-      .map { case (t, i) => s"${i + 1}. ${TreeJson.toJson(t)}" }
-      .mkString("\n\n")
-
-  /** Parse a numbered-list response back into per-item raw payloads
-    * (NumberedListOutputParser semantics: items keyed by their number,
-    * anything unnumbered ignored).
+  /** Parse a numbered-list response into payloads keyed by their item
+    * number (anything unnumbered is ignored; on duplicates the first
+    * wins). Keyed — not positional — so a model that skips an item
+    * (answers "1., 3.") cannot shift later answers onto the wrong
+    * input tree.
     */
-  private[llm] def parseNumberedList(raw: String): Vector[String] = {
+  private[llm] def parseNumberedItems(raw: String): Map[Int, String] = {
     val item = """(?m)^\s*(\d+)\.\s*(.*)$""".r
-    item.findAllMatchIn(raw).map(m => m.group(2).trim).toVector
+    item.findAllMatchIn(raw)
+      .map(m => m.group(1).toInt -> m.group(2).trim)
+      .toVector.reverse.toMap // first occurrence of a number wins
+  }
+
+  /** Ordered payload list for prompts built by [[toNumberedList]]. */
+  private[llm] def parseNumberedList(raw: String): Vector[String] = {
+    val byNum = parseNumberedItems(raw)
+    (1 to (if (byNum.isEmpty) 0 else byNum.keys.max)).flatMap(byNum.get).toVector
   }
 
   /** Normalization for vocabulary labels (llm.py:409-426): Unicode NFKC,
@@ -234,28 +238,6 @@ object LlmRewrite {
     }
   }
 
-  /** Greedy token-budget batching (more_itertools.constrained_batches
-    * with strict=False: an oversized single item still ships alone).
-    */
-  private[llm] def constrainedBatches(
-      trees: Iterator[ArchiTree], maxSize: Int, len: ArchiTree => Int): Iterator[Seq[ArchiTree]] =
-    new Iterator[Seq[ArchiTree]] {
-      private val it = trees.buffered
-      def hasNext: Boolean = it.hasNext
-      def next(): Seq[ArchiTree] = {
-        val batch = Vector.newBuilder[ArchiTree]
-        var size = 0
-        var n = 0
-        while (it.hasNext && (n == 0 || size + len(it.head) <= maxSize)) {
-          val t = it.next()
-          size += len(t)
-          n += 1
-          batch += t
-        }
-        batch.result()
-      }
-    }
-
   final case class Config(
       maxTokens: Int = 4096,
       refiningSteps: Int = 0,
@@ -278,33 +260,40 @@ object LlmRewrite {
       val vocabSorted = vocab.toSeq.sorted
       val cfg = config
       current = current.mapPartitions { rows =>
-        // batch by prompt budget, one completion per batch
-        val queue = rows.map(r => r.treeId -> TreeJson.fromJson(r.tree)).buffered
+        // batch by prompt budget, one completion per batch; each item's
+        // JSON (already in the row) is the prompt payload AND the token
+        // measure, so nothing is serialized twice
+        val queue = rows.map(r => (r.treeId, r.tree, client.countTokens(r.tree))).buffered
         new Iterator[Seq[TreeRow]] {
           def hasNext: Boolean = queue.hasNext
           def next(): Seq[TreeRow] = {
-            val ids = Vector.newBuilder[Long]
-            val ts = Vector.newBuilder[ArchiTree]
+            val batch = Vector.newBuilder[(Long, String)]
             var size = 0
             var n = 0
-            def itemLen(t: ArchiTree) = client.countTokens(TreeJson.toJson(t))
-            while (queue.hasNext && (n == 0 || size + itemLen(queue.head._2) <= cfg.maxTokens)) {
-              val (id, t) = queue.next()
-              size += itemLen(t)
+            while (queue.hasNext && (n == 0 || size + queue.head._3 <= cfg.maxTokens)) {
+              val (id, json, len) = queue.next()
+              size += len
               n += 1
-              ids += id
-              ts += t
+              batch += ((id, json))
             }
-            val batch = ts.result()
+            val items = batch.result()
+            val numbered = items.zipWithIndex
+              .map { case ((_, json), i) => s"${i + 1}. $json" }
+              .mkString("\n\n")
             val answers =
-              try parseNumberedList(client.complete(promptFor(vocabSorted, toNumberedList(batch))))
-              catch { case scala.util.control.NonFatal(_) => Vector.empty[String] }
-            batch.zipWithIndex.zip(ids.result()).map { case ((orig, i), id) =>
-              val (out, _) =
-                if (i < answers.size)
-                  parseTreeOutput(answers(i), orig, vocab, cfg.vocabSimilarity)
-                else (orig, false)
-              TreeRow(id, TreeJson.toJson(out))
+              try parseNumberedItems(client.complete(promptFor(vocabSorted, numbered)))
+              catch { case scala.util.control.NonFatal(_) => Map.empty[Int, String] }
+            items.zipWithIndex.map { case ((id, json), i) =>
+              // keyed by item number: a skipped answer falls back to the
+              // ORIGINAL row (its JSON reused verbatim), never to a
+              // neighboring tree's answer
+              answers.get(i + 1) match {
+                case None => TreeRow(id, json)
+                case Some(raw) =>
+                  val orig = TreeJson.fromJson(json)
+                  val (out, changed) = parseTreeOutput(raw, orig, vocab, cfg.vocabSimilarity)
+                  TreeRow(id, if (changed) TreeJson.toJson(out) else json)
+              }
             }
           }
         }.flatten

@@ -116,9 +116,15 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("va"), col("vb")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
+    // materialize the (tiny) top-k so the working caches can be released
+    // instead of leaking for the session lifetime
+    val out = scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id")
+      .localCheckpoint(true)
+    assigned.unpersist()
+    corpus.unpersist()
+    out
   }
 }

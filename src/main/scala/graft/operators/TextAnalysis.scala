@@ -79,9 +79,11 @@ object TextAnalysis {
     * RE2-unsupported lookahead): a token is an optionally-space-prefixed
     * letter run, digit run, or punctuation run, or a whitespace run.
     * Restricted to constructs Java regex and RE2 (DuckDB) evaluate
-    * identically, so the count is oracle-checkable.
+    * identically, so the count is oracle-checkable — whitespace is the
+    * EXPLICIT class [ \t\n\f\r], because Java's \s includes vertical
+    * tab while RE2's does not.
     */
-  val BpeTokenPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  val BpeTokenPattern = " ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 
   /** Tokenizer-aware size estimate: the number of BPE-style pre-tokens
     * per document. A real BPE would split rare words further, so this is

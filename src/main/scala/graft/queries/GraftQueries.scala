@@ -126,18 +126,22 @@ object GraftQueries {
     // §2.6 FD metrics over extracted datasets
     "fd_confidence_orders" -> ((s, d) =>
       FdMetrics.confidenceTable(ordersExtract(s, d))),
+    // dropDuplicates after dropping the key: the oracles' dataset is the
+    // DISTINCT 3-column projection, and without the dedup the Spark side
+    // would only agree when no two customers share those columns — a
+    // data-dependent equivalence instead of a structural one
     "fd_confidence_customer_nokey" -> ((s, d) =>
-      FdMetrics.confidenceTable(customerExtract(s, d).drop("c_custkey"))),
+      FdMetrics.confidenceTable(customerExtract(s, d).drop("c_custkey").dropDuplicates())),
 
     // §2.6 dependency_score / redundancy_score as query surfaces
     "fd_dependency_customer" -> ((s, d) => {
       import s.implicits._
-      val df = customerExtract(s, d).drop("c_custkey")
+      val df = customerExtract(s, d).drop("c_custkey").dropDuplicates()
       Seq(FdMetrics.dependencyScore(df, df.columns.toSeq)).toDF("dependency_score")
     }),
     "fd_redundancy_customer" -> ((s, d) => {
       import s.implicits._
-      val df = customerExtract(s, d).drop("c_custkey")
+      val df = customerExtract(s, d).drop("c_custkey").dropDuplicates()
       Seq(FdMetrics.redundancyScore(df, tau = 0.5)).toDF("redundancy_score")
     }),
 
@@ -444,7 +448,7 @@ object GraftQueries {
 
     "token_count_documents" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_tokens
+        |  CAST(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
 
     "lang_id_documents" ->

@@ -170,11 +170,26 @@ object RelationalLoader {
     forests.reduceOption(_ union _).getOrElse(spark.emptyDataset[TreeRow])
   }
 
-  /** Globally-unique deterministic tree id: forest salt (6 bits),
-    * partition (20 bits), row-in-partition (36 bits). Sign bit stays 0.
+  /** Globally-unique tree id: forest salt (6 bits), partition (22
+    * bits — 4.1M partitions covers 100 TB at 32 MB splits), then
+    * row-in-partition (35 bits). The ranges are ENFORCED — a silent
+    * field overflow would merge unrelated trees downstream, so out of
+    * range fails the task instead.
+    *
+    * Ids are assignment-stable only within one materialization of the
+    * load: they are positional, so callers that run multiple actions
+    * over the same lazy forest must persist/checkpoint it first (the
+    * query registry eagerly localCheckpoints; `Forest.checkpoint` is
+    * the cluster-reliable variant). One tree per source ROW is the
+    * reference's identity contract — a content-derived id would merge
+    * rows colliding on a non-unique declared pk.
     */
-  private[graft] def treeId(salt: Long, partition: Int, index: Long): Long =
-    (salt << 56) | (partition.toLong << 36) | index
+  private[graft] def treeId(salt: Long, partition: Int, index: Long): Long = {
+    require(salt >= 0 && salt < (1L << 6), s"forest salt out of range: $salt")
+    require(partition >= 0 && partition < (1 << 22), s"partition out of range: $partition")
+    require(index >= 0 && index < (1L << 35), s"row index out of range: $index")
+    (salt << 57) | (partition.toLong << 35) | index
+  }
 
   /** One forest Dataset for a (non-association) root table. */
   private def loadRoot(
@@ -509,10 +524,22 @@ object RelationalLoader {
       }
     }
 
-    reachable
-      .map(_.select(entCols.map(c => col(c).cast("string").as(c)): _*))
+    // Column-name parity with the generic path: buildGroup underscores
+    // entity names (`c.replace(' ', '_')`).
+    val projected = reachable
+      .map(_.select(entCols.map(c => col(c).cast("string").as(c.replace(' ', '_'))): _*))
       .reduce(_ union _)
-      .distinct()
+
+    // All-null-column parity: the generic path's pivot only has columns
+    // for entities OBSERVED non-null somewhere (buildGroup skips null
+    // values), so drop columns that are null across every reachable row.
+    // One cheap aggregate over the projection — no extra source scan.
+    val presence = projected
+      .select(projected.columns.map(c => count(col(c)).as(c)).toIndexedSeq: _*)
+      .head
+    val observed = projected.columns.filter(c => presence.getAs[Long](c) > 0L)
+
+    projected.select(observed.map(col).toIndexedSeq: _*).distinct()
   }
 
   /** Straight-to-node-rows load: flattens each assembled tree in the same
@@ -636,8 +663,9 @@ object RelationalLoader {
 
   /** Emit the pre-order NodeRows of one root row straight from the wide
     * join row — no intermediate tree objects, no per-node subtree walks.
-    * Must stay byte-identical to `Forest.nodeRows(treeIdOf(rootOid),
-    * assemble(...))`; a differential test pins that.
+    * Must stay byte-identical to `Forest.nodeRows(treeId, tree)` over
+    * the tree `assemble` builds for the same wide row and tree id; a
+    * differential test pins that.
     */
   private def emitNodeRows(
       plan: CPlan,

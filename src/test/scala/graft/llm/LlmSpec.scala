@@ -109,6 +109,33 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(schema.verify)
   }
 
+  test("a skipped answer number falls back, without shifting later answers") {
+    val t1 = ArchiTree.fromString("(ROOT (S (ENT::a x1)))")
+    val t2 = ArchiTree.fromString("(ROOT (S (ENT::a x2)))")
+    val t3 = ArchiTree.fromString("(ROOT (S (ENT::a x3)))")
+    val forest = Forest.fromTrees(spark, Seq(t1, t2, t3)).coalesce(1)
+    // answers items 1 and 3 only (grouped); skips 2 — a common LLM failure
+    val skipper = new LlmClient {
+      def complete(prompt: String): String = {
+        val items = LlmRewrite.parseNumberedItems(prompt)
+        def grouped(json: String) = {
+          val t = TreeJson.fromJson(json)
+          val s = t.childTrees.head
+          TreeJson.toJson(t.copy(children = Vector(Child.Node(
+            s.copy(label = Typed(NodeType.Group, "G"))))))
+        }
+        s"1. ${grouped(items(1))}\n3. ${grouped(items(3))}"
+      }
+    }
+    val out = Forest.collectTrees(
+      LlmRewrite.rewrite(forest, skipper, LlmRewrite.Config(maxTokens = 100000)))
+      .sortBy(_.leaves.head)
+    assert(out(0).childTrees.head.hasType(NodeType.Group)) // answered
+    assert(out(1) == t2)                                   // skipped → original
+    assert(out(2).childTrees.head.hasType(NodeType.Group)) // answered, not shifted
+    assert(out(2).leaves == Vector("x3"))
+  }
+
   test("llm rewrite falls back to originals when the endpoint errors") {
     val trees = Seq(ArchiTree.fromString("(ROOT (S (ENT::a x)))"))
     val forest = Forest.fromTrees(spark, trees)
