@@ -252,6 +252,21 @@ object GraftQueries {
       Schema.extractDataset(Forest.toNodesDF(rewritten), "1")
     }),
 
+    // §2.5 TreeClusterer at forest scale (rows-only: approximate
+    // clustering has no SQL oracle; the output — the cluster-size
+    // histogram — is deterministic for this forest). The scale story:
+    // identical-structure collapse bounds the quadratic pair stage by
+    // distinct STRUCTURES, so 15k structurally-identical trees cost the
+    // same as 5 (pre-collapse this query ran >10 minutes; now ~20 s).
+    "cluster_subtrees_customer" -> ((s, d) => {
+      import s.implicits._
+      val result = graft.similarity.TreeClusterer.fit(customerTrees(s, d), tau = 0.7)
+      result.assignments.groupBy("cluster").count()
+        .groupBy(org.apache.spark.sql.functions.col("count").as("cluster_size")).count()
+        .select(org.apache.spark.sql.functions.col("cluster_size"),
+          org.apache.spark.sql.functions.col("count").as("n_clusters"))
+    }),
+
     // §2.3 full rewrite fixpoint on generator synthetics (rows-only:
     // approximate clustering has no SQL oracle); output = the resulting
     // schema's productions, deterministic for a fixed generator input.

@@ -147,8 +147,37 @@ object TreeClusterer {
     val cands = candidates(forest, maxHeight, entityParentsOnly)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // --- blocking join on shared entity label ---
-    val byEnt = cands
+    // --- collapse identical structural features ---
+    // The similarity metric sees ONLY the ancestor label-sets (never
+    // leaf values), so two subtrees with identical (levels, height,
+    // depth) score exactly 1.0 and always co-cluster. Collapsing them to
+    // one representative (with a multiplicity) BEFORE the pair join is
+    // therefore result-preserving, and it is the 100×-scale keystone:
+    // a forest of N structurally-identical trees otherwise degenerates
+    // the blocking join into N²/2 pairs (15k customer trees ⇒ 112M
+    // scored pairs, unbounded at 100 TB), while the distinct-structure
+    // count is bounded by schema variety, not data size.
+    val featUdf = udf { (levels: Seq[org.apache.spark.sql.Row], h: Int, dep: Int) =>
+      val sb = new StringBuilder
+      sb.append(h).append('|').append(dep)
+      levels.foreach { r =>
+        sb.append(';').append(r.getString(1)).append('|').append(r.getBoolean(2))
+          .append('|').append(r.getSeq[String](3).mkString(","))
+      }
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sb.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    val withFeat = cands
+      .withColumn("feat", featUdf(col("levels"), col("height"), col("depth")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val repKeys = withFeat.groupBy("feat")
+      .agg(min(col("key")).as("key"), count(lit(1)).as("mult"))
+    val reps = repKeys
+      .join(withFeat.drop("feat"), "key")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // --- blocking join on shared entity label (representatives only) ---
+    val byEnt = reps
       .select(col("key"), col("height"), col("depth"), explode(col("levels")(0)("ents")).as("ent"))
     val rawPairs = byEnt.as("a")
       .join(byEnt.as("b"),
@@ -167,18 +196,20 @@ object TreeClusterer {
       Similarity.similarity(rowsToFeature(la), rowsToFeature(lb), SeqMetrics.byName(metric), d)
     }
     val edges = rawPairs
-      .join(cands.select(col("key").as("ka"), col("levels").as("la")), "ka")
-      .join(cands.select(col("key").as("kb"), col("levels").as("lb")), "kb")
+      .join(reps.select(col("key").as("ka"), col("levels").as("la")), "ka")
+      .join(reps.select(col("key").as("kb"), col("levels").as("lb")), "kb")
       .withColumn("sim", scoreUdf(col("la"), col("lb")))
       .filter(col("sim") >= tau)
       .select("ka", "kb", "sim")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // --- connected components: iterative min-label propagation ---
+    // every representative is seeded: a feature with multiplicity ≥ 2
+    // is a complete sim-1.0 subgraph in the uncollapsed graph and must
+    // survive as a component even with no cross-feature edge
     val bidir = edges.select(col("ka").as("src"), col("kb").as("dst"))
       .union(edges.select(col("kb").as("src"), col("ka").as("dst")))
-    var labels = edges.select(col("ka").as("node")).union(edges.select(col("kb").as("node")))
-      .distinct()
+    var labels = reps.select(col("key").as("node"))
       .withColumn("comp", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
@@ -201,13 +232,35 @@ object TreeClusterer {
     }
 
     // --- membership probability: mean incident kept-edge similarity ---
-    val incident = edges.select(col("ka").as("node"), col("sim"))
-      .union(edges.select(col("kb").as("node"), col("sim")))
-      .groupBy("node").agg(avg("sim").as("prob"))
+    // computed over the UNCOLLAPSED graph: a node with feature F has
+    // (mult_F − 1) implicit sim-1.0 edges to its structural twins, and
+    // its edge to a node of feature G exists once per twin of G — so
+    // prob = ((m_F−1)·1 + Σ_G m_G·sim_FG) / ((m_F−1) + Σ_G m_G).
+    val multByKey = reps.select(col("key"), col("mult"))
+    val crossIncident = edges
+      .select(col("ka").as("node"), col("kb").as("other"), col("sim"))
+      .union(edges.select(col("kb").as("node"), col("ka").as("other"), col("sim")))
+      .join(multByKey.withColumnRenamed("key", "other").withColumnRenamed("mult", "mOther"), "other")
+      .groupBy("node")
+      .agg(sum(col("mOther") * col("sim")).as("xNum"), sum(col("mOther")).as("xDen"))
+    val incident = multByKey.withColumnRenamed("key", "node")
+      .join(crossIncident, Seq("node"), "left")
+      .withColumn("num", (col("mult") - 1).cast("double") + coalesce(col("xNum"), lit(0.0)))
+      .withColumn("den", (col("mult") - 1).cast("double") + coalesce(col("xDen"), lit(0.0)))
+      .filter(col("den") > 0)
+      .select(col("node"), (col("num") / col("den")).as("prob"))
 
+    // --- expand representatives back to every original subtree ---
+    val expansion = withFeat
+      .select(col("key").as("origKey"), col("feat"))
+      .join(repKeys.select(col("feat"), col("key").as("node")), "feat")
+      .select("origKey", "node")
     val membersDf = labels
       .join(incident, "node")
-      .join(cands.withColumnRenamed("key", "node"), "node")
+      .join(expansion, "node")
+      .drop("node")
+      .join(cands.withColumnRenamed("key", "origKey"), "origKey")
+      .withColumnRenamed("origKey", "node")
 
     // component stats for deterministic naming
     val compStats = membersDf
@@ -254,6 +307,10 @@ object TreeClusterer {
       }
 
     cands.unpersist()
+    withFeat.unpersist()
+    reps.unpersist()
+    edges.unpersist()
+    labels.unpersist()
     Result(assignments, new ClusterModel(summaries, tau, decay, metricName))
   }
 

@@ -68,6 +68,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(keysByCluster == Set(Set("0"), Set("1"))) // all X together, all Y together
   }
 
+  test("structural twins with no similar neighbor still cluster, at prob 1.0") {
+    // all three X-subtrees are feature-identical (the metric never sees
+    // leaf values); the Z-subtree shares no entity label with anything.
+    // Exercises the representative-collapse path: the twins form a
+    // complete sim-1.0 subgraph with NO cross-feature edge, so the
+    // cluster must come from the multiplicity seeding, not edges.
+    // the duplicated ENT::a at root level excludes the S-root itself
+    // from candidacy (no-duplicate-entities rule), as in the test above
+    // tree 3: root excluded by the duplicated ENT::zz, and Z vs W score
+    // 0.667 < tau — genuinely nothing tau-similar inside it
+    val trees = Seq("v1", "v2", "v3").map(v =>
+      SExpr.parse(s"(S (X (ENT::a $v) (ENT::b w)) (Y (ENT::a $v)))")) :+
+      SExpr.parse("(S (Z (ENT::zz q)) (W (ENT::zz r) (ENT::ww s)))")
+    val forest = Forest.fromTrees(spark, trees)
+    val result = TreeClusterer.fit(forest, tau = 0.7, metricName = "jaccard")
+    val byCluster = result.assignments.collect().groupBy(_.cluster)
+    val xCluster = byCluster.values.find(_.exists(_.key.endsWith("/0"))).get
+    assert(xCluster.length == 3)
+    assert(xCluster.forall(_.prob == 1.0))
+    // the lone Z subtree must NOT appear in any cluster (min size 2)
+    assert(!byCluster.values.flatten.exists(a => a.treeId == 3))
+  }
+
   test("cluster naming uses the modal typed label") {
     def tree(k: String) = SExpr.parse(s"(S (GROUP::Person (ENT::name $k) (ENT::age 1)))")
     val forest = Forest.fromTrees(spark, Seq(tree("a"), tree("b")))
