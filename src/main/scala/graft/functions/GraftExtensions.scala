@@ -1,0 +1,21 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the graft function
+  * library at session build time, so a cluster deployment enables it
+  * with `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * (no per-operator runtime registration needed, and the functions are
+  * visible to plain SQL too). The operators still self-register via
+  * [[GraftFunctions.register]] as a fallback for ad-hoc sessions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    extensions.injectFunction(
+      (
+        FunctionIdentifier("graft_cosine"),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+        (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+}
