@@ -78,15 +78,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object GraftFunctions {
 
+  /** Arity-checked builder shared by runtime registration and
+    * [[GraftExtensions]] — without the check, extra SQL arguments would
+    * be silently dropped and a missing one would surface as a raw
+    * IndexOutOfBoundsException instead of an analysis error.
+    */
+  private[functions] val cosineBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, s"graft_cosine requires exactly 2 arguments, got ${args.length}")
+    CosineSimilarity(args(0), args(1))
+  }
+
   /** Idempotent per-session registration so `call_function` can resolve
-    * the expression by name. On a cluster deployment the same builder can
-    * be injected via `SparkSessionExtensions.injectFunction` instead.
+    * the expression by name. On a cluster deployment the same builder is
+    * injected via `SparkSessionExtensions` ([[GraftExtensions]]) instead.
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine",
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)),
-      "built-in")
+      "graft_cosine", cosineBuilder, "built-in")
 
   /** Cosine similarity column over two array<double> columns. The
     * session the plan runs on must have called [[register]].

@@ -17,5 +17,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (
         FunctionIdentifier("graft_cosine"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-        (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+        GraftFunctions.cosineBuilder))
 }

@@ -6,8 +6,10 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 /** Content-keyed corpus cache (reference architxt/nlp/__init__.py:45-76,
   * 168-178: MD5 of archive + settings keys a ZODB cache of parsed
   * forests). Spark re-expression: the cache is a parquet directory keyed
-  * by the same hash — idempotent to re-runs, shared across sessions,
-  * safe under concurrent writers via parquet's atomic directory commit.
+  * by the same hash — idempotent to re-runs, shared across sessions.
+  * Concurrent writers each stage into a private temp directory and
+  * commit with an atomic filesystem rename: the first rename wins, a
+  * loser discards its staging copy and reads the winner's.
   */
 object CorpusCache {
 
@@ -32,16 +34,22 @@ object CorpusCache {
       cacheDir: String,
       key: String,
   )(parse: => Dataset[TreeRow]): Dataset[TreeRow] = {
+    import org.apache.hadoop.fs.Path
     import spark.implicits._
-    val path = s"$cacheDir/$key"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val qualified = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(new org.apache.hadoop.fs.Path(qualified, "_SUCCESS"))) {
-      spark.read.parquet(path).as[TreeRow]
-    } else {
-      parse.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path).as[TreeRow]
+    val target = new Path(s"$cacheDir/$key")
+    // Path(...).getFileSystem accepts raw local paths (spaces included),
+    // unlike FileSystem.get(new URI(...))
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // directory existence IS the commit marker (the rename below is
+    // atomic) — do not rely on _SUCCESS, which cloud committers may be
+    // configured not to write
+    if (!fs.exists(target)) {
+      val staging = new Path(s"$cacheDir/.tmp-$key-${java.util.UUID.randomUUID()}")
+      parse.write.mode("overwrite").parquet(staging.toString)
+      // first committer wins; a concurrent loser cleans up its staging
+      // copy and reads the winner's directory
+      if (!fs.rename(staging, target)) fs.delete(staging, true)
     }
+    spark.read.parquet(target.toString).as[TreeRow]
   }
 }

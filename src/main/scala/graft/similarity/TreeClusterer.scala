@@ -157,21 +157,23 @@ object TreeClusterer {
     // the blocking join into N²/2 pairs (15k customer trees ⇒ 112M
     // scored pairs, unbounded at 100 TB), while the distinct-structure
     // count is bounded by schema variety, not data size.
-    val featUdf = udf { (levels: Seq[org.apache.spark.sql.Row], h: Int, dep: Int) =>
-      val sb = new StringBuilder
-      sb.append(h).append('|').append(dep)
-      levels.foreach { r =>
-        sb.append(';').append(r.getString(1)).append('|').append(r.getBoolean(2))
-          .append('|').append(r.getSeq[String](3).mkString(","))
-      }
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(sb.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    }
+    // the feature key is a STRUCT (not a delimited string — unescaped
+    // corpus labels containing the delimiter would collide and wrongly
+    // collapse distinct structures); level ids are excluded so twins
+    // compare equal. Entity-free subtrees are excluded up front: the
+    // metric scores them 0 even against themselves (Similarity shortcut),
+    // so they can never cluster — seeding their twins would manufacture
+    // clusters the metric forbids.
+    val featCol = struct(
+      col("height"), col("depth"),
+      expr("transform(levels, l -> struct(l.label, l.isTyped, l.ents))"))
     val withFeat = cands
-      .withColumn("feat", featUdf(col("levels"), col("height"), col("depth")))
+      .filter(size(col("levels")(0)("ents")) > 0)
+      .withColumn("feat", featCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val repKeys = withFeat.groupBy("feat")
       .agg(min(col("key")).as("key"), count(lit(1)).as("mult"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val reps = repKeys
       .join(withFeat.drop("feat"), "key")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -303,11 +305,15 @@ object TreeClusterer {
           .map { case (a, c) => (c.toFeature, a.prob) }.toVector
         val avgEnts = rows.map(_._2.levels.head.ents.size).sum.toDouble / rows.length
         val avgDepth = rows.map(_._2.depth).sum.toDouble / rows.length
-        name -> ClusterSummary(name, rows.length, rows.map(_._1.key).toSet, members, avgEnts, avgDepth)
+        // membership-by-identity ids in the FEATURE id space (oid, or
+        // the synthetic treeKey@i) — getEquivOf compares f.self.id, so
+        // assignment keys ("treeId/path") would never match
+        name -> ClusterSummary(name, rows.length, rows.map(_._2.levels.head.id).toSet, members, avgEnts, avgDepth)
       }
 
     cands.unpersist()
     withFeat.unpersist()
+    repKeys.unpersist()
     reps.unpersist()
     edges.unpersist()
     labels.unpersist()

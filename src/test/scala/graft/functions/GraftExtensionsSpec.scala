@@ -14,11 +14,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assume(
       SparkSession.getDefaultSession.isEmpty && SparkSession.getActiveSession.isEmpty,
       "requires a fresh JVM (spark.sql.extensions is static)")
-    val prev = SparkSession.getDefaultSession
-    SparkSession.clearDefaultSession()
-    SparkSession.clearActiveSession()
     // same base config as SparkSpec: if this suite runs first, later
-    // suites inherit this context
+    // suites inherit this context (never stop() it — shared JVM)
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-extensions-test")
@@ -27,18 +24,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try {
-      val r = spark
-        .sql("SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS s")
-        .head.getDouble(0)
-      assert(math.abs(r - 1.0) < 1e-12)
-    } finally {
-      SparkSession.clearDefaultSession()
-      SparkSession.clearActiveSession()
-      prev.foreach { p =>
-        SparkSession.setDefaultSession(p)
-        SparkSession.setActiveSession(p)
-      }
+    val r = spark
+      .sql("SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS s")
+      .head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(1.0d))").collect()
     }
+    assert(err.getMessage.contains("graft_cosine requires exactly 2 arguments"))
   }
 }

@@ -91,6 +91,17 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!byCluster.values.flatten.exists(a => a.treeId == 3))
   }
 
+  test("entity-free structural twins never cluster (metric scores them 0)") {
+    // two identical untyped subtrees over plain string leaves: the
+    // similarity shortcut scores entity-free pairs 0 even against
+    // themselves, so the representative collapse must NOT seed them
+    val trees = Seq.fill(2)(SExpr.parse("(S (X plain leaf) (ENT::a v))"))
+    val forest = Forest.fromTrees(spark, trees)
+    val result = TreeClusterer.fit(forest, tau = 0.7, metricName = "jaccard")
+    val clustered = result.assignments.collect().map(_.key)
+    assert(!clustered.exists(_.endsWith("/0")), s"X subtrees clustered: ${clustered.mkString(",")}")
+  }
+
   test("cluster naming uses the modal typed label") {
     def tree(k: String) = SExpr.parse(s"(S (GROUP::Person (ENT::name $k) (ENT::age 1)))")
     val forest = Forest.fromTrees(spark, Seq(tree("a"), tree("b")))
