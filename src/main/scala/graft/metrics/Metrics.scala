@@ -10,17 +10,20 @@ import org.apache.spark.sql.Dataset
   * label counts, and entity clustering of a forest at construction, then
   * scores the current state against it after rewriting.
   */
+/** Point-in-time forest state captured for comparison. Top level (not
+  * nested in Metrics) so pattern matches need no outer-instance check.
+  */
+final case class Snapshot(
+    schema: Schema,
+    entityOids: Set[String],
+    labelCounts: Map[String, Long],
+    clustering: Map[String, String])
+
 final class Metrics(
     source: Dataset[TreeRow],
     tau: Double = 0.7,
     decay: Double = 2.0,
     metricName: String = "jaro") {
-
-  final case class Snapshot(
-      schema: Schema,
-      entityOids: Set[String],
-      labelCounts: Map[String, Long],
-      clustering: Map[String, String])
 
   private def snapshot(forest: Dataset[TreeRow]): Snapshot = {
     import forest.sparkSession.implicits._
