@@ -25,14 +25,33 @@ final case class CandRow(
 /** One clustered subtree: cluster name + membership weight. */
 final case class Assignment(key: String, treeId: Long, cluster: String, prob: Double)
 
+/** Identity-free canonical form of a subtree feature — exactly the key
+  * the fit() collapse groups on (level ids excluded, ent sets sorted).
+  * Two subtrees with equal StructKeys score 1.0 and always co-cluster,
+  * so "my StructKey is one of the cluster's" is an exact membership
+  * test, and the set of distinct StructKeys per cluster is bounded by
+  * schema variety — broadcastable at any data size (unlike the raw
+  * member-id set, which grows with the data).
+  */
+final case class StructLevel(label: String, isTyped: Boolean, ents: Seq[String])
+final case class StructKey(height: Int, depth: Int, levels: Seq[StructLevel]) {
+  override def toString: String = s"StructKey(h=$height,d=$depth,${levels.size} levels)"
+}
+object StructKey {
+  def of(f: SubtreeFeature): StructKey =
+    StructKey(f.height, f.depth,
+      f.levels.map(l => StructLevel(l.label, l.isTyped, l.entLabels.toSeq.sorted)))
+}
+
 /** Broadcastable cluster summary for get_equiv_of scoring
   * (reference similarity.py:370-432): members sorted by probability
-  * descending, capped at `keep` features per cluster.
+  * descending, capped at `keep` features per cluster; membership is
+  * testable via the distinct structural features (`memberFeats`).
   */
 final case class ClusterSummary(
     name: String,
     support: Int,
-    memberIds: Set[String],
+    memberFeats: Set[StructKey],
     members: Vector[(SubtreeFeature, Double)],
     avgEntities: Double,
     avgDepth: Double) extends Serializable
@@ -53,9 +72,10 @@ final class ClusterModel(
     * center-similarity order.
     */
   def getEquivOf(f: SubtreeFeature, topK: Int = 20): Option[String] = {
+    val sk = StructKey.of(f)
     val centerSims = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     for ((name, c) <- clusters) {
-      if (c.memberIds.contains(f.self.id)) return Some(name)
+      if (c.memberFeats.contains(sk)) return Some(name)
       c.members.headOption.foreach { case (center, _) =>
         val sim = Similarity.similarity(f, center, metric, decay)
         if (sim >= tau) return Some(name)
