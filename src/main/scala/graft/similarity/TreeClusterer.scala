@@ -25,6 +25,9 @@ final case class CandRow(
 /** One clustered subtree: cluster name + membership weight. */
 final case class Assignment(key: String, treeId: Long, cluster: String, prob: Double)
 
+/** Joined (assignment, candidate) row for the executor-side model build. */
+final case class MemberRow(cluster: String, prob: Double, key: String, cand: CandRow)
+
 /** Identity-free canonical form of a subtree feature — exactly the key
   * the fit() collapse groups on (level ids excluded, ent sets sorted).
   * Two subtrees with equal StructKeys score 1.0 and always co-cluster,
@@ -314,22 +317,50 @@ object TreeClusterer {
       .as[Assignment]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // --- broadcastable model: top-`keep` members per cluster by prob ---
-    val summaries = assignments
+    // --- broadcastable model, built executor-side ---
+    // the driver receives only (a) one stats row per cluster, (b) the
+    // distinct StructKeys per cluster (bounded by schema variety, the
+    // whole point of the identity-free key), and (c) the window-ranked
+    // top-`keepPerCluster` member features — O(clusters × K), never
+    // O(members). The old joinWith(...).collect() pulled every
+    // (assignment × feature) row to the driver.
+    val memberRows = assignments
       .joinWith(cands, assignments("key") === cands("key"))
+      .map { case (a, c) => MemberRow(a.cluster, a.prob, a.key, c) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val statRows = memberRows.groupBy("cluster")
+      .agg(
+        count(lit(1)).as("support"),
+        avg(size(col("cand.levels").getItem(0).getField("ents"))).as("avgEnts"),
+        avg(col("cand.depth")).as("avgDepth"))
       .collect()
-      .groupBy(_._1.cluster)
-      .map { case (name, rows) =>
-        val sorted = rows.sortBy { case (a, _) => (-a.prob, a.key) }
-        val members = sorted.take(keepPerCluster)
-          .map { case (a, c) => (c.toFeature, a.prob) }.toVector
-        val avgEnts = rows.map(_._2.levels.head.ents.size).sum.toDouble / rows.length
-        val avgDepth = rows.map(_._2.depth).sum.toDouble / rows.length
-        // membership-by-identity ids in the FEATURE id space (oid, or
-        // the synthetic treeKey@i) — getEquivOf compares f.self.id, so
-        // assignment keys ("treeId/path") would never match
-        name -> ClusterSummary(name, rows.length, rows.map(_._2.levels.head.id).toSet, members, avgEnts, avgDepth)
-      }
+    val featRows = memberRows
+      .map(m => (m.cluster, StructKey(m.cand.height, m.cand.depth,
+        m.cand.levels.map(l => StructLevel(l.label, l.isTyped, l.ents)))))
+      .distinct()
+      .collect()
+    val rankWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("prob").desc, col("key").asc)
+    val topRows = memberRows.toDF()
+      .withColumn("rn", row_number().over(rankWin))
+      .filter(col("rn") <= keepPerCluster)
+      .drop("rn")
+      .as[MemberRow]
+      .collect()
+    memberRows.unpersist()
+
+    val featsByCluster = featRows.groupBy(_._1).map { case (n, fs) => n -> fs.map(_._2).toSet }
+    val membersByCluster = topRows.groupBy(_.cluster)
+    val summaries = statRows.map { r =>
+      val name = r.getString(0)
+      val members = membersByCluster.getOrElse(name, Array.empty[MemberRow])
+        .sortBy(m => (-m.prob, m.key))
+        .map(m => (m.cand.toFeature, m.prob)).toVector
+      name -> ClusterSummary(
+        name, r.getLong(1).toInt, featsByCluster.getOrElse(name, Set.empty),
+        members, r.getDouble(2), r.getDouble(3))
+    }.toMap
 
     cands.unpersist()
     withFeat.unpersist()

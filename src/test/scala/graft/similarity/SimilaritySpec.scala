@@ -126,6 +126,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(result.model.getEquivOf(other("other/0")).isEmpty)
   }
 
+  test("memberFeats membership: structural twin matches via StructKey, distinct non-member does not") {
+    def tree(p: String, f: String) =
+      SExpr.parse(s"(S (X (ENT::person $p) (ENT::fruit $f)))")
+    val forest = Forest.fromTrees(spark, Seq(tree("Alice", "apple"), tree("Bob", "banana")))
+    val result = TreeClusterer.fit(forest, tau = 0.7, metricName = "jaccard")
+    assert(result.model.clusters.size == 1)
+    val (name, summary) = result.model.clusters.head
+    // identity-free: the 4 members (2 S-roots + 2 X-nodes) collapse to
+    // 2 structural keys — bounded by schema variety, not data size
+    assert(summary.memberFeats.size == 2)
+    // a structural twin (same labels/ents, different oids and tree key)
+    // is a member by StructKey — the O(1) fast path in getEquivOf
+    val twin = Similarity.treeFeatures(tree("Carol", "cherry"), "twin").toMap
+    assert(summary.memberFeats.contains(StructKey.of(twin("twin/0"))))
+    assert(result.model.getEquivOf(twin("twin/0")) == Some(name))
+    // structurally distinct and below tau → not a member, no cluster
+    val other = Similarity.treeFeatures(
+      SExpr.parse("(S (Z (ENT::qq 1) (ENT::ww 2)))"), "other").toMap
+    assert(!summary.memberFeats.contains(StructKey.of(other("other/0"))))
+    assert(result.model.getEquivOf(other("other/0")).isEmpty)
+  }
+
   test("entityLabels with null metric maps entities to parent labels") {
     val forest = Forest.fromTrees(spark, Seq(
       SExpr.parse("(S (X (ENT::a 1)) (GROUP::G (ENT::b 2)))")))
