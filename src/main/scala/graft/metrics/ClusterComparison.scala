@@ -22,10 +22,12 @@ object ClusterComparison {
   private def contingency(a: Seq[String], b: Seq[String]): Map[(String, String), Long] =
     a.lazyZip(b).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
 
-  def mutualInfo(a: Seq[String], b: Seq[String]): Double = {
-    val n = a.size.toLong
+  def mutualInfo(a: Seq[String], b: Seq[String]): Double =
+    mutualInfoFromContingency(contingency(a, b))
+
+  def mutualInfoFromContingency(cont: Map[(String, String), Long]): Double = {
+    val n = cont.values.sum
     if (n == 0) return 0.0
-    val cont = contingency(a, b)
     val ca = cont.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
     val cb = cont.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
     cont.map { case ((x, y), nij) =>
@@ -63,15 +65,19 @@ object ClusterComparison {
     */
   def adjustedMutualInfo(a: Seq[String], b: Seq[String]): Double = {
     require(a.size == b.size, "label sequences must align")
-    val n = a.size.toLong
+    adjustedMutualInfoFromContingency(contingency(a, b))
+  }
+
+  def adjustedMutualInfoFromContingency(cont: Map[(String, String), Long]): Double = {
+    val n = cont.values.sum
     if (n == 0) return 1.0
-    val ca = a.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
-    val cb = b.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ca = cont.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val cb = cont.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
     // Degenerate cases: single cluster on both sides, or all-singletons on
     // both sides → perfect agreement by convention.
     if ((ca.size == 1 && cb.size == 1) || (ca.size == n && cb.size == n)) return 1.0
 
-    val mi = mutualInfo(a, b)
+    val mi = mutualInfoFromContingency(cont)
     val emi = expectedMutualInfo(ca.values.toSeq, cb.values.toSeq, n)
     val ha = entropy(ca.values, n)
     val hb = entropy(cb.values, n)
@@ -86,12 +92,15 @@ object ClusterComparison {
     */
   def completeness(labelsTrue: Seq[String], labelsPred: Seq[String]): Double = {
     require(labelsTrue.size == labelsPred.size, "label sequences must align")
-    val n = labelsTrue.size.toLong
+    completenessFromContingency(contingency(labelsTrue, labelsPred))
+  }
+
+  def completenessFromContingency(cont: Map[(String, String), Long]): Double = {
+    val n = cont.values.sum
     if (n == 0) return 1.0
-    val cPred = labelsPred.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cPred = cont.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
     val hPred = entropy(cPred.values, n)
     if (hPred == 0.0) return 1.0
-    val cont = contingency(labelsTrue, labelsPred)
     val cTrue = cont.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
     // H(pred | true) = Σ_c Σ_k -(n_ck/n) log(n_ck / n_c)
     val hPredGivenTrue = cont.map { case ((t, _), nck) =>

@@ -382,13 +382,20 @@ object TreeClusterer {
     * (non-ENT subtrees with an ENT child), then assign each child entity
     * oid its parent's cluster name. `metricName = null` variant maps each
     * entity to its parent's label directly.
+    *
+    * Returns a Dataset of (oid, label), one row per distinct entity oid
+    * — callers join rather than receive a driver-side map, so nothing
+    * here is sized by entity count. An oid duplicated under differently
+    * labelled parents (REL duplication does this) resolves to the max
+    * label for determinism (the reference's dict insertion made the
+    * winner ordering-dependent).
     */
   def entityLabels(
       forest: Dataset[TreeRow],
       tau: Double,
       metricName: String = "jaro",
       decay: Double = Similarity.Decay,
-  ): Map[String, String] = {
+  ): Dataset[(String, String)] = {
     import forest.sparkSession.implicits._
     if (metricName == null) {
       return forest.flatMap { row =>
@@ -400,29 +407,29 @@ object TreeClusterer {
               oid -> t.label.render
           }
         }
-      }.collect().toMap
+      }.groupBy(col("_1").as("oid")).agg(max(col("_2")).as("label"))
+        .as[(String, String)]
     }
 
     val result = fit(forest, tau = tau, decay = decay, metricName = metricName,
       entityParentsOnly = true)
-    val parentKeys: Map[String, String] = result.assignments.collect()
-      .map(a => a.key -> a.cluster).toMap
-    val pk = forest.sparkSession.sparkContext.broadcast(parentKeys)
-
-    forest.flatMap { row =>
+    // (parent key, entity oid) pairs, joined against the assignments —
+    // no driver-side parent map, no broadcast sized by the forest
+    val parentChild = forest.flatMap { row =>
       val tree = TreeJson.fromJson(row.tree)
       tree.positionedSubtrees.flatMap { case (path, t) =>
         val key = s"${row.treeId}/${path.mkString(".")}"
-        pk.value.get(key) match {
-          case Some(cluster) =>
-            t.childTrees.zipWithIndex.collect {
-              case (c, i) if c.hasType(NodeType.Ent) =>
-                val oid = if (c.oid.nonEmpty) c.oid else s"${row.treeId}/${(path :+ i).mkString(".")}"
-                oid -> cluster
-            }
-          case None => Vector.empty
+        t.childTrees.zipWithIndex.collect {
+          case (c, i) if c.hasType(NodeType.Ent) =>
+            val oid = if (c.oid.nonEmpty) c.oid else s"${row.treeId}/${(path :+ i).mkString(".")}"
+            key -> oid
         }
       }
-    }.collect().toMap
+    }.toDF("key", "oid")
+
+    result.assignments.toDF().select(col("key"), col("cluster"))
+      .join(parentChild, "key")
+      .groupBy("oid").agg(max(col("cluster")).as("label"))
+      .as[(String, String)]
   }
 }

@@ -151,7 +151,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
   test("entityLabels with null metric maps entities to parent labels") {
     val forest = Forest.fromTrees(spark, Seq(
       SExpr.parse("(S (X (ENT::a 1)) (GROUP::G (ENT::b 2)))")))
-    val labels = TreeClusterer.entityLabels(forest, tau = 0.7, metricName = null)
+    val labels = TreeClusterer.entityLabels(forest, tau = 0.7, metricName = null).collect().toMap
     assert(labels.values.toSet == Set("X", "GROUP::G"))
   }
 
@@ -159,7 +159,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     def tree(p: String, f: String) =
       SExpr.parse(s"(S (X (ENT::person $p) (ENT::fruit $f)))")
     val forest = Forest.fromTrees(spark, Seq(tree("Alice", "apple"), tree("Bob", "banana")))
-    val labels = TreeClusterer.entityLabels(forest, tau = 0.7, metricName = "jaccard")
+    val labels = TreeClusterer.entityLabels(forest, tau = 0.7, metricName = "jaccard").collect().toMap
     // 4 entities (2 per tree), all labelled with the single X-cluster
     assert(labels.size == 4)
     assert(labels.values.toSet.size == 1)
