@@ -45,7 +45,11 @@ object Rewrite {
       minSupport: Option[Int] = None,
       metricName: String = "jaro",
       operations: Seq[Op] = defaultOperations,
-      simplifyNames: Boolean = true)
+      simplifyNames: Boolean = true,
+      // cluster the schema template instead of the instances
+      // (similarity.py:230): cheaper on huge low-variety forests, may
+      // differ from instance clustering
+      schemaOnly: Boolean = false)
 
   def rewrite(forest: Dataset[TreeRow], cfg: Config = Config()): Dataset[TreeRow] = {
     val spark = forest.sparkSession
@@ -64,7 +68,8 @@ object Rewrite {
       current = Forest.mapTrees(current)(_.reduceAll(Set(NodeType.Ent)))
 
       // 2. cluster the candidate subtrees
-      val result = TreeClusterer.fit(current, cfg.tau, cfg.decay, cfg.metricName)
+      val result = TreeClusterer.fit(current, cfg.tau, cfg.decay, cfg.metricName,
+        schemaOnly = cfg.schemaOnly)
       val model = result.model
       val modelB = spark.sparkContext.broadcast(model)
 

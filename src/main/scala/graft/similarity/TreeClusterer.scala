@@ -162,6 +162,7 @@ object TreeClusterer {
       minClusterSize: Int = 2,
       keepPerCluster: Int = 20,
       entityParentsOnly: Boolean = false,
+      schemaOnly: Boolean = false,
   ): Result = {
     require(tau >= 0 && tau <= 1, "tau must be between 0 and 1")
     val spark = forest.sparkSession
@@ -169,6 +170,165 @@ object TreeClusterer {
 
     val cands = candidates(forest, maxHeight, entityParentsOnly)
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val (membersDf, releaseIntermediates) =
+      if (schemaOnly)
+        (schemaOnlyMembers(forest, cands, tau, decay, metricName, maxHeight, minClusterSize),
+          () => ())
+      else instanceMembers(cands, tau, decay, metricName, maxHeight)
+
+    // component stats for deterministic naming
+    val compStats = membersDf
+      .groupBy("comp")
+      .agg(count(lit(1)).as("size"), min("node").as("minNode"))
+      .filter(col("size") >= minClusterSize)
+      .orderBy(col("size").desc, col("minNode").asc)
+      .collect()
+    val modal = membersDf
+      .filter(col("labelTyped"))
+      .groupBy("comp", "labelName")
+      .count()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (comp, rows) =>
+        comp -> rows.maxBy(r => (r.getLong(2), r.getString(1))).getString(1)
+      }
+
+    val naming: Map[String, String] = compStats.zipWithIndex.map { case (r, i) =>
+      val comp = r.getString(0)
+      val name = modal.get(comp).map(m => s"${m}_$i").getOrElse(i.toString)
+      comp -> name
+    }.toMap
+    val namingDf = naming.toSeq.toDF("comp", "cluster")
+
+    val assignments = membersDf
+      .join(broadcast(namingDf), Seq("comp"))
+      .select(col("node").as("key"), col("treeId"), col("cluster"), col("prob"))
+      .as[Assignment]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // --- broadcastable model, built executor-side ---
+    // the driver receives only (a) one stats row per cluster, (b) the
+    // distinct StructKeys per cluster (bounded by schema variety, the
+    // whole point of the identity-free key), and (c) the window-ranked
+    // top-`keepPerCluster` member features — O(clusters × K), never
+    // O(members). The old joinWith(...).collect() pulled every
+    // (assignment × feature) row to the driver.
+    val memberRows = assignments
+      .joinWith(cands, assignments("key") === cands("key"))
+      .map { case (a, c) => MemberRow(a.cluster, a.prob, a.key, c) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val statRows = memberRows.groupBy("cluster")
+      .agg(
+        count(lit(1)).as("support"),
+        avg(size(col("cand.levels").getItem(0).getField("ents"))).as("avgEnts"),
+        avg(col("cand.depth")).as("avgDepth"))
+      .collect()
+    val featRows = memberRows
+      .map(m => (m.cluster, StructKey(m.cand.height, m.cand.depth,
+        m.cand.levels.map(l => StructLevel(l.label, l.isTyped, l.ents)))))
+      .distinct()
+      .collect()
+    val rankWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("prob").desc, col("key").asc)
+    val topRows = memberRows.toDF()
+      .withColumn("rn", row_number().over(rankWin))
+      .filter(col("rn") <= keepPerCluster)
+      .drop("rn")
+      .as[MemberRow]
+      .collect()
+    memberRows.unpersist()
+
+    val featsByCluster = featRows.groupBy(_._1).map { case (n, fs) => n -> fs.map(_._2).toSet }
+    val membersByCluster = topRows.groupBy(_.cluster)
+    val summaries = statRows.map { r =>
+      val name = r.getString(0)
+      val members = membersByCluster.getOrElse(name, Array.empty[MemberRow])
+        .sortBy(m => (-m.prob, m.key))
+        .map(m => (m.cand.toFeature, m.prob)).toVector
+      name -> ClusterSummary(
+        name, r.getLong(1).toInt, featsByCluster.getOrElse(name, Set.empty),
+        members, r.getDouble(2), r.getDouble(3))
+    }.toMap
+
+    cands.unpersist()
+    releaseIntermediates()
+    Result(assignments, new ClusterModel(summaries, tau, decay, metricName))
+  }
+
+  /** schema_only mode (similarity.py:230,296-339): cluster the SCHEMA
+    * template's subtrees driver-side — the template is bounded by schema
+    * variety, never data size — then map every instance candidate to its
+    * self-label's component. Membership probability is 1.0, as in the
+    * reference. Components with fewer than minClusterSize schema
+    * subtrees are noise (the reference's HDBSCAN drops them before the
+    * label expansion).
+    */
+  private def schemaOnlyMembers(
+      forest: Dataset[TreeRow],
+      cands: Dataset[CandRow],
+      tau: Double,
+      decay: Double,
+      metricName: String,
+      maxHeight: Int,
+      minClusterSize: Int,
+  ): DataFrame = {
+    val spark = forest.sparkSession
+    import spark.implicits._
+    val metric = SeqMetrics.byName(metricName)
+    val schema = graft.model.Schema.fromForest(Forest.toNodesDF(forest))
+    val schemaFeats = Similarity.treeFeatures(schema.toTree, "schema", maxHeight)
+      .toSeq.sortBy(_._1)
+
+    // union-find over the O(k²) template pairs
+    val parent = schemaFeats.indices.toArray
+    def find(i: Int): Int = {
+      var r = i
+      while (parent(r) != r) r = parent(r)
+      var c = i
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for {
+      i <- schemaFeats.indices
+      j <- (i + 1) until schemaFeats.size
+      if Similarity.similarity(schemaFeats(i)._2, schemaFeats(j)._2, metric, decay) >= tau
+    } {
+      val (ra, rb) = (find(i), find(j))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labelComp: Seq[(String, String)] = schemaFeats.indices
+      .groupBy(find)
+      .filter(_._2.size >= math.max(minClusterSize, 2))
+      .toSeq
+      .flatMap { case (root, members) =>
+        members.map(i => schemaFeats(i)._2.self.label -> s"schema/$root")
+      }.distinct
+
+    val compDf = labelComp.toDF("selfLabel", "comp")
+    cands.toDF()
+      .withColumn("selfLabel", col("levels").getItem(0).getField("label"))
+      .join(broadcast(compDf), Seq("selfLabel"))
+      .drop("selfLabel")
+      .withColumn("prob", lit(1.0))
+      .withColumnRenamed("key", "node")
+  }
+
+  /** Instance-mode membership: representative collapse → blocking join →
+    * tau-edges → connected components → incident-edge probabilities.
+    * Returns the members frame plus a release hook for the persisted
+    * intermediates (they back the frame until the caller's actions run).
+    */
+  private def instanceMembers(
+      cands: Dataset[CandRow],
+      tau: Double,
+      decay: Double,
+      metricName: String,
+      maxHeight: Int,
+  ): (DataFrame, () => Unit) = {
+    val spark = cands.sparkSession
+    import spark.implicits._
 
     // --- collapse identical structural features ---
     // The similarity metric sees ONLY the ancestor label-sets (never
@@ -287,88 +447,15 @@ object TreeClusterer {
       .join(cands.withColumnRenamed("key", "origKey"), "origKey")
       .withColumnRenamed("origKey", "node")
 
-    // component stats for deterministic naming
-    val compStats = membersDf
-      .groupBy("comp")
-      .agg(count(lit(1)).as("size"), min("node").as("minNode"))
-      .filter(col("size") >= minClusterSize)
-      .orderBy(col("size").desc, col("minNode").asc)
-      .collect()
-    val modal = membersDf
-      .filter(col("labelTyped"))
-      .groupBy("comp", "labelName")
-      .count()
-      .collect()
-      .groupBy(_.getString(0))
-      .map { case (comp, rows) =>
-        comp -> rows.maxBy(r => (r.getLong(2), r.getString(1))).getString(1)
-      }
-
-    val naming: Map[String, String] = compStats.zipWithIndex.map { case (r, i) =>
-      val comp = r.getString(0)
-      val name = modal.get(comp).map(m => s"${m}_$i").getOrElse(i.toString)
-      comp -> name
-    }.toMap
-    val namingDf = naming.toSeq.toDF("comp", "cluster")
-
-    val assignments = membersDf
-      .join(broadcast(namingDf), Seq("comp"))
-      .select(col("node").as("key"), col("treeId"), col("cluster"), col("prob"))
-      .as[Assignment]
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // --- broadcastable model, built executor-side ---
-    // the driver receives only (a) one stats row per cluster, (b) the
-    // distinct StructKeys per cluster (bounded by schema variety, the
-    // whole point of the identity-free key), and (c) the window-ranked
-    // top-`keepPerCluster` member features — O(clusters × K), never
-    // O(members). The old joinWith(...).collect() pulled every
-    // (assignment × feature) row to the driver.
-    val memberRows = assignments
-      .joinWith(cands, assignments("key") === cands("key"))
-      .map { case (a, c) => MemberRow(a.cluster, a.prob, a.key, c) }
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val statRows = memberRows.groupBy("cluster")
-      .agg(
-        count(lit(1)).as("support"),
-        avg(size(col("cand.levels").getItem(0).getField("ents"))).as("avgEnts"),
-        avg(col("cand.depth")).as("avgDepth"))
-      .collect()
-    val featRows = memberRows
-      .map(m => (m.cluster, StructKey(m.cand.height, m.cand.depth,
-        m.cand.levels.map(l => StructLevel(l.label, l.isTyped, l.ents)))))
-      .distinct()
-      .collect()
-    val rankWin = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster").orderBy(col("prob").desc, col("key").asc)
-    val topRows = memberRows.toDF()
-      .withColumn("rn", row_number().over(rankWin))
-      .filter(col("rn") <= keepPerCluster)
-      .drop("rn")
-      .as[MemberRow]
-      .collect()
-    memberRows.unpersist()
-
-    val featsByCluster = featRows.groupBy(_._1).map { case (n, fs) => n -> fs.map(_._2).toSet }
-    val membersByCluster = topRows.groupBy(_.cluster)
-    val summaries = statRows.map { r =>
-      val name = r.getString(0)
-      val members = membersByCluster.getOrElse(name, Array.empty[MemberRow])
-        .sortBy(m => (-m.prob, m.key))
-        .map(m => (m.cand.toFeature, m.prob)).toVector
-      name -> ClusterSummary(
-        name, r.getLong(1).toInt, featsByCluster.getOrElse(name, Set.empty),
-        members, r.getDouble(2), r.getDouble(3))
-    }.toMap
-
-    cands.unpersist()
-    withFeat.unpersist()
-    repKeys.unpersist()
-    reps.unpersist()
-    edges.unpersist()
-    labels.unpersist()
-    Result(assignments, new ClusterModel(summaries, tau, decay, metricName))
+    val finalLabels = labels
+    (membersDf, () => {
+      withFeat.unpersist()
+      repKeys.unpersist()
+      reps.unpersist()
+      edges.unpersist()
+      finalLabels.unpersist()
+      ()
+    })
   }
 
   private def rowsToFeature(levels: Seq[org.apache.spark.sql.Row]): SubtreeFeature = {
