@@ -11,16 +11,26 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * properties become a GROUP of the edge data linked by two RELs.
   *
   * Input is two DataFrames — (id, label, props) nodes and (src, dst,
-  * tpe, props) edges — rather than a live Neo4j session. The adjacency
-  * is broadcast and trees are built distributed over root nodes; for
-  * graphs whose edge list exceeds broadcast size, pre-partition the
-  * edges and run per-component (the traversal itself is data-dependent,
-  * like the reference's per-root cursor walk).
+  * tpe, props) edges — rather than a live Neo4j session.
+  *
+  * Scale story: a root's walk can only reach its undirected connected
+  * component, so the graph is partitioned into components with
+  * distributed min-id label propagation (same machinery as the
+  * clusterer's tau-graph), nodes and edges are cogrouped per component,
+  * and every component builds its trees inside one task. Nothing
+  * data-sized is collected to the driver; the unit of memory is the
+  * largest component, not the graph.
   */
 object CypherLoader {
 
   final case class GraphNode(id: String, label: String, props: Seq[(String, String)])
   final case class GraphEdge(src: String, dst: String, tpe: String, props: Seq[(String, String)])
+
+  /** Edge tagged with its input position: the walk's per-type visited
+    * set makes tree shape depend on edge ORDER, and the cogroup shuffle
+    * would otherwise make it nondeterministic.
+    */
+  private[cypher] final case class SeqEdge(seq: Long, edge: GraphEdge)
 
   def load(
       spark: SparkSession,
@@ -29,49 +39,99 @@ object CypherLoader {
       sample: Int = 0,
   ): Dataset[TreeRow] = {
     import spark.implicits._
+    import org.apache.spark.sql.functions._
 
-    val nodes: Map[String, GraphNode] = nodesDf
+    val nodes: Dataset[GraphNode] = nodesDf
       .select("id", "label", "props")
-      .collect()
       .map { r =>
-        val props = r.getMap[String, String](2).toSeq.sortBy(_._1)
-        r.getString(0) -> GraphNode(r.getString(0), r.getString(1), props)
-      }.toMap
+        GraphNode(r.getString(0), r.getString(1), r.getMap[String, String](2).toSeq.sortBy(_._1))
+      }
 
-    val edges: Seq[GraphEdge] = edgesDf
+    val edges: Dataset[SeqEdge] = edgesDf
       .select("src", "dst", "tpe", "props")
-      .collect()
-      .map(r => GraphEdge(r.getString(0), r.getString(1), r.getString(2),
-        r.getMap[String, String](3).toSeq.sortBy(_._1)))
-      .toSeq
+      .withColumn("seq", monotonically_increasing_id())
+      .map(r => SeqEdge(r.getLong(4), GraphEdge(r.getString(0), r.getString(1), r.getString(2),
+        r.getMap[String, String](3).toSeq.sortBy(_._1))))
 
-    val hasIncoming = edges.map(_.dst).toSet
-    var roots = nodes.keys.toSeq.filterNot(hasIncoming.contains).sorted
-    if (sample > 0) roots = roots.take(sample)
-
+    // Relation types carrying properties are a GLOBAL set in the
+    // reference (one type query over the whole graph, cypher.py:40-52);
+    // the collect is bounded by relation-type variety, not data size.
     val relationsWithData: Set[String] =
-      edges.groupBy(_.tpe).collect { case (t, es) if es.exists(_.props.nonEmpty) => t }.toSet
+      edges.filter(_.edge.props.nonEmpty).map(_.edge.tpe).distinct().collect().toSet
 
-    // undirected adjacency (cypher.py:76-83 matches (n)-[r]-(m))
-    val adjacency: Map[String, Seq[(GraphEdge, String)]] =
-      (edges.map(e => e.src -> (e, e.dst)) ++ edges.map(e => e.dst -> (e, e.src)))
-        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // --- undirected connected components: min-id label propagation ---
+    val bidir = edges.select(col("edge.src").as("src"), col("edge.dst").as("dst"))
+      .union(edges.select(col("edge.dst").as("src"), col("edge.src").as("dst")))
+      .persist()
+    var labels = nodes.select(col("id").as("node"))
+      .withColumn("comp", col("node"))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < 50) {
+      val neighborMin = bidir
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min("comp").as("nComp"))
+      val updated = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("comp").as("oldComp"),
+          when(col("nComp").isNotNull && col("nComp") < col("comp"), col("nComp"))
+            .otherwise(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("comp") =!= col("oldComp")).count()
+      labels = updated.select("node", "comp")
+      iter += 1
+    }
+    bidir.unpersist()
+    val comp = labels.as[(String, String)] // (node id, component id)
 
-    val nodesB = spark.sparkContext.broadcast(nodes)
-    val adjB = spark.sparkContext.broadcast(adjacency)
+    // Optional root sampling (cypher.py:31 `sample`): the reference takes
+    // the first `sample` roots in sorted order — resolve that tiny set
+    // up front (collect bounded by the user-supplied `sample`).
+    val sampleSet: Option[Set[String]] =
+      if (sample <= 0) None
+      else Some(nodes.select(col("id"))
+        .join(edges.select(col("edge.dst").as("dst")).distinct(), col("id") === col("dst"), "left_anti")
+        .orderBy("id").limit(sample).as[String].collect().toSet)
+
     val rwdB = spark.sparkContext.broadcast(relationsWithData)
+    val sampleB = spark.sparkContext.broadcast(sampleSet)
 
-    spark.createDataset(roots).map { rootId =>
-      val children = readNode(
-        nodesB.value(rootId), nodesB.value, adjB.value, rwdB.value,
-        scala.collection.mutable.Set.empty[String])
-      val tree = ArchiTree(Plain("ROOT"), children.map(t => Child.Node(t): Child).toVector)
-      // graph node ids are unique, so a 60-bit hash of the root oid is a
-      // collision-safe-enough tree id here (unlike declared relational
-      // pks, which the loader no longer trusts for identity)
-      val oid = ArchiTree.deterministicOid("cypher", rootId)
-      TreeRow(java.lang.Long.parseUnsignedLong(oid.take(15), 16) & Long.MaxValue,
-        TreeJson.toJson(tree))
+    val nodesK = nodes
+      .joinWith(comp, nodes("id") === comp("node"))
+      .map { case (n, (_, c)) => (c, n) }
+      .groupByKey(_._1).mapValues(_._2)
+    val edgesK = edges
+      .joinWith(comp, edges("edge.src") === comp("node"))
+      .map { case (e, (_, c)) => (c, e) }
+      .groupByKey(_._1).mapValues(_._2)
+
+    nodesK.cogroup(edgesK) { (_, ns, es) =>
+      val nodeMap = ns.map(n => n.id -> n).toMap
+      val edgeList = es.toSeq.sortBy(_.seq).map(_.edge)
+      // incoming edges are intra-component by definition, so the local
+      // root test equals the reference's global no-incoming-edge test
+      val hasIncoming = edgeList.map(_.dst).toSet
+      var rootIds = nodeMap.keys.toSeq.filterNot(hasIncoming.contains).sorted
+      sampleB.value.foreach(keep => rootIds = rootIds.filter(keep.contains))
+
+      // undirected adjacency (cypher.py:76-83 matches (n)-[r]-(m))
+      val adjacency: Map[String, Seq[(GraphEdge, String)]] =
+        (edgeList.map(e => e.src -> (e, e.dst)) ++ edgeList.map(e => e.dst -> (e, e.src)))
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+      rootIds.iterator.map { rootId =>
+        val children = readNode(
+          nodeMap(rootId), nodeMap, adjacency, rwdB.value,
+          scala.collection.mutable.Set.empty[String])
+        val tree = ArchiTree(Plain("ROOT"), children.map(t => Child.Node(t): Child).toVector)
+        // graph node ids are unique, so a 60-bit hash of the root oid is
+        // a collision-safe-enough tree id here (unlike declared
+        // relational pks, which the loader no longer trusts for identity)
+        val oid = ArchiTree.deterministicOid("cypher", rootId)
+        TreeRow(java.lang.Long.parseUnsignedLong(oid.take(15), 16) & Long.MaxValue,
+          TreeJson.toJson(tree))
+      }
     }
   }
 

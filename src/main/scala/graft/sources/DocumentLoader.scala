@@ -13,10 +13,14 @@ import scala.jdk.CollectionConverters._
   * of an object grouped under one GROUP, nested objects linked by
   * `REL::parent<->child` per collection element.
   *
+  * Formats (documents.py:23-29 FILE_PARSERS): JSON, XML (per the
+  * xmltodict convention), YAML (multi-document), and a TOML subset, all
+  * normalized to one nested node shape before `readTree`; CSV goes
+  * through the relational loader and Excel is env-absent (no POI on the
+  * classpath). `fromString` is the reference's try-each-parser chain.
+  *
   * Spark-first: one document per row, the whole recursion is a pure
-  * per-row function (no shuffle); formats are explicit (JSON here, CSV
-  * via the relational loader) instead of the reference's try-each-parser
-  * chain.
+  * per-row function (no shuffle).
   */
 object DocumentLoader {
 
@@ -51,16 +55,22 @@ object DocumentLoader {
   }
 
   /** traverse_tree (documents.py:166-220). Returns (anchor group,
-    * transformed tree).
+    * transformed tree). `sample` caps how many elements of each
+    * collection are kept (0 = all) — the reference reservoir-samples
+    * (`more_itertools.sample`); here the first N in document order are
+    * taken so the pipeline stays deterministic.
     */
-  def traverseTree(tree: ArchiTree): (ArchiTree, ArchiTree) = {
+  def traverseTree(tree: ArchiTree, sample: Int = 0): (ArchiTree, ArchiTree) = {
+    def capped(children: Vector[ArchiTree]): Vector[ArchiTree] =
+      if (sample > 0) children.take(sample) else children
+
     if (tree.hasType(NodeType.Ent)) {
       val group = ArchiTree(Typed(NodeType.Group, tree.label.name), Vector(Child.Node(tree)))
       return (group, group)
     }
     if (tree.hasType(NodeType.Coll)) {
       val updated = tree.copy(children =
-        tree.childTrees.map(c => Child.Node(traverseTree(c)._1): Child))
+        capped(tree.childTrees).map(c => Child.Node(traverseTree(c, sample)._1): Child))
       return (updated, updated)
     }
 
@@ -72,12 +82,12 @@ object DocumentLoader {
 
     val relations = scala.collection.mutable.ArrayBuffer.empty[ArchiTree]
     nonEntities.foreach { child =>
-      val (childGroup, childTree) = traverseTree(child)
+      val (childGroup, childTree) = traverseTree(child, sample)
       if (childTree.label == Plain("ROOT"))
         relations ++= childTree.childTrees
 
       val elements =
-        if (childGroup.hasType(NodeType.Coll)) childGroup.childTrees
+        if (childGroup.hasType(NodeType.Coll)) capped(childGroup.childTrees)
         else Vector(childGroup)
       elements.foreach { element =>
         val relLabel = Typed(NodeType.Rel, s"${groupNode.label.name}<->${element.label.name}")
@@ -92,17 +102,277 @@ object DocumentLoader {
   /** parse_document_tree (documents.py:142-163): root collections yield
     * one tree per element.
     */
-  def parseDocumentTree(tree: ArchiTree): Seq[ArchiTree] = {
+  def parseDocumentTree(tree: ArchiTree, sample: Int = 0): Seq[ArchiTree] = {
     val sources = if (tree.hasType(NodeType.Coll)) tree.childTrees else Vector(tree)
     sources.flatMap { t =>
-      val (_, parsed) = traverseTree(t)
+      val (_, parsed) = traverseTree(t, sample)
       Option.when(parsed.children.nonEmpty)(parsed)
     }
   }
 
-  /** One metamodel forest from one JSON string (a single document). */
-  def fromJsonString(json: String): Seq[ArchiTree] =
-    parseDocumentTree(readTree(mapper.readTree(json)))
+  /** One metamodel forest from one JSON string (a single document).
+    * Empty/absent data is an error, matching the reference's
+    * `ValueError('Empty document')` (documents.py:77-79).
+    */
+  def fromJsonString(json: String): Seq[ArchiTree] = {
+    val node = mapper.readTree(json)
+    if (node == null || node.isMissingNode || node.isNull ||
+        (node.isContainerNode && node.isEmpty))
+      throw new IllegalArgumentException("Empty document")
+    parseDocumentTree(readTree(node))
+  }
+
+  // ---- XML (documents.py:25, xmltodict convention) ----
+
+  private val nodeFactory = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+
+  /** One XML element → the xmltodict nested shape (the convention the
+    * reference documents at documents.py:43): attributes as `@name`
+    * keys, repeated child tags collapsed to a list, trailing text of a
+    * mixed element under `#text`, text-only elements as plain strings,
+    * empty elements as null.
+    */
+  private def xmlToNode(elem: scala.xml.Node): JsonNode = {
+    val attrs: Seq[(String, String)] =
+      elem.attributes.iterator.map(a => ("@" + a.key) -> a.value.text).toSeq
+    val childElems = elem.child.collect { case e: scala.xml.Elem => e }
+    val text = elem.child.collect {
+      case t: scala.xml.Text => t.text
+      case t: scala.xml.PCData => t.data
+    }.mkString.trim
+
+    if (attrs.isEmpty && childElems.isEmpty) {
+      if (text.isEmpty) nodeFactory.nullNode else nodeFactory.textNode(text)
+    } else {
+      val obj = nodeFactory.objectNode()
+      attrs.foreach { case (k, v) => obj.set[JsonNode](k, nodeFactory.textNode(v)) }
+      val byTag = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[JsonNode]]
+      childElems.foreach { c =>
+        byTag.getOrElseUpdate(c.label, scala.collection.mutable.ArrayBuffer.empty) += xmlToNode(c)
+      }
+      byTag.foreach { case (tag, vals) =>
+        if (vals.size == 1) obj.set[JsonNode](tag, vals.head)
+        else {
+          val arr = nodeFactory.arrayNode()
+          vals.foreach(arr.add)
+          obj.set[JsonNode](tag, arr)
+        }
+      }
+      if (text.nonEmpty) obj.set[JsonNode]("#text", nodeFactory.textNode(text))
+      obj
+    }
+  }
+
+  /** One metamodel forest from one XML document. Like xmltodict, the
+    * result is wrapped as `{rootTag: content}` so the root tag name
+    * survives into the tree.
+    */
+  def fromXmlString(xml: String): Seq[ArchiTree] = {
+    val root = scala.xml.XML.loadString(xml)
+    val wrapper = nodeFactory.objectNode()
+    wrapper.set[JsonNode](root.label, xmlToNode(root))
+    parseDocumentTree(readTree(wrapper))
+  }
+
+  // ---- YAML (documents.py:28: `list(yaml.YAML().load_all(x))`) ----
+
+  private lazy val yamlMapper =
+    new ObjectMapper(new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+
+  /** One metamodel forest from a (possibly multi-document) YAML string.
+    * Mirrors the reference exactly: the parse result is always the LIST
+    * of documents, so even a single document arrives at `readTree` as a
+    * one-element collection.
+    */
+  def fromYamlString(yaml: String): Seq[ArchiTree] = {
+    val it = yamlMapper.readValues(
+      yamlMapper.createParser(yaml), classOf[JsonNode])
+    val docs = nodeFactory.arrayNode()
+    while (it.hasNext) docs.add(it.next())
+    if (docs.isEmpty) throw new IllegalArgumentException("Empty document")
+    parseDocumentTree(readTree(docs))
+  }
+
+  // ---- TOML subset (documents.py:29: `toml.loads`) ----
+
+  /** One metamodel forest from a TOML document. A deliberate SUBSET
+    * parser (no TOML library on the classpath): `[table.path]`,
+    * `[[array.of.tables]]`, `key = value` with basic/literal strings,
+    * integers, floats, booleans, and flat arrays; no inline tables,
+    * multi-line strings, or date-times.
+    */
+  def fromTomlString(toml: String): Seq[ArchiTree] = {
+    val node = TomlSubset.parse(toml)
+    if (node.isEmpty) throw new IllegalArgumentException("Empty document")
+    parseDocumentTree(readTree(node))
+  }
+
+  /** The reference's try-each-parser chain (documents.py:23-29, in its
+    * order minus the pandas-backed CSV/Excel lanes): JSON, XML, YAML,
+    * TOML — first parser that accepts the content wins.
+    */
+  def fromString(content: String): Seq[ArchiTree] = {
+    val parsers: Seq[String => Seq[ArchiTree]] =
+      Seq(fromJsonString, fromXmlString, fromYamlString, fromTomlString)
+    parsers.view
+      .map(p => scala.util.Try(p(content)))
+      .collectFirst { case scala.util.Success(trees) => trees }
+      .getOrElse(throw new IllegalArgumentException("Unsupported file type"))
+  }
+
+  /** The TOML-subset parser backing `fromTomlString`. Hand-rolled
+    * line-oriented recursive descent — tables, arrays of tables, and
+    * scalar/array values — producing the same nested-node shape as the
+    * JSON/YAML/XML lanes.
+    */
+  private[sources] object TomlSubset {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+    def parse(src: String): JsonNode = {
+      val root = nodeFactory.objectNode()
+      var current: ObjectNode = root
+      src.linesIterator.map(stripComment(_).trim).filter(_.nonEmpty).foreach { line =>
+        if (line.startsWith("[[") && line.endsWith("]]")) {
+          val path = splitPath(line.substring(2, line.length - 2))
+          val parent = descend(root, path.init)
+          val arr = parent.get(path.last) match {
+            case a: ArrayNode => a
+            case null =>
+              val a = nodeFactory.arrayNode(); parent.set[JsonNode](path.last, a); a
+            case _ => throw new IllegalArgumentException(
+              s"not an array of tables: ${path.mkString(".")}")
+          }
+          val obj = nodeFactory.objectNode()
+          arr.add(obj)
+          current = obj
+        } else if (line.startsWith("[") && line.endsWith("]")) {
+          current = descend(root, splitPath(line.substring(1, line.length - 1)))
+        } else {
+          val eq = line.indexOf('=')
+          if (eq <= 0) throw new IllegalArgumentException(s"invalid TOML line: $line")
+          current.set[JsonNode](
+            unquote(line.substring(0, eq).trim),
+            parseValue(line.substring(eq + 1).trim))
+        }
+      }
+      root
+    }
+
+    /** Cut a `#` comment not inside a quoted string. */
+    private def stripComment(line: String): String = {
+      var inStr = ' '
+      var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (inStr != ' ') {
+          if (c == '\\' && inStr == '"') i += 1
+          else if (c == inStr) inStr = ' '
+        } else if (c == '"' || c == '\'') inStr = c
+        else if (c == '#') return line.substring(0, i)
+        i += 1
+      }
+      line
+    }
+
+    private def splitPath(s: String): Seq[String] =
+      s.split('.').toSeq.map(seg => unquote(seg.trim))
+
+    private def unquote(s: String): String =
+      if (s.length >= 2 && ((s.head == '"' && s.last == '"') || (s.head == '\'' && s.last == '\'')))
+        s.substring(1, s.length - 1)
+      else s
+
+    /** Walk/create the table path; a segment resolving to an array of
+      * tables means its LAST element (TOML's open-table rule).
+      */
+    private def descend(root: ObjectNode, path: Seq[String]): ObjectNode =
+      path.foldLeft(root) { (node, seg) =>
+        node.get(seg) match {
+          case o: ObjectNode => o
+          case a: ArrayNode if a.size > 0 && a.get(a.size - 1).isObject =>
+            a.get(a.size - 1).asInstanceOf[ObjectNode]
+          case null =>
+            val o = nodeFactory.objectNode(); node.set[JsonNode](seg, o); o
+          case _ => throw new IllegalArgumentException(s"not a table: $seg")
+        }
+      }
+
+    private val IntRe = """[+-]?[0-9_]+""".r
+    private val FloatRe = """[+-]?[0-9_]*\.?[0-9_]+([eE][+-]?[0-9]+)?""".r
+
+    private def parseValue(s: String): JsonNode = s match {
+      case "true"  => nodeFactory.booleanNode(true)
+      case "false" => nodeFactory.booleanNode(false)
+      case _ if s.startsWith("\"") || s.startsWith("'") =>
+        nodeFactory.textNode(parseString(s))
+      case _ if s.startsWith("[") =>
+        if (!s.endsWith("]")) throw new IllegalArgumentException(s"unterminated array: $s")
+        val arr = nodeFactory.arrayNode()
+        splitTopLevel(s.substring(1, s.length - 1)).foreach(v => arr.add(parseValue(v)))
+        arr
+      case IntRe()   => nodeFactory.numberNode(s.replace("_", "").toLong)
+      case FloatRe(_) => nodeFactory.numberNode(s.replace("_", "").toDouble)
+      case _ => throw new IllegalArgumentException(s"unsupported TOML value: $s")
+    }
+
+    private def parseString(s: String): String = {
+      val quote = s.head
+      if (!(s.length >= 2 && s.last == quote))
+        throw new IllegalArgumentException(s"unterminated string: $s")
+      val body = s.substring(1, s.length - 1)
+      if (quote == '\'') body // literal string: no escapes
+      else {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < body.length) {
+          val c = body.charAt(i)
+          if (c == '\\' && i + 1 < body.length) {
+            i += 1
+            body.charAt(i) match {
+              case 'n' => sb += '\n'
+              case 't' => sb += '\t'
+              case 'r' => sb += '\r'
+              case '"' => sb += '"'
+              case '\\' => sb += '\\'
+              case 'u' if i + 4 < body.length =>
+                sb += Integer.parseInt(body.substring(i + 1, i + 5), 16).toChar
+                i += 4
+              case other => sb += other
+            }
+          } else sb += c
+          i += 1
+        }
+        sb.toString
+      }
+    }
+
+    /** Split on commas outside strings and brackets. */
+    private def splitTopLevel(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0
+      var inStr = ' '
+      var start = 0
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr != ' ') {
+          if (c == '\\' && inStr == '"') i += 1
+          else if (c == inStr) inStr = ' '
+        } else c match {
+          case '"' | '\'' => inStr = c
+          case '[' => depth += 1
+          case ']' => depth -= 1
+          case ',' if depth == 0 =>
+            out += s.substring(start, i); start = i + 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (start < s.length) out += s.substring(start, i)
+      out.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+  }
 
   /** Load a directory/file of JSON documents, one document per LINE. */
   def loadJsonLines(spark: SparkSession, path: String): Dataset[TreeRow] = {

@@ -36,6 +36,31 @@ class CypherSpec extends AnyFunSuite with SparkSpec {
     assert("REL::LIVES_IN".r.findAllIn(rendered).size == 1)
   }
 
+  test("read_cypher: disconnected components each yield their own trees") {
+    import spark.implicits._
+    val nodes = Seq(
+      ("a1", "A", Map("x" -> "1")),
+      ("b1", "B", Map("y" -> "2")),
+      ("a2", "A", Map("x" -> "3")),
+      ("iso", "Lone", Map("z" -> "9"))).toDF("id", "label", "props")
+    val edges = Seq(
+      ("a1", "b1", "LINKS", Map.empty[String, String])).toDF("src", "dst", "tpe", "props")
+    val forest = CypherLoader.load(spark, nodes, edges)
+    val trees = Forest.collectTrees(forest)
+    // roots: a1 (component {a1, b1}), a2 and iso (isolated components);
+    // b1 has an incoming edge
+    assert(trees.size == 3)
+    val rendered = trees.map(_.render).sorted
+    assert(rendered.exists(r => r.contains("(REL::LINKS (GROUP::A (ENT::x 1)) (GROUP::B (ENT::y 2)))")))
+    assert(rendered.exists(r => r.contains("(GROUP::A (ENT::x 3))") && !r.contains("REL::")))
+    assert(rendered.exists(r => r.contains("(GROUP::Lone (ENT::z 9))")))
+
+    // sample = 2 keeps the first two roots in sorted order (a1, a2)
+    val sampled = Forest.collectTrees(CypherLoader.load(spark, nodes, edges, sample = 2))
+    assert(sampled.size == 2)
+    assert(!sampled.map(_.render).exists(_.contains("Lone")))
+  }
+
   test("export_cypher: node MERGEs, edge MERGEs, cleanup") {
     val tree = SExpr.parse(
       "(ROOT (GROUP::customer (ENT::c_name Alice)) " +

@@ -38,6 +38,88 @@ class DocumentLoaderSpec extends AnyFunSuite with SparkSpec {
     assert(trees.size == 2)
   }
 
+  private val orderXml =
+    "<order><quantity>2</quantity>" +
+      "<consumer><name>Alice</name><age>30</age></consumer>" +
+      "<items><name>Laptop</name><price>1000</price></items>" +
+      "<items><name>Smartphone</name><price>500</price></items></order>"
+
+  private val orderYaml =
+    """order:
+      |  quantity: 2
+      |  consumer:
+      |    name: Alice
+      |    age: 30
+      |  items:
+      |    - name: Laptop
+      |      price: 1000
+      |    - name: Smartphone
+      |      price: 500""".stripMargin
+
+  private val orderToml =
+    """[order]
+      |quantity = 2                 # a comment
+      |[order.consumer]
+      |name = "Alice"
+      |age = 30
+      |[[order.items]]
+      |name = "Laptop"
+      |price = 1000
+      |[[order.items]]
+      |name = "Smartphone"
+      |price = 500""".stripMargin
+
+  test("XML, YAML, and TOML lanes produce the same forest as JSON") {
+    val expected = DocumentLoader.fromJsonString(orderJson).map(_.render)
+    assert(DocumentLoader.fromXmlString(orderXml).map(_.render) == expected)
+    assert(DocumentLoader.fromYamlString(orderYaml).map(_.render) == expected)
+    assert(DocumentLoader.fromTomlString(orderToml).map(_.render) == expected)
+  }
+
+  test("XML: attributes become @-prefixed entities, repeated tags a collection") {
+    val trees = DocumentLoader.fromXmlString("""<doc id="7"><tag>a</tag><tag>b</tag></doc>""")
+    val rendered = trees.map(_.render).mkString("\n")
+    assert(rendered.contains("(ENT::@id 7)"))
+    assert(rendered.contains("REL::doc<->tag"))
+  }
+
+  test("YAML: multi-document stream yields one tree per document") {
+    val yaml = "---\na:\n  x: 1\n---\na:\n  x: 2"
+    assert(DocumentLoader.fromYamlString(yaml).size == 2)
+  }
+
+  test("TOML: arrays, floats, booleans, literal strings") {
+    val toml =
+      """title = 'lit'
+        |ratio = 1.5
+        |on = true
+        |tags = ["x", "y"]""".stripMargin
+    val tree = DocumentLoader.readTree(DocumentLoader.TomlSubset.parse(toml))
+    val r = tree.render
+    assert(r.contains("(ENT::title lit)"))
+    assert(r.contains("(ENT::ratio 1.5)"))
+    assert(r.contains("(ENT::on true)"))
+    assert(r.contains("(COLL::tags (ENT::tags x) (ENT::tags y))"))
+  }
+
+  test("fromString try-each chain detects the format") {
+    val expected = DocumentLoader.fromJsonString(orderJson).map(_.render)
+    for (doc <- Seq(orderJson, orderXml, orderYaml, orderToml))
+      assert(DocumentLoader.fromString(doc).map(_.render) == expected)
+    assertThrows[IllegalArgumentException](DocumentLoader.fromString(""))
+  }
+
+  test("sample caps collection elements deterministically") {
+    val trees = DocumentLoader.parseDocumentTree(
+      DocumentLoader.readTree(
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(orderJson)),
+      sample = 1)
+    val kids = trees.head.childTrees.map(_.label.render)
+    assert(kids.count(_ == "REL::order<->items") == 1)
+    // the kept element is the FIRST in document order
+    assert(trees.head.render.contains("Laptop") && !trees.head.render.contains("Smartphone"))
+  }
+
   test("loadJsonLines builds a forest dataset") {
     val dir = java.nio.file.Files.createTempDirectory("docs")
     java.nio.file.Files.writeString(
