@@ -238,6 +238,66 @@ object GraftQueries {
       Schema.extractDataset(Forest.toNodesDF(forest), "root")
     }),
 
+    // §2.1 read_document XML lane: every customer row rendered as an XML
+    // document, parsed through the xmltodict-convention reader into the
+    // metamodel, then extracted back — a full round trip certified by
+    // the same oracle as the relational extraction
+    "read_document_xml" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val xml = s.read.parquet(s"$d/customer.parquet")
+        .select(concat(
+          lit("<customer>"),
+          lit("<c_acctbal>"), col("c_acctbal").cast("string"), lit("</c_acctbal>"),
+          lit("<c_custkey>"), col("c_custkey").cast("string"), lit("</c_custkey>"),
+          lit("<c_mktsegment>"), col("c_mktsegment"), lit("</c_mktsegment>"),
+          lit("<c_name>"), col("c_name"), lit("</c_name>"),
+          lit("</customer>")).as("doc")).as[String]
+      val forest = xml.rdd.zipWithIndex()
+        .flatMap { case (x, i) =>
+          graft.sources.DocumentLoader.fromXmlString(x).zipWithIndex.map {
+            case (t, j) => graft.model.TreeRow(i * 100 + j, graft.core.TreeJson.toJson(t))
+          }
+        }.toDS()
+      Schema.extractDataset(Forest.toNodesDF(forest), "customer")
+    }),
+
+    // §2.1 read_document YAML lane (nation table; the multi-doc list
+    // wrapping is exercised by every document)
+    "read_document_yaml" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val yaml = s.read.parquet(s"$d/nation.parquet")
+        .select(concat(
+          lit("nation:\n  n_name: "), col("n_name"),
+          lit("\n  n_nationkey: "), col("n_nationkey").cast("string")).as("doc")).as[String]
+      val forest = yaml.rdd.zipWithIndex()
+        .flatMap { case (x, i) =>
+          graft.sources.DocumentLoader.fromYamlString(x).zipWithIndex.map {
+            case (t, j) => graft.model.TreeRow(i * 100 + j, graft.core.TreeJson.toJson(t))
+          }
+        }.toDS()
+      Schema.extractDataset(Forest.toNodesDF(forest), "nation")
+    }),
+
+    // §2.1 read_document TOML lane (region table), through the format
+    // sniffing chain rather than the direct parser
+    "read_document_toml" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val toml = s.read.parquet(s"$d/region.parquet")
+        .select(concat(
+          lit("[region]\nr_name = \""), col("r_name"),
+          lit("\"\nr_regionkey = "), col("r_regionkey").cast("string")).as("doc")).as[String]
+      val forest = toml.rdd.zipWithIndex()
+        .flatMap { case (x, i) =>
+          graft.sources.DocumentLoader.fromString(x).zipWithIndex.map {
+            case (t, j) => graft.model.TreeRow(i * 100 + j, graft.core.TreeJson.toJson(t))
+          }
+        }.toDS()
+      Schema.extractDataset(Forest.toNodesDF(forest), "region")
+    }),
+
     // §2.3 simple_rewrite: strip the loader's typed labels (simulating an
     // untyped ingestion), collapse each tree to one GROUP of its distinct
     // entities, then extract the dataset of the single resulting group.
@@ -429,6 +489,13 @@ object GraftQueries {
 
     "read_document_props" ->
       "SELECT DISTINCT CAST(props::JSON->>'k' AS VARCHAR) AS k FROM events",
+
+    "read_document_xml" ->
+      s"SELECT DISTINCT ${castCols(Seq("c_acctbal", "c_custkey", "c_mktsegment", "c_name"))} FROM customer",
+    "read_document_yaml" ->
+      s"SELECT DISTINCT ${castCols(Seq("n_name", "n_nationkey"))} FROM nation",
+    "read_document_toml" ->
+      s"SELECT DISTINCT ${castCols(Seq("r_name", "r_regionkey"))} FROM region",
 
     "simple_rewrite_customer" ->
       s"""SELECT DISTINCT ${castCols(Seq(
