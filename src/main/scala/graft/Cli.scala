@@ -1,0 +1,170 @@
+package graft
+
+import graft.metrics.ForestInspector
+import graft.model.{Forest, Schema}
+import graft.sources.{DbConfig, RelationalLoader, Testdata}
+import org.apache.spark.sql.SparkSession
+
+/** Command-line entry points mirroring the reference CLI surface
+  * (cli/__init__.py:76-187 cleanup/simplify/inspect, cli/export.py:15-39
+  * graph/sql, cli/__init__.py:437 generate) minus the env-absent lanes
+  * (web UI, MLflow logging, LLM simplify): every command dispatches to
+  * the same library modules the registered queries use.
+  *
+  *   sbt "runMain graft.Cli inspect /root/testdata/sf0.001"
+  */
+object Cli {
+
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage: graft.Cli <command> [args]
+        |  inspect <dir> [--db customerDb|ordersDb|tpch]   forest statistics
+        |  load <dir> [--db NAME] [--out DIR]              load to a metamodel forest (JSONL if --out)
+        |  simplify <dir> [--db NAME] [--tau T] [--decay D] [--epochs N]
+        |           [--min-support K] [--schema-only] [--out DIR]
+        |  export sql|cypher <dir> [--db NAME] [--out DIR]
+        |  generate [--size N] [--out DIR]                 synthetic instance from the demo schema
+        |""".stripMargin)
+    sys.exit(2)
+  }
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-cli")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def dbConfig(name: String): DbConfig = name match {
+    case "customerDb" => Testdata.customerDb
+    case "ordersDb"   => Testdata.ordersDb
+    case "tpch"       => Testdata.tpch
+    case other =>
+      System.err.println(s"unknown --db $other (customerDb|ordersDb|tpch)"); sys.exit(2)
+  }
+
+  /** `--key value` and bare `--flag` options after the positionals. */
+  private def parseOpts(rest: List[String]): Map[String, String] = rest match {
+    case Nil => Map.empty
+    case key :: value :: tail if key.startsWith("--") && !value.startsWith("--") =>
+      parseOpts(tail) + (key.drop(2) -> value)
+    case key :: tail if key.startsWith("--") =>
+      parseOpts(tail) + (key.drop(2) -> "true")
+    case other :: _ =>
+      System.err.println(s"unexpected argument: $other"); sys.exit(2)
+  }
+
+  private def showSchema(schema: Schema): Unit = {
+    println("== schema ==")
+    schema.productions.map(p => s"${p.lhs} -> ${p.rhs.mkString(" ")}").sorted.foreach(println)
+    println("== relations ==")
+    schema.relations.toSeq.sortBy(_.name)
+      .foreach(r => println(s"${r.name}: ${r.left} <-> ${r.right} [${r.orientation}]"))
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "inspect" :: dir :: rest =>
+      val opts = parseOpts(rest)
+      val spark = session()
+      val nodes = RelationalLoader.loadNodes(spark, dir, dbConfig(opts.getOrElse("db", "customerDb")))
+      ForestInspector.inspectTable(nodes).orderBy("stat").collect()
+        .foreach(r => println(f"${r.getString(0)}%-24s ${r.get(1)}"))
+      spark.stop()
+
+    case "load" :: dir :: rest =>
+      val opts = parseOpts(rest)
+      val spark = session()
+      val forest = RelationalLoader.load(spark, dir, dbConfig(opts.getOrElse("db", "customerDb")))
+      println(s"trees: ${forest.count()}")
+      Forest.collectTrees(forest.limit(1)).headOption
+        .foreach(t => println(s"sample: ${t.render.take(300)}"))
+      opts.get("out").foreach { out =>
+        graft.sinks.Jsonl.write(forest, out)
+        println(s"wrote JSONL forest to $out")
+      }
+      spark.stop()
+
+    case "simplify" :: dir :: rest =>
+      val opts = parseOpts(rest)
+      val spark = session()
+      import graft.rewrite.Rewrite
+      val cfg = Rewrite.Config(
+        tau = opts.get("tau").map(_.toDouble).getOrElse(0.7),
+        decay = opts.get("decay").map(_.toDouble).getOrElse(2.0),
+        epochs = opts.get("epochs").map(_.toInt).getOrElse(100),
+        minSupport = opts.get("min-support").map(_.toInt),
+        schemaOnly = opts.contains("schema-only"))
+      val forest = RelationalLoader.load(spark, dir, dbConfig(opts.getOrElse("db", "customerDb")))
+      println(s"rewriting ${forest.count()} trees with tau=${cfg.tau}, decay=${cfg.decay}, " +
+        s"epochs=${cfg.epochs}, minSupport=${cfg.minSupport.getOrElse("auto")}")
+      val out = Rewrite.rewrite(forest, cfg)
+      showSchema(Schema.fromForest(Forest.toNodesDF(out), keepUnlabelled = false))
+      opts.get("out").foreach { o =>
+        graft.sinks.Jsonl.write(out, o)
+        println(s"wrote simplified forest to $o")
+      }
+      spark.stop()
+
+    case "export" :: kind :: dir :: rest =>
+      val opts = parseOpts(rest)
+      val spark = session()
+      val cfg = dbConfig(opts.getOrElse("db", "customerDb"))
+      kind match {
+        case "sql" =>
+          val nodes = RelationalLoader.loadNodes(spark, dir, cfg)
+          val schema = Schema.fromForest(nodes, keepUnlabelled = false)
+          val ex = graft.sinks.SqlExporter.export(nodes, schema)
+          ex.ddl.foreach(println)
+          opts.get("out").foreach { o =>
+            ex.tables.foreach { case (name, df) => df.write.mode("overwrite").parquet(s"$o/$name") }
+            println(s"wrote ${ex.tables.size} tables to $o")
+          }
+        case "cypher" =>
+          val forest = RelationalLoader.load(spark, dir, cfg)
+          val schema = Schema.fromForest(Forest.toNodesDF(forest), keepUnlabelled = false)
+          val ex = graft.cypher.CypherExporter.export(forest, schema)
+          opts.get("out") match {
+            case Some(o) =>
+              ex.statements.write.mode("overwrite").text(o)
+              println(s"wrote Cypher statements to $o")
+            case None => ex.statements.take(20).foreach(println)
+          }
+          ex.cleanup.foreach(println)
+        case other =>
+          System.err.println(s"unknown export target $other (sql|cypher)"); sys.exit(2)
+      }
+      spark.stop()
+
+    case "generate" :: rest =>
+      val opts = parseOpts(rest)
+      val spark = session()
+      import graft.model.{Group => SGroup, Relation => SRelation, RelationOrientation => SRO}
+      // the demo schema the synthetic-rewrite golden uses
+      val schema = Schema.fromDescription(
+        groups = Set(
+          SGroup("SOSY", Set("SOSY", "ANATOMIE", "SUBSTANCE")),
+          SGroup("TREATMENT", Set("SUBSTANCE", "DOSAGE", "ADMINISTRATION", "FREQUENCY")),
+          SGroup("EXAM", Set("DIAGNOSTIC_PROCEDURE", "ANATOMIE"))),
+        relations = Set(
+          SRelation("PRESCRIPTION", "SOSY", "TREATMENT", SRO.Both),
+          SRelation("EXAM_RESULT", "EXAM", "SOSY", SRO.Both)),
+        collections = false)
+      val size = opts.get("size").map(_.toInt).getOrElse(10)
+      val trees = graft.rewrite.Generator.genInstance(schema, size = size, generateCollections = false)
+      println(s"generated ${trees.size} trees")
+      trees.take(3).foreach(t => println(t.render.take(300)))
+      opts.get("out").foreach { o =>
+        graft.sinks.Jsonl.write(Forest.fromTrees(spark, trees), o)
+        println(s"wrote generated forest to $o")
+      }
+      spark.stop()
+
+    case _ => usage()
+  }
+}
