@@ -46,6 +46,28 @@ object GraftQueries {
 
   private def customerTrees(s: SparkSession, d: String) = trees(s, d, "customerDb", Testdata.customerDb)
 
+  /** The customer forest with its typed GROUP/REL labels flattened to
+    * plain ones — the "untyped ingestion" input shape the rewrite
+    * pipeline exists for.
+    */
+  private def untypedCustomer(s: SparkSession, d: String): Dataset[graft.model.TreeRow] = {
+    import graft.core._
+    Forest.mapTrees(customerTrees(s, d)) { tree =>
+      def strip(t: ArchiTree): ArchiTree = {
+        val kids = t.children.map {
+          case Child.Node(c) => Child.Node(strip(c)): Child
+          case l             => l
+        }
+        t.label match {
+          case Typed(NodeType.Group, n) => t.copy(label = Plain(n), children = kids)
+          case Typed(NodeType.Rel, n)   => t.copy(label = Plain(n), children = kids)
+          case _                        => t.copy(children = kids)
+        }
+      }
+      strip(tree)
+    }
+  }
+
   /** Extracted group datasets, memoized: fd_* queries re-consume the
     * extract_* results, and each extraction is eagerly materialized
     * (Schema.extractDataset local-checkpoints), so the memo holds small
@@ -302,25 +324,24 @@ object GraftQueries {
     // untyped ingestion), collapse each tree to one GROUP of its distinct
     // entities, then extract the dataset of the single resulting group.
     "simple_rewrite_customer" -> ((s, d) => {
-      import graft.core._
       import graft.rewrite.Rewrite
-      val raw = customerTrees(s, d)
-      val untyped = Forest.mapTrees(raw) { tree =>
-        def strip(t: ArchiTree): ArchiTree = {
-          val kids = t.children.map {
-            case Child.Node(c) => Child.Node(strip(c)): Child
-            case l             => l
-          }
-          t.label match {
-            case Typed(NodeType.Group, n) => t.copy(label = Plain(n), children = kids)
-            case Typed(NodeType.Rel, n)   => t.copy(label = Plain(n), children = kids)
-            case _                        => t.copy(children = kids)
-          }
-        }
-        strip(tree)
-      }
-      val rewritten = Rewrite.simpleRewrite(untyped)
+      val rewritten = Rewrite.simpleRewrite(untypedCustomer(s, d))
       Schema.extractDataset(Forest.toNodesDF(rewritten), "1")
+    }),
+
+    // §2.3 THE flagship `architxt simplify` shape at corpus scale: the
+    // full rewrite() fixpoint (clusterer + find_groups + group/relation/
+    // collection ops per epoch) over the label-stripped customer forest —
+    // this is the end-to-end loop a reference user runs on real data, and
+    // it load-tests the executor-side cluster-model build each epoch.
+    // Output = the recovered schema's productions (deterministic: the
+    // clusterer is deterministic on this forest, see cluster_subtrees).
+    "rewrite_customer" -> ((s, d) => {
+      import s.implicits._
+      import graft.rewrite.Rewrite
+      val out = Rewrite.rewrite(untypedCustomer(s, d), Rewrite.Config(tau = 0.7, epochs = 4))
+      Schema.fromForest(Forest.toNodesDF(out), keepUnlabelled = false)
+        .productions.map(p => (p.lhs, p.rhs.mkString(" "))).sorted.toDF("lhs", "rhs")
     }),
 
     // §2.5 TreeClusterer at forest scale. The output — the cluster-size
@@ -477,6 +498,15 @@ object GraftQueries {
         |UNION ALL SELECT 'GROUP::TREATMENT', 'ENT::ADMINISTRATION ENT::DOSAGE ENT::FREQUENCY ENT::SUBSTANCE'
         |UNION ALL SELECT 'REL::EXAM<->SOSY', 'GROUP::EXAM GROUP::SOSY'
         |UNION ALL SELECT 'REL::SOSY<->TREATMENT', 'GROUP::SOSY GROUP::TREATMENT'""".stripMargin,
+
+    // Pinned golden (verified identical across independent runs): the
+    // fixpoint collapses the stripped forest to one group of the joined
+    // row's 8 entity types plus its collection — the same terminal shape
+    // simple_rewrite derives, reached through the full epoch loop.
+    "rewrite_customer" ->
+      """SELECT 'COLL::UndefinedGroup' AS lhs, 'GROUP::UndefinedGroup' AS rhs
+        |UNION ALL SELECT 'GROUP::UndefinedGroup',
+        |  'ENT::c_acctbal ENT::c_custkey ENT::c_mktsegment ENT::c_name ENT::n_name ENT::n_nationkey ENT::r_name ENT::r_regionkey'""".stripMargin,
 
     "inspect_counts_customer" -> inspectCountsCustomerOracle,
     // lossless round trip ⇒ identical counts
