@@ -16,8 +16,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * whole-stage codegen inlines.
   *
   * Semantics (identical to the previous fold-based column):
-  * - null if either side is null or the lengths differ (zip_with pads
-  *   the shorter side with null, which nulls the fold)
+  * - null if either side is null, the lengths differ (zip_with pads
+  *   the shorter side with null, which nulls the fold), or any element
+  *   is null (null poisons arithmetic in the fold)
   * - NaN when either norm is zero (0/0 in plain double math — callers
   *   NaN-guard threshold filters; Spark orders NaN above every double)
   */
@@ -45,6 +46,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       dot += xi * yi
@@ -64,13 +66,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double dot = 0.0, na = 0.0, nb = 0.0;
          |  for (int i = 0; i < n; i++) {
+         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
          |    double x = $a.getDouble(i);
          |    double y = $b.getDouble(i);
          |    dot += x * y;
          |    na += x * x;
          |    nb += y * y;
          |  }
-         |  ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |  }
          |}
        """.stripMargin
     })

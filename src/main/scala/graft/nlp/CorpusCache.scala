@@ -19,10 +19,13 @@ object CorpusCache {
     * the parse output.
     */
   def cacheKey(contentId: String, settings: Map[String, String]): String = {
-    val settingsStr = settings.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+    // length-prefix every component so the encoding is injective — a
+    // plain `k=v;...` join would collide for values containing the
+    // separators (e.g. {"a": "1;b=2"} vs {"a": "1", "b": "2"})
+    val parts = contentId +: settings.toSeq.sorted.flatMap { case (k, v) => Seq(k, v) }
+    val canonical = parts.map(p => s"${p.length}:$p").mkString("|")
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s"$contentId|$settingsStr".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
+    md.digest(canonical.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   }
 
   /** Load the forest for `key` from the cache, or compute + cache it.
@@ -49,6 +52,14 @@ object CorpusCache {
       // first committer wins; a concurrent loser cleans up its staging
       // copy and reads the winner's directory
       if (!fs.rename(staging, target)) fs.delete(staging, true)
+      else {
+        // posix-style filesystems rename onto an EXISTING directory by
+        // moving the source INSIDE it — a loser's "successful" rename
+        // nests its staging copy in the winner's directory. The dot
+        // prefix keeps parquet readers from seeing it; still remove it.
+        val nested = new Path(target, staging.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      }
     }
     spark.read.parquet(target.toString).as[TreeRow]
   }

@@ -187,7 +187,10 @@ object Dedup {
       .filter(col("id").isNotNull)
       .cache()
 
-    val first = vecs.limit(1).collect()
+    // dim inference must be deterministic across runs (a bare limit(1)
+    // picks an arbitrary partition's row): take the lowest-id row, the
+    // same one every time for a given input
+    val first = vecs.orderBy(col("id")).limit(1).collect()
     if (first.isEmpty)
       return spark.emptyDataFrame
         .withColumn("a_id", lit(0L)).withColumn("b_id", lit(0L)).limit(0)

@@ -26,6 +26,15 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(sim(Seq(1.0, 0.0), Seq(1.0)) == null)
   }
 
+  test("a null element poisons the row to null (documented fold semantics)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+    val r = df.select(GraftFunctions.cosine(col("a"), col("b"))).head
+    assert(r.isNullAt(0))
+  }
+
   test("codegen and interpreted paths agree") {
     import spark.implicits._
     GraftFunctions.register(spark)
