@@ -251,12 +251,8 @@ object GraftQueries {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
       val props = s.read.parquet(s"$d/events.parquet").select("props").as[String]
-      val forest = props.rdd.zipWithIndex()
-        .flatMap { case (json, i) =>
-          graft.sources.DocumentLoader.fromJsonString(json).zipWithIndex.map {
-            case (t, j) => graft.model.TreeRow(i * 100 + j, graft.core.TreeJson.toJson(t))
-          }
-        }.toDS()
+      val forest = graft.sources.DocumentLoader.parseDocuments(props)(
+        graft.sources.DocumentLoader.fromJsonString)
       Schema.extractDataset(Forest.toNodesDF(forest), "root")
     }),
 
@@ -275,12 +271,8 @@ object GraftQueries {
           lit("<c_mktsegment>"), col("c_mktsegment"), lit("</c_mktsegment>"),
           lit("<c_name>"), col("c_name"), lit("</c_name>"),
           lit("</customer>")).as("doc")).as[String]
-      val forest = xml.rdd.zipWithIndex()
-        .flatMap { case (x, i) =>
-          graft.sources.DocumentLoader.fromXmlString(x).zipWithIndex.map {
-            case (t, j) => graft.model.TreeRow(i * 100 + j, graft.core.TreeJson.toJson(t))
-          }
-        }.toDS()
+      val forest = graft.sources.DocumentLoader.parseDocuments(xml)(
+        graft.sources.DocumentLoader.fromXmlString)
       Schema.extractDataset(Forest.toNodesDF(forest), "customer")
     }),
 
@@ -293,12 +285,8 @@ object GraftQueries {
         .select(concat(
           lit("nation:\n  n_name: "), col("n_name"),
           lit("\n  n_nationkey: "), col("n_nationkey").cast("string")).as("doc")).as[String]
-      val forest = yaml.rdd.zipWithIndex()
-        .flatMap { case (x, i) =>
-          graft.sources.DocumentLoader.fromYamlString(x).zipWithIndex.map {
-            case (t, j) => graft.model.TreeRow(i * 100 + j, graft.core.TreeJson.toJson(t))
-          }
-        }.toDS()
+      val forest = graft.sources.DocumentLoader.parseDocuments(yaml)(
+        graft.sources.DocumentLoader.fromYamlString)
       Schema.extractDataset(Forest.toNodesDF(forest), "nation")
     }),
 
@@ -311,12 +299,8 @@ object GraftQueries {
         .select(concat(
           lit("[region]\nr_name = \""), col("r_name"),
           lit("\"\nr_regionkey = "), col("r_regionkey").cast("string")).as("doc")).as[String]
-      val forest = toml.rdd.zipWithIndex()
-        .flatMap { case (x, i) =>
-          graft.sources.DocumentLoader.fromString(x).zipWithIndex.map {
-            case (t, j) => graft.model.TreeRow(i * 100 + j, graft.core.TreeJson.toJson(t))
-          }
-        }.toDS()
+      val forest = graft.sources.DocumentLoader.parseDocuments(toml)(
+        graft.sources.DocumentLoader.fromString)
       Schema.extractDataset(Forest.toNodesDF(forest), "region")
     }),
 

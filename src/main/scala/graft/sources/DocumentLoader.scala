@@ -374,16 +374,35 @@ object DocumentLoader {
     }
   }
 
-  /** Load a directory/file of JSON documents, one document per LINE. */
-  def loadJsonLines(spark: SparkSession, path: String): Dataset[TreeRow] = {
+  /** Document-forest salt for [[graft.sources.RelationalLoader.treeId]]
+    * ids — the top of the 6-bit salt space, clear of the relational
+    * loader's low ascending salts, so a document forest can be unioned
+    * with a relational one without id collisions.
+    */
+  private val DocForestSalt = 63L
+
+  /** Distributed document → forest: one parse call per row, tree ids
+    * assigned per partition with the loader's enforced-range bit layout
+    * — a single narrow pass (an `rdd.zipWithIndex` would cost an extra
+    * count job and leave the vectorized scan pipeline). Positional like
+    * every loader id: persist/checkpoint before reusing across actions.
+    */
+  def parseDocuments(docs: Dataset[String])(parse: String => Seq[ArchiTree]): Dataset[TreeRow] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    spark.read.textFile(path).rdd
-      .zipWithIndex()
-      .flatMap { case (line, docIdx) =>
-        fromJsonString(line).zipWithIndex.map { case (t, i) =>
-          TreeRow(docIdx * 1000000 + i, TreeJson.toJson(t))
+    docs.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var idx = -1L
+      it.flatMap { doc =>
+        parse(doc).map { t =>
+          idx += 1
+          TreeRow(RelationalLoader.treeId(DocForestSalt, pid, idx), TreeJson.toJson(t))
         }
       }
-      .toDS()
+    }
   }
+
+  /** Load a directory/file of JSON documents, one document per LINE. */
+  def loadJsonLines(spark: SparkSession, path: String): Dataset[TreeRow] =
+    parseDocuments(spark.read.textFile(path))(fromJsonString)
 }
