@@ -59,31 +59,11 @@ object CypherLoader {
     val relationsWithData: Set[String] =
       edges.filter(_.edge.props.nonEmpty).map(_.edge.tpe).distinct().collect().toSet
 
-    // --- undirected connected components: min-id label propagation ---
-    val bidir = edges.select(col("edge.src").as("src"), col("edge.dst").as("dst"))
-      .union(edges.select(col("edge.dst").as("src"), col("edge.src").as("dst")))
-      .persist()
-    var labels = nodes.select(col("id").as("node"))
-      .withColumn("comp", col("node"))
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < 50) {
-      val neighborMin = bidir
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(min("comp").as("nComp"))
-      val updated = labels
-        .join(neighborMin, Seq("node"), "left")
-        .select(col("node"), col("comp").as("oldComp"),
-          when(col("nComp").isNotNull && col("nComp") < col("comp"), col("nComp"))
-            .otherwise(col("comp")).as("comp"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("comp") =!= col("oldComp")).count()
-      labels = updated.select("node", "comp")
-      iter += 1
-    }
-    bidir.unpersist()
-    val comp = labels.as[(String, String)] // (node id, component id)
+    // --- undirected connected components (shared pointer-jumping CC) ---
+    val comp = graft.util.Graph.connectedComponents(
+        nodes.select(col("id").as("node")),
+        edges.select(col("edge.src").as("src"), col("edge.dst").as("dst")))
+      .as[(String, String)] // (node id, component id)
 
     // Optional root sampling (cypher.py:31 `sample`): the reference takes
     // the first `sample` roots in sorted order — resolve that tiny set

@@ -388,33 +388,14 @@ object TreeClusterer {
       .select("ka", "kb", "sim")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // --- connected components: iterative min-label propagation ---
+    // --- connected components of the tau-graph (shared pointer-jumping
+    // CC — O(log diameter) rounds, fails loudly if unconverged) ---
     // every representative is seeded: a feature with multiplicity ≥ 2
     // is a complete sim-1.0 subgraph in the uncollapsed graph and must
     // survive as a component even with no cross-feature edge
-    val bidir = edges.select(col("ka").as("src"), col("kb").as("dst"))
-      .union(edges.select(col("kb").as("src"), col("ka").as("dst")))
-    var labels = reps.select(col("key").as("node"))
-      .withColumn("comp", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < 30) {
-      val neighborMin = bidir
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(min("comp").as("nComp"))
-      val updated = labels
-        .join(neighborMin, Seq("node"), "left")
-        .select(col("node"), col("comp").as("oldComp"),
-          when(col("nComp").isNotNull && col("nComp") < col("comp"), col("nComp"))
-            .otherwise(col("comp")).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = updated.filter(col("comp") =!= col("oldComp")).count()
-      labels.unpersist()
-      labels = updated.select("node", "comp").localCheckpoint(true)
-      iter += 1
-    }
+    val labels = graft.util.Graph.connectedComponents(
+      reps.select(col("key").as("node")),
+      edges.select(col("ka").as("src"), col("kb").as("dst")))
 
     // --- membership probability: mean incident kept-edge similarity ---
     // computed over the UNCOLLAPSED graph: a node with feature F has
