@@ -194,6 +194,16 @@ object DocumentLoader {
     parseDocumentTree(readTree(docs))
   }
 
+  // ---- Excel (documents.py:27: `pd.read_excel(sheet_name=None)`) ----
+
+  /** One metamodel forest from an .xlsx byte array: each sheet becomes
+    * a collection of row records under the sheet's name, through the
+    * same `readTree` path as every other format (see [[Xlsx]] for the
+    * subset contract).
+    */
+  def fromExcelBytes(bytes: Array[Byte]): Seq[ArchiTree] =
+    parseDocumentTree(readTree(Xlsx.parse(bytes)))
+
   // ---- TOML subset (documents.py:29: `toml.loads`) ----
 
   /** One metamodel forest from a TOML document. A deliberate SUBSET

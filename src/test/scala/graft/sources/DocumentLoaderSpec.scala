@@ -102,6 +102,37 @@ class DocumentLoaderSpec extends AnyFunSuite with SparkSpec {
     assert(r.contains("(COLL::tags (ENT::tags x) (ENT::tags y))"))
   }
 
+  test("Excel lane: a generated xlsx parses like its JSON equivalent") {
+    def part(name: String, body: String): (String, String) = name -> body
+    val parts = Seq(
+      part("xl/workbook.xml",
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<sheets><sheet name="items" sheetId="1"/></sheets></workbook>""".stripMargin),
+      part("xl/sharedStrings.xml",
+        "<sst><si><t>name</t></si><si><t>price</t></si><si><t>Laptop</t></si><si><t>Smartphone</t></si></sst>"),
+      part("xl/worksheets/sheet1.xml",
+        """<worksheet><sheetData>
+          |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+          |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>1000</v></c></row>
+          |<row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>500</v></c></row>
+          |</sheetData></worksheet>""".stripMargin))
+    val buf = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(buf)
+    parts.foreach { case (name, body) =>
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(body.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    zip.close()
+
+    val viaExcel = DocumentLoader.fromExcelBytes(buf.toByteArray).map(_.render)
+    val viaJson = DocumentLoader.fromJsonString(
+      """{"items": [{"name": "Laptop", "price": 1000}, {"name": "Smartphone", "price": 500}]}"""
+    ).map(_.render)
+    assert(viaExcel == viaJson)
+    assert(Xlsx.colIndex("AA3") == 26)
+  }
+
   test("fromString try-each chain detects the format") {
     val expected = DocumentLoader.fromJsonString(orderJson).map(_.render)
     for (doc <- Seq(orderJson, orderXml, orderYaml, orderToml))
