@@ -22,6 +22,8 @@ object Cli {
         |  load <dir> [--db NAME] [--out DIR]              load to a metamodel forest (JSONL if --out)
         |  simplify <dir> [--db NAME] [--tau T] [--decay D] [--epochs N]
         |           [--min-support K] [--schema-only] [--out DIR]
+        |  cleanup <dir> [--db NAME] [--out DIR]           keep only schema-valid trees
+        |  compare <dirA> <dirB> [--db NAME] [--tau T]     coverage/AMI/completeness between loads
         |  export sql|cypher <dir> [--db NAME] [--out DIR]
         |  generate [--size N] [--out DIR]                 synthetic instance from the demo schema
         |""".stripMargin)
@@ -109,6 +111,35 @@ object Cli {
         graft.sinks.Jsonl.write(out, o)
         println(s"wrote simplified forest to $o")
       }
+      spark.stop()
+
+    case "cleanup" :: dir :: rest =>
+      val opts = parseOpts(rest)
+      val spark = session()
+      val forest = RelationalLoader.load(spark, dir, dbConfig(opts.getOrElse("db", "customerDb")))
+        .localCheckpoint(true)
+      val schema = Schema.fromForest(Forest.toNodesDF(forest), keepUnlabelled = false)
+      showSchema(schema)
+      val valid = schema.extractValidTrees(forest)
+      println(s"valid trees: ${valid.count()} of ${forest.count()}")
+      opts.get("out").foreach { o =>
+        graft.sinks.Jsonl.write(valid, o)
+        println(s"wrote valid forest to $o")
+      }
+      spark.stop()
+
+    case "compare" :: srcDir :: dstDir :: rest =>
+      val opts = parseOpts(rest)
+      val spark = session()
+      val cfg = dbConfig(opts.getOrElse("db", "customerDb"))
+      val tau = opts.get("tau").map(_.toDouble).getOrElse(0.7)
+      val src = RelationalLoader.load(spark, srcDir, cfg).localCheckpoint(true)
+      val dst = RelationalLoader.load(spark, dstDir, cfg).localCheckpoint(true)
+      val metrics = new graft.metrics.Metrics(src, tau)
+      metrics.update(dst)
+      println(f"coverage=${metrics.coverage}%.4f")
+      println(f"cluster_ami=${metrics.clusterAmi}%.4f")
+      println(f"cluster_completeness=${metrics.clusterCompleteness}%.4f")
       spark.stop()
 
     case "export" :: kind :: dir :: rest =>
