@@ -54,59 +54,58 @@ object Rewrite {
   def rewrite(forest: Dataset[TreeRow], cfg: Config = Config()): Dataset[TreeRow] = {
     val spark = forest.sparkSession
     import spark.implicits._
+    implicit val kryoEnc: org.apache.spark.sql.Encoder[(Long, ArchiTree)] =
+      org.apache.spark.sql.Encoders.kryo[(Long, ArchiTree)]
+    implicit val kryoChangedEnc: org.apache.spark.sql.Encoder[((Long, ArchiTree), Boolean)] =
+      org.apache.spark.sql.Encoders.kryo[((Long, ArchiTree), Boolean)]
 
-    val total = forest.count()
+    // the epoch loop's master representation is the parsed Kryo tree
+    // dataset — ONE JSON parse on entry and one serialize on exit, not a
+    // codec round trip per step (the reference applies up to 7 ops ×
+    // 100 epochs; three JSON passes per epoch dominated the loop)
+    var trees: Dataset[(Long, ArchiTree)] =
+      checkpointTrees(Forest.trees(forest))
+    val total = trees.count()
     if (total == 0) return forest
     val minSupport = cfg.minSupport.getOrElse(math.max((total / 10).toInt, 2))
 
-    var current = Forest.checkpoint(forest)
     var epoch = 1
     var converged = false
 
     while (epoch < cfg.epochs && !converged) {
       // 1. reduce_all({ENT}) (tree_rewriting/__init__.py:196-201)
-      current = Forest.mapTrees(current)(_.reduceAll(Set(NodeType.Ent)))
+      trees = checkpointTrees(
+        trees.map { case (id, t) => (id, t.reduceAll(Set(NodeType.Ent))) })
 
       // 2. cluster the candidate subtrees
-      val result = TreeClusterer.fit(current, cfg.tau, cfg.decay, cfg.metricName,
+      val result = TreeClusterer.fitTrees(trees, cfg.tau, cfg.decay, cfg.metricName,
         schemaOnly = cfg.schemaOnly)
       val model = result.model
       val modelB = spark.sparkContext.broadcast(model)
 
       // 3. find_groups (tree_rewriting/__init__.py:648-706): relabel
-      // qualifying cluster members as GROUPs, frequent clusters first
+      // qualifying cluster members as GROUPs, frequent clusters first.
+      // Typed cogroup — the Kryo dataset has no named columns to join on.
       val rank: Map[String, Int] = model.clusters.values.toSeq
         .filter(_.support > minSupport)
         .sortBy(c => (-c.support, -c.avgEntities, -c.avgDepth, c.name))
         .zipWithIndex.map { case (c, i) => c.name -> i }.toMap
+      val rankB = spark.sparkContext.broadcast(rank)
       val assignByTree = result.assignments
         .groupByKey(_.treeId)
         .mapGroups((tid, as) => tid -> as.map(a => a.key -> a.cluster).toSeq)
-        .toDF("treeId", "assigns")
-      val rankB = spark.sparkContext.broadcast(rank)
-      current = current.toDF()
-        .join(assignByTree, Seq("treeId"), "left")
-        .map { row =>
-          val treeId = row.getAs[Long]("treeId")
-          val json = row.getAs[String]("tree")
-          val assigns = Option(row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("assigns"))
-            .map(_.iterator.map(r => r.getString(0) -> r.getString(1)).toSeq).getOrElse(Seq.empty)
-          val tree = TreeJson.fromJson(json)
-          TreeRow(treeId, TreeJson.toJson(findGroupsInTree(tree, treeId, assigns, rankB.value)))
+      trees = trees.groupByKey(_._1)
+        .cogroup(assignByTree.groupByKey(_._1)) { case (tid, ts, as) =>
+          val assigns = as.flatMap(_._2).toSeq
+          ts.map { case (id, tree) =>
+            (id, findGroupsInTree(tree, id, assigns, rankB.value))
+          }
         }
 
-      // 4. operations with early exit. Within the epoch the forest stays
-      // a Kryo-encoded Dataset[(treeId, ArchiTree)] — one JSON parse at
-      // epoch start and one serialize at the end, not a codec round trip
-      // per operation (the reference applies up to 7 ops × 100 epochs).
-      current = Forest.checkpoint(current)
-      implicit val kryoEnc: org.apache.spark.sql.Encoder[(Long, ArchiTree)] =
-        org.apache.spark.sql.Encoders.kryo[(Long, ArchiTree)]
-      implicit val kryoChangedEnc: org.apache.spark.sql.Encoder[((Long, ArchiTree), Boolean)] =
-        org.apache.spark.sql.Encoders.kryo[((Long, ArchiTree), Boolean)]
-      var trees: Dataset[(Long, ArchiTree)] =
-        current.map(row => (row.treeId, TreeJson.fromJson(row.tree)))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+      // 4. operations with early exit at the first op that changed
+      // anything (tree_rewriting/__init__.py:203-218); the checkpoint
+      // materializes the cogroup output once for the op passes
+      trees = checkpointTrees(trees)
       var opChanged = false
       val it = cfg.operations.iterator
       while (it.hasNext && !opChanged) {
@@ -118,20 +117,17 @@ object Rewrite {
         val changed = mapped.filter(_._2).count()
         if (changed > 0) {
           opChanged = true
-          trees.unpersist()
-          trees = mapped.map(_._1).persist(StorageLevel.MEMORY_AND_DISK)
+          trees = checkpointTrees(mapped.map(_._1))
         }
         mapped.unpersist()
       }
-      if (opChanged) {
-        current = Forest.checkpoint(
-          trees.map { case (id, t) => TreeRow(id, TreeJson.toJson(t)) })
-      }
-      trees.unpersist()
 
       converged = !opChanged
       epoch += 1
     }
+
+    var current: Dataset[TreeRow] =
+      trees.map { case (id, t) => TreeRow(id, TreeJson.toJson(t)) }
 
     // post-process (tree_rewriting/__init__.py:227-259): naming-only
     // relations + collections, no early exit
@@ -144,6 +140,15 @@ object Rewrite {
     if (cfg.simplifyNames) current = simplifyNames(current)
     Forest.checkpoint(current)
   }
+
+  /** Per-epoch lineage break for the Kryo tree dataset — reliable
+    * checkpoint when a checkpoint dir is configured (an executor loss
+    * must not kill a 100-epoch lineage on a real cluster), local
+    * otherwise; mirrors Forest.checkpoint.
+    */
+  private def checkpointTrees(ds: Dataset[(Long, ArchiTree)]): Dataset[(Long, ArchiTree)] =
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) ds.checkpoint(true)
+    else ds.localCheckpoint(true)
 
   /** find_groups applied inside one tree: assignments ordered by cluster
     * rank (frequent first); conditions re-checked on the evolving tree.

@@ -121,33 +121,63 @@ object TreeClusterer {
 
   final case class Result(assignments: Dataset[Assignment], model: ClusterModel)
 
+  // phase timing to stderr when SPARK_GRAFT_PROFILE is set — dev aid only
+  private val profile = sys.env.contains("SPARK_GRAFT_PROFILE")
+  @inline private def timed[A](label: String)(body: => A): A =
+    if (!profile) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[fit-profile] $label%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   def candidates(
       forest: Dataset[TreeRow],
       maxHeight: Int = 5,
       entityParentsOnly: Boolean = false,
   ): Dataset[CandRow] = {
     import forest.sparkSession.implicits._
-    forest.flatMap { row =>
-      val tree = TreeJson.fromJson(row.tree)
-      val feats = Similarity.treeFeatures(tree, row.treeId.toString, maxHeight)
-      val kept =
-        if (!entityParentsOnly) feats
-        else {
-          // entity_labels mode (similarity.py:539-545): only subtrees
-          // with a direct ENT child participate
-          val parents = tree.positionedSubtrees.collect {
-            case (path, t) if !t.hasType(NodeType.Ent) && t.hasEntityChild =>
-              s"${row.treeId}/${path.mkString(".")}"
-          }.toSet
-          feats.filter { case (k, _) => parents.contains(k) }
-        }
-      kept.map { case (key, f) =>
-        CandRow(
-          key, row.treeId, f.height, f.depth,
-          // label NAME for cluster naming; typed flag filters untyped
-          keyLabelName(f.self.label), f.self.isTyped,
-          f.levels.map(l => LevelRow(l.id, l.label, l.isTyped, l.entLabels.toSeq.sorted)))
+    forest.flatMap(row =>
+      candidateRows(row.treeId, TreeJson.fromJson(row.tree), maxHeight, entityParentsOnly))
+  }
+
+  /** Same extraction over an already-parsed tree dataset — the rewrite
+    * epoch loop keeps its forest as Kryo trees and skips the JSON codec.
+    */
+  def candidatesFromTrees(
+      trees: Dataset[(Long, ArchiTree)],
+      maxHeight: Int = 5,
+      entityParentsOnly: Boolean = false,
+  ): Dataset[CandRow] = {
+    import trees.sparkSession.implicits._
+    trees.flatMap { case (id, tree) => candidateRows(id, tree, maxHeight, entityParentsOnly) }
+  }
+
+  private def candidateRows(
+      treeId: Long,
+      tree: ArchiTree,
+      maxHeight: Int,
+      entityParentsOnly: Boolean,
+  ): Iterator[CandRow] = {
+    val feats = Similarity.treeFeatures(tree, treeId.toString, maxHeight)
+    val kept =
+      if (!entityParentsOnly) feats
+      else {
+        // entity_labels mode (similarity.py:539-545): only subtrees
+        // with a direct ENT child participate
+        val parents = tree.positionedSubtrees.collect {
+          case (path, t) if !t.hasType(NodeType.Ent) && t.hasEntityChild =>
+            s"$treeId/${path.mkString(".")}"
+        }.toSet
+        feats.filter { case (k, _) => parents.contains(k) }
       }
+    kept.iterator.map { case (key, f) =>
+      CandRow(
+        key, treeId, f.height, f.depth,
+        // label NAME for cluster naming; typed flag filters untyped
+        keyLabelName(f.self.label), f.self.isTyped,
+        f.levels.map(l => LevelRow(l.id, l.label, l.isTyped, l.entLabels.toSeq.sorted)))
     }
   }
 
@@ -163,46 +193,86 @@ object TreeClusterer {
       keepPerCluster: Int = 20,
       entityParentsOnly: Boolean = false,
       schemaOnly: Boolean = false,
+  ): Result =
+    fitImpl(candidates(forest, maxHeight, entityParentsOnly), () => forest,
+      tau, decay, metricName, maxHeight, minClusterSize, keepPerCluster, schemaOnly)
+
+  /** fit() over an already-parsed Kryo tree dataset — the rewrite epoch
+    * loop's entry point; skips the JSON parse in candidate extraction.
+    */
+  def fitTrees(
+      trees: Dataset[(Long, ArchiTree)],
+      tau: Double = 0.7,
+      decay: Double = Similarity.Decay,
+      metricName: String = "jaro",
+      maxHeight: Int = 5,
+      minClusterSize: Int = 2,
+      keepPerCluster: Int = 20,
+      schemaOnly: Boolean = false,
+  ): Result = {
+    import trees.sparkSession.implicits._
+    fitImpl(candidatesFromTrees(trees, maxHeight), // schema-only path parses lazily
+      () => trees.map { case (id, t) => TreeRow(id, TreeJson.toJson(t)) },
+      tau, decay, metricName, maxHeight, minClusterSize, keepPerCluster, schemaOnly)
+  }
+
+  private def fitImpl(
+      candsIn: Dataset[CandRow],
+      forestForSchema: () => Dataset[TreeRow],
+      tau: Double,
+      decay: Double,
+      metricName: String,
+      maxHeight: Int,
+      minClusterSize: Int,
+      keepPerCluster: Int,
+      schemaOnly: Boolean,
   ): Result = {
     require(tau >= 0 && tau <= 1, "tau must be between 0 and 1")
-    val spark = forest.sparkSession
+    val spark = candsIn.sparkSession
     import spark.implicits._
 
-    val cands = candidates(forest, maxHeight, entityParentsOnly)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = candsIn.persist(StorageLevel.MEMORY_AND_DISK)
 
     val (membersDf, releaseIntermediates) =
       if (schemaOnly)
-        (schemaOnlyMembers(forest, cands, tau, decay, metricName, maxHeight, minClusterSize),
-          () => ())
+        (schemaOnlyMembers(forestForSchema(), cands, tau, decay, metricName, maxHeight,
+          minClusterSize), () => ())
       else instanceMembers(cands, tau, decay, metricName, maxHeight)
 
-    // component stats for deterministic naming
-    val compStats = membersDf
-      .groupBy("comp")
-      .agg(count(lit(1)).as("size"), min("node").as("minNode"))
-      .filter(col("size") >= minClusterSize)
-      .orderBy(col("size").desc, col("minNode").asc)
-      .collect()
-    val modal = membersDf
-      .filter(col("labelTyped"))
-      .groupBy("comp", "labelName")
-      .count()
-      .collect()
-      .groupBy(_.getString(0))
-      .map { case (comp, rows) =>
-        comp -> rows.maxBy(r => (r.getLong(2), r.getString(1))).getString(1)
-      }
+    // one persisted scan feeds every downstream stat — the members frame
+    // is the expensive join chain (expansion × cands), so materialize it
+    // exactly once
+    val members = membersDf.persist(StorageLevel.MEMORY_AND_DISK)
 
-    val naming: Map[String, String] = compStats.zipWithIndex.map { case (r, i) =>
-      val comp = r.getString(0)
+    // component stats for deterministic naming, ONE aggregation at the
+    // (comp, labelName, labelTyped) grain — bounded by comps × labels —
+    // from which sizes, min nodes, and modal typed labels all derive
+    val nameStats = timed("nameStats") { members
+      .groupBy("comp", "labelName", "labelTyped")
+      .agg(count(lit(1)).as("n"), min("node").as("minNode"))
+      .collect()
+    }
+    val byComp = nameStats.groupBy(_.getString(0))
+    val compStats = byComp.toSeq
+      .map { case (comp, rows) =>
+        (comp, rows.map(_.getLong(3)).sum, rows.map(_.getString(4)).min)
+      }
+      .filter(_._2 >= minClusterSize)
+      .sortBy { case (comp, size, minNode) => (-size, minNode) }
+    val modal: Map[String, String] = byComp.flatMap { case (comp, rows) =>
+      val typed = rows.filter(_.getBoolean(2))
+      if (typed.isEmpty) None
+      else Some(comp -> typed.maxBy(r => (r.getLong(3), r.getString(1))).getString(1))
+    }.toMap
+
+    val naming: Map[String, String] = compStats.zipWithIndex.map { case ((comp, _, _), i) =>
       val name = modal.get(comp).map(m => s"${m}_$i").getOrElse(i.toString)
       comp -> name
     }.toMap
     val namingDf = naming.toSeq.toDF("comp", "cluster")
 
-    val assignments = membersDf
-      .join(broadcast(namingDf), Seq("comp"))
+    val withCluster = members.join(broadcast(namingDf), Seq("comp"))
+    val assignments = withCluster
       .select(col("node").as("key"), col("treeId"), col("cluster"), col("prob"))
       .as[Assignment]
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -212,44 +282,54 @@ object TreeClusterer {
     // distinct StructKeys per cluster (bounded by schema variety, the
     // whole point of the identity-free key), and (c) the window-ranked
     // top-`keepPerCluster` member features — O(clusters × K), never
-    // O(members). The old joinWith(...).collect() pulled every
-    // (assignment × feature) row to the driver.
-    val memberRows = assignments
-      .joinWith(cands, assignments("key") === cands("key"))
-      .map { case (a, c) => MemberRow(a.cluster, a.prob, a.key, c) }
+    // O(members). The members frame already carries every candidate
+    // column, so the model rows come straight from it — no second
+    // shuffle join back against cands.
+    val memberRows = withCluster
+      .select(col("cluster"), col("prob"), col("node").as("key"),
+        struct(col("node").as("key"), col("treeId"), col("height"), col("depth"),
+          col("labelName"), col("labelTyped"), col("levels")).as("cand"))
+      .as[MemberRow]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val statRows = memberRows.groupBy("cluster")
+    val statRows = timed("statRows") { memberRows.groupBy("cluster")
       .agg(
         count(lit(1)).as("support"),
         avg(size(col("cand.levels").getItem(0).getField("ents"))).as("avgEnts"),
         avg(col("cand.depth")).as("avgDepth"))
       .collect()
-    val featRows = memberRows
+    }
+    val featRows = timed("featRows") { memberRows
       .map(m => (m.cluster, StructKey(m.cand.height, m.cand.depth,
         m.cand.levels.map(l => StructLevel(l.label, l.isTyped, l.ents)))))
       .distinct()
       .collect()
+    }
     val rankWin = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster").orderBy(col("prob").desc, col("key").asc)
-    val topRows = memberRows.toDF()
+    val topRows = timed("topRows") { memberRows.toDF()
       .withColumn("rn", row_number().over(rankWin))
       .filter(col("rn") <= keepPerCluster)
       .drop("rn")
       .as[MemberRow]
       .collect()
+    }
+    // materialize the returned assignments BEFORE the backing frames are
+    // released — afterwards a recompute would rebuild the whole chain
+    timed("assignments") { assignments.count() }
     memberRows.unpersist()
+    members.unpersist()
 
     val featsByCluster = featRows.groupBy(_._1).map { case (n, fs) => n -> fs.map(_._2).toSet }
     val membersByCluster = topRows.groupBy(_.cluster)
     val summaries = statRows.map { r =>
       val name = r.getString(0)
-      val members = membersByCluster.getOrElse(name, Array.empty[MemberRow])
+      val ms = membersByCluster.getOrElse(name, Array.empty[MemberRow])
         .sortBy(m => (-m.prob, m.key))
         .map(m => (m.cand.toFeature, m.prob)).toVector
       name -> ClusterSummary(
         name, r.getLong(1).toInt, featsByCluster.getOrElse(name, Set.empty),
-        members, r.getDouble(2), r.getDouble(3))
+        ms, r.getDouble(2), r.getDouble(3))
     }.toMap
 
     cands.unpersist()
@@ -315,6 +395,19 @@ object TreeClusterer {
       .withColumnRenamed("key", "node")
   }
 
+  /** Above this many distinct structural representatives the tau-graph
+    * is built distributed; at or below it the pair scoring + components
+    * run driver-side in one pass. The rep count is bounded by schema
+    * VARIETY (never data size — that is what the structural collapse
+    * guarantees), so for most forests it is tiny and the distributed
+    * path's ~10 jobs + iterative CC rounds are pure scheduling latency.
+    * Same philosophy as Spark's own broadcast-join threshold: pick the
+    * local algorithm when the input provably fits, keep the distributed
+    * one as the unbounded-case path. 2000 reps caps the worst case
+    * (every rep sharing one entity label) at ~2M scored pairs.
+    */
+  private val LocalTauGraphMaxReps = 2000L
+
   /** Instance-mode membership: representative collapse → blocking join →
     * tau-edges → connected components → incident-edge probabilities.
     * Returns the members frame plus a release hook for the persisted
@@ -361,6 +454,124 @@ object TreeClusterer {
       .join(withFeat.drop("feat"), "key")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // --- tau-graph: adaptive local/distributed (see LocalTauGraphMaxReps) ---
+    val repCount = timed("collapse+count") { repKeys.count() }
+    val (labels, incident, releaseGraph) =
+      if (repCount <= LocalTauGraphMaxReps)
+        timed("localTauGraph") { localTauGraph(reps, tau, decay, metricName, maxHeight) }
+      else
+        distributedTauGraph(reps, tau, decay, metricName, maxHeight)
+
+    // --- expand representatives back to every original subtree ---
+    val expansion = withFeat
+      .select(col("key").as("origKey"), col("feat"))
+      .join(repKeys.select(col("feat"), col("key").as("node")), "feat")
+      .select("origKey", "node")
+    val membersDf = labels
+      .join(incident, "node")
+      .join(expansion, "node")
+      .drop("node")
+      .join(cands.withColumnRenamed("key", "origKey"), "origKey")
+      .withColumnRenamed("origKey", "node")
+
+    (membersDf, () => {
+      withFeat.unpersist()
+      repKeys.unpersist()
+      reps.unpersist()
+      releaseGraph()
+      ()
+    })
+  }
+
+  /** Typed projection of a representative row for the local tau-graph. */
+  private final case class RepRow(
+      key: String, mult: Long, height: Int, depth: Int, levels: Seq[LevelRow])
+
+  /** Driver-side tau-graph for a provably-small representative set: the
+    * SAME blocking (shared self-level entity label), height/depth-gap
+    * prune, min-key component labels and multiplicity-weighted incident
+    * probabilities as the distributed path — but one collect and zero
+    * shuffles instead of ~10 jobs plus the iterative CC rounds, which at
+    * low rep counts are pure scheduler latency.
+    */
+  private def localTauGraph(
+      reps: DataFrame,
+      tau: Double,
+      decay: Double,
+      metricName: String,
+      maxHeight: Int,
+  ): (DataFrame, DataFrame, () => Unit) = {
+    val spark = reps.sparkSession
+    import spark.implicits._
+    val rows = reps.select("key", "mult", "height", "depth", "levels")
+      .as[RepRow].collect().sortBy(_.key)
+    val n = rows.length
+    val feats = rows.map(r => SubtreeFeature(r.levels.map(_.toFeature).toVector, 0, 0))
+    val metric = SeqMetrics.byName(metricName)
+
+    // blocking on the self level's entity labels; rows are key-sorted so
+    // index order IS the distributed path's `a.key < b.key` order
+    val byEnt = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+    for (i <- 0 until n; e <- rows(i).levels.head.ents)
+      byEnt.getOrElseUpdate(e, scala.collection.mutable.ArrayBuffer.empty) += i
+
+    // union-find: roots always merge max-under-min, so every root stays
+    // the minimum index (= minimum key) of its component — the same
+    // label the distributed min-propagation CC produces
+    val parent = Array.tabulate(n)(identity)
+    def find(i: Int): Int = {
+      var r = i
+      while (parent(r) != r) r = parent(r)
+      var c = i
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+
+    // probability accumulators over the UNCOLLAPSED graph (same formula
+    // as the distributed path: (m_F−1 twins at sim 1.0) + cross edges
+    // weighted by the other side's multiplicity)
+    val num = Array.tabulate(n)(i => (rows(i).mult - 1).toDouble)
+    val den = Array.tabulate(n)(i => (rows(i).mult - 1).toDouble)
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    for {
+      bucket <- byEnt.valuesIterator
+      bi <- 0 until bucket.length
+      bj <- (bi + 1) until bucket.length
+    } {
+      val i = bucket(bi)
+      val j = bucket(bj)
+      if (seen.add((i.toLong << 32) | j) &&
+        math.min(math.abs(rows(i).height - rows(j).height),
+          math.abs(rows(i).depth - rows(j).depth)) < maxHeight) {
+        val sim = Similarity.similarity(feats(i), feats(j), metric, decay)
+        if (sim >= tau) {
+          val (ra, rb) = (find(i), find(j))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          num(i) += rows(j).mult * sim; den(i) += rows(j).mult
+          num(j) += rows(i).mult * sim; den(j) += rows(i).mult
+        }
+      }
+    }
+
+    val labels = (0 until n).map(i => (rows(i).key, rows(find(i)).key)).toDF("node", "comp")
+    val incident = (0 until n)
+      .collect { case i if den(i) > 0 => (rows(i).key, num(i) / den(i)) }
+      .toDF("node", "prob")
+    (labels, incident, () => ())
+  }
+
+  /** Distributed tau-graph: blocking join → UDF scoring → pointer-
+    * jumping connected components → incident-edge aggregation. The
+    * unbounded-rep-count path; results match localTauGraph exactly.
+    */
+  private def distributedTauGraph(
+      reps: DataFrame,
+      tau: Double,
+      decay: Double,
+      metricName: String,
+      maxHeight: Int,
+  ): (DataFrame, DataFrame, () => Unit) = {
     // --- blocking join on shared entity label (representatives only) ---
     val byEnt = reps
       .select(col("key"), col("height"), col("depth"), explode(col("levels")(0)("ents")).as("ent"))
@@ -416,25 +627,9 @@ object TreeClusterer {
       .filter(col("den") > 0)
       .select(col("node"), (col("num") / col("den")).as("prob"))
 
-    // --- expand representatives back to every original subtree ---
-    val expansion = withFeat
-      .select(col("key").as("origKey"), col("feat"))
-      .join(repKeys.select(col("feat"), col("key").as("node")), "feat")
-      .select("origKey", "node")
-    val membersDf = labels
-      .join(incident, "node")
-      .join(expansion, "node")
-      .drop("node")
-      .join(cands.withColumnRenamed("key", "origKey"), "origKey")
-      .withColumnRenamed("origKey", "node")
-
-    val finalLabels = labels
-    (membersDf, () => {
-      withFeat.unpersist()
-      repKeys.unpersist()
-      reps.unpersist()
+    (labels, incident, () => {
       edges.unpersist()
-      finalLabels.unpersist()
+      labels.unpersist()
       ()
     })
   }
