@@ -23,6 +23,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object Rewrite {
 
+  // phase timing to stderr when SPARK_GRAFT_PROFILE is set — dev aid only
+  private val profile = sys.env.contains("SPARK_GRAFT_PROFILE")
+  @inline private def timed[A](label: String)(body: => A): A =
+    if (!profile) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[rewrite-profile] $label%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** One rewrite operation: pure per-tree function that may consult the
     * broadcast cluster model.
     */
@@ -74,12 +85,14 @@ object Rewrite {
 
     while (epoch < cfg.epochs && !converged) {
       // 1. reduce_all({ENT}) (tree_rewriting/__init__.py:196-201)
-      trees = checkpointTrees(
+      trees = timed("reduceAll+ckpt") { checkpointTrees(
         trees.map { case (id, t) => (id, t.reduceAll(Set(NodeType.Ent))) })
+      }
 
       // 2. cluster the candidate subtrees
-      val result = TreeClusterer.fitTrees(trees, cfg.tau, cfg.decay, cfg.metricName,
-        schemaOnly = cfg.schemaOnly)
+      val result = timed("fit") { TreeClusterer.fitTrees(trees, cfg.tau, cfg.decay,
+        cfg.metricName, schemaOnly = cfg.schemaOnly)
+      }
       val model = result.model
       val modelB = spark.sparkContext.broadcast(model)
 
@@ -105,21 +118,23 @@ object Rewrite {
       // 4. operations with early exit at the first op that changed
       // anything (tree_rewriting/__init__.py:203-218); the checkpoint
       // materializes the cogroup output once for the op passes
-      trees = checkpointTrees(trees)
+      trees = timed("findGroups+ckpt") { checkpointTrees(trees) }
       var opChanged = false
       val it = cfg.operations.iterator
       while (it.hasNext && !opChanged) {
         val op = it.next()
-        val mapped = trees.map { case (id, tree) =>
-          val (t, ch) = op.fn(tree, modelB.value, minSupport, id.toString)
-          ((id, t), ch)
-        }.persist(StorageLevel.MEMORY_AND_DISK)
-        val changed = mapped.filter(_._2).count()
-        if (changed > 0) {
-          opChanged = true
-          trees = checkpointTrees(mapped.map(_._1))
+        timed(s"op:${op.name}") {
+          val mapped = trees.map { case (id, tree) =>
+            val (t, ch) = op.fn(tree, modelB.value, minSupport, id.toString)
+            ((id, t), ch)
+          }.persist(StorageLevel.MEMORY_AND_DISK)
+          val changed = mapped.filter(_._2).count()
+          if (changed > 0) {
+            opChanged = true
+            trees = checkpointTrees(mapped.map(_._1))
+          }
+          mapped.unpersist()
         }
-        mapped.unpersist()
       }
 
       converged = !opChanged
@@ -137,8 +152,8 @@ object Rewrite {
       t2
     }
 
-    if (cfg.simplifyNames) current = simplifyNames(current)
-    Forest.checkpoint(current)
+    if (cfg.simplifyNames) current = timed("simplifyNames") { simplifyNames(current) }
+    timed("final ckpt") { Forest.checkpoint(current) }
   }
 
   /** Per-epoch lineage break for the Kryo tree dataset — reliable

@@ -403,10 +403,14 @@ object TreeClusterer {
     * path's ~10 jobs + iterative CC rounds are pure scheduling latency.
     * Same philosophy as Spark's own broadcast-join threshold: pick the
     * local algorithm when the input provably fits, keep the distributed
-    * one as the unbounded-case path. 2000 reps caps the worst case
-    * (every rep sharing one entity label) at ~2M scored pairs.
+    * one as the unbounded-case path. The default (2000 reps) caps the
+    * worst case (every rep sharing one entity label) at ~2M scored
+    * pairs; tune — or set to -1 to force the distributed path — via the
+    * session conf.
     */
-  private val LocalTauGraphMaxReps = 2000L
+  val LocalTauGraphMaxRepsKey = "spark.graft.cluster.localTauGraphMaxReps"
+  private def localTauGraphMaxReps(spark: SparkSession): Long =
+    spark.conf.getOption(LocalTauGraphMaxRepsKey).map(_.toLong).getOrElse(2000L)
 
   /** Instance-mode membership: representative collapse → blocking join →
     * tau-edges → connected components → incident-edge probabilities.
@@ -454,10 +458,10 @@ object TreeClusterer {
       .join(withFeat.drop("feat"), "key")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // --- tau-graph: adaptive local/distributed (see LocalTauGraphMaxReps) ---
+    // --- tau-graph: adaptive local/distributed (see LocalTauGraphMaxRepsKey) ---
     val repCount = timed("collapse+count") { repKeys.count() }
     val (labels, incident, releaseGraph) =
-      if (repCount <= LocalTauGraphMaxReps)
+      if (repCount <= localTauGraphMaxReps(spark))
         timed("localTauGraph") { localTauGraph(reps, tau, decay, metricName, maxHeight) }
       else
         distributedTauGraph(reps, tau, decay, metricName, maxHeight)

@@ -164,4 +164,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(labels.size == 4)
     assert(labels.values.toSet.size == 1)
   }
+
+  test("local and distributed tau-graph paths produce identical results") {
+    // varied structures: twins, a near-duplicate family sharing entity
+    // labels (cross-feature edges), a noise subtree, an untyped root —
+    // exercises blocking, gap prune, multiplicity seeding, and naming
+    val trees = Seq(
+      SExpr.parse("(S (X (ENT::person Alice) (ENT::fruit apple)) (Y (ENT::person Alice)))"),
+      SExpr.parse("(S (X (ENT::person Bob) (ENT::fruit banana)) (Y (ENT::person Bob)))"),
+      SExpr.parse("(S (X2 (ENT::person Carol) (ENT::fruit cherry) (ENT::animal cat)))"),
+      SExpr.parse("(S (X2 (ENT::person Dave) (ENT::fruit date) (ENT::animal dog)))"),
+      SExpr.parse("(S (Z (ENT::qq 1) (ENT::ww 2)))"),
+    )
+    val forest = Forest.fromTrees(spark, trees)
+    def run(): (Map[String, (String, Double)], Map[String, (Int, Set[StructKey], Double, Double)]) = {
+      val r = TreeClusterer.fit(forest, tau = 0.6, metricName = "jaccard")
+      (r.assignments.collect().map(a => a.key -> (a.cluster, a.prob)).toMap,
+        r.model.clusters.map { case (n, c) =>
+          n -> (c.support, c.memberFeats, c.avgEntities, c.avgDepth)
+        })
+    }
+    val local = run()
+    spark.conf.set(TreeClusterer.LocalTauGraphMaxRepsKey, "-1") // force distributed
+    val dist =
+      try run()
+      finally spark.conf.unset(TreeClusterer.LocalTauGraphMaxRepsKey)
+    assert(local._1.nonEmpty)
+    assert(local._1.keySet == dist._1.keySet, "assignment keys diverge between tau-graph paths")
+    local._1.foreach { case (key, (cluster, prob)) =>
+      val (dc, dp) = dist._1(key)
+      assert(cluster == dc, s"cluster of $key diverges")
+      // probabilities may differ by summation order only
+      assert(math.abs(prob - dp) < 1e-9, s"prob of $key diverges: $prob vs $dp")
+    }
+    assert(local._2.keySet == dist._2.keySet, "cluster names diverge between tau-graph paths")
+    local._2.foreach { case (name, (support, feats, avgE, avgD)) =>
+      val (ds, df, de, dd) = dist._2(name)
+      assert(support == ds && feats == df, s"summary of $name diverges")
+      assert(math.abs(avgE - de) < 1e-9 && math.abs(avgD - dd) < 1e-9)
+    }
+  }
 }
