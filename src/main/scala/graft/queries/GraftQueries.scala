@@ -328,6 +328,23 @@ object GraftQueries {
         .productions.map(p => (p.lhs, p.rhs.mkString(" "))).sorted.toDF("lhs", "rhs")
     }),
 
+    // §2.5 schema_only mode (similarity.py:230,296-339): the cheap
+    // clustering lane — the tau-graph runs over the SCHEMA template
+    // (bounded by schema variety) and instances map in by self-label.
+    // On this forest it recovers a FINER structure than instance mode
+    // (two groups + their relation vs one merged group), the documented
+    // behavioral difference; deterministic and scale-invariant
+    // (identical productions at sf0.001/sf0.01/sf0.1), so the oracle is
+    // a pinned literal golden.
+    "rewrite_schema_only_customer" -> ((s, d) => {
+      import s.implicits._
+      import graft.rewrite.Rewrite
+      val out = Rewrite.rewrite(untypedCustomer(s, d),
+        Rewrite.Config(tau = 0.7, epochs = 4, schemaOnly = true))
+      Schema.fromForest(Forest.toNodesDF(out), keepUnlabelled = false)
+        .productions.map(p => (p.lhs, p.rhs.mkString(" "))).sorted.toDF("lhs", "rhs")
+    }),
+
     // §2.5 TreeClusterer at forest scale. The output — the cluster-size
     // histogram — is deterministic for this forest (connected components
     // of the tau-graph + min-label naming over a deterministic loader
@@ -491,6 +508,17 @@ object GraftQueries {
       """SELECT 'COLL::UndefinedGroup' AS lhs, 'GROUP::UndefinedGroup' AS rhs
         |UNION ALL SELECT 'GROUP::UndefinedGroup',
         |  'ENT::c_acctbal ENT::c_custkey ENT::c_mktsegment ENT::c_name ENT::n_name ENT::n_nationkey ENT::r_name ENT::r_regionkey'""".stripMargin,
+
+    // Pinned golden (verified identical at sf0.001/sf0.01/sf0.1): the
+    // schema-template lane splits the stripped forest into the
+    // nation+region group and the customer group joined by a relation
+    "rewrite_schema_only_customer" ->
+      """SELECT 'GROUP::UndefinedGroup' AS lhs,
+        |       'ENT::n_name ENT::n_nationkey ENT::r_name ENT::r_regionkey' AS rhs
+        |UNION ALL SELECT 'GROUP::UndefinedGroup_1',
+        |  'ENT::c_acctbal ENT::c_custkey ENT::c_mktsegment ENT::c_name'
+        |UNION ALL SELECT 'REL::UndefinedGroup<->UndefinedGroup_1',
+        |  'GROUP::UndefinedGroup GROUP::UndefinedGroup_1'""".stripMargin,
 
     "inspect_counts_customer" -> inspectCountsCustomerOracle,
     // lossless round trip ⇒ identical counts
