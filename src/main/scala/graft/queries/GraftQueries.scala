@@ -420,6 +420,55 @@ object GraftQueries {
         else raw
       Events.hourlyStats(ev).drop("approx_users")
     }),
+
+    // §2.8 Structured Streaming, oracle-checked: the SAME hourly transform
+    // driven through readStream + watermark, run to completion with an
+    // AvailableNow trigger into a memory sink. Complete output mode
+    // because the corpus is finite — in Append mode the final windows
+    // would stay in state forever awaiting a watermark advance that no
+    // future data will bring; an unbounded deployment uses Append (see
+    // EventStreamSpec).
+    "events_hourly_streaming" -> ((s, d) => {
+      import org.apache.spark.sql.functions.expr
+      import org.apache.spark.sql.streaming.Trigger
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      // file stream sources need a directory or glob, not a bare file
+      val ev = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val q = graft.streaming.EventStream.hourlyStats(ev).drop("approx_users")
+        .writeStream.format("memory").queryName("events_hourly_streaming_sink")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_hourly_streaming_sink")
+    }),
+
+    // §2.8 streaming exact dedup, oracle-checked: ingest-time
+    // dropDuplicatesWithinWatermark over the documents corpus (constant
+    // event time — the corpus has no timestamp; state bounding is
+    // exercised with real times in DocStreamSpec). The kept doc_id per
+    // hash depends on arrival order, so the checked output is the
+    // deterministic distinct hash set.
+    "dedup_streaming_documents" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      // file stream sources need a directory or glob, not a bare file
+      val docs = s.readStream.schema(schema).parquet(s"$d/documents*.parquet")
+        .withColumn("ts", expr("timestamp '2026-01-01 00:00:00'"))
+      val q = graft.streaming.DocStream.dedupDocuments(docs, "text", "ts")
+        .select(col("content_hash"))
+        .writeStream.format("memory").queryName("dedup_streaming_documents_sink")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("dedup_streaming_documents_sink")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -635,6 +684,18 @@ object GraftQueries {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the streaming lane computes the identical aggregation
+    "events_hourly_streaming" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "dedup_streaming_documents" ->
+      "SELECT DISTINCT md5(text) AS content_hash FROM documents",
   )
 
   /** Loader node-count identities (no nulls in this corpus): per tree the
