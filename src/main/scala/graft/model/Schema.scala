@@ -278,6 +278,11 @@ object Schema {
       // non-lexical (no leaf children) and not the ROOT label
       .filter(size(col("kids")) === col("nChildren") &&
         !(col("nodeType").isNull && col("name") === "ROOT"))
+      // three collect actions below derive from this frame — materialize
+      // the self-join + aggregation once, not once per action (the
+      // schema-only rewrite lane calls fromForest every epoch and the
+      // nodes input may itself be a full forest flatten)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val prodRows: Seq[ProdRow] = joined
       .select(col("nodeType"), col("name"), col("kids.lbl").as("rhs"))
@@ -331,6 +336,7 @@ object Schema {
       .map { case (r, l, rr) => r -> (l, rr) }
       .toMap
 
+    joined.unpersist()
     assemble(prodRows, multiFlags, sideOrder, keepUnlabelled, mergeLhs)
   }
 

@@ -194,7 +194,8 @@ object TreeClusterer {
       entityParentsOnly: Boolean = false,
       schemaOnly: Boolean = false,
   ): Result =
-    fitImpl(candidates(forest, maxHeight, entityParentsOnly), () => forest,
+    fitImpl(candidates(forest, maxHeight, entityParentsOnly),
+      () => Forest.toNodesDF(forest),
       tau, decay, metricName, maxHeight, minClusterSize, keepPerCluster, schemaOnly)
 
   /** fit() over an already-parsed Kryo tree dataset — the rewrite epoch
@@ -211,14 +212,16 @@ object TreeClusterer {
       schemaOnly: Boolean = false,
   ): Result = {
     import trees.sparkSession.implicits._
-    fitImpl(candidatesFromTrees(trees, maxHeight), // schema-only path parses lazily
-      () => trees.map { case (id, t) => TreeRow(id, TreeJson.toJson(t)) },
+    // the schema-only path flattens the parsed trees directly — no JSON
+    // round trip per epoch
+    fitImpl(candidatesFromTrees(trees, maxHeight),
+      () => trees.flatMap { case (id, t) => Forest.nodeRows(id, t) },
       tau, decay, metricName, maxHeight, minClusterSize, keepPerCluster, schemaOnly)
   }
 
   private def fitImpl(
       candsIn: Dataset[CandRow],
-      forestForSchema: () => Dataset[TreeRow],
+      nodesForSchema: () => Dataset[graft.model.NodeRow],
       tau: Double,
       decay: Double,
       metricName: String,
@@ -235,7 +238,7 @@ object TreeClusterer {
 
     val (membersDf, releaseIntermediates) =
       if (schemaOnly)
-        (schemaOnlyMembers(forestForSchema(), cands, tau, decay, metricName, maxHeight,
+        (schemaOnlyMembers(nodesForSchema(), cands, tau, decay, metricName, maxHeight,
           minClusterSize), () => ())
       else instanceMembers(cands, tau, decay, metricName, maxHeight)
 
@@ -346,7 +349,7 @@ object TreeClusterer {
     * label expansion).
     */
   private def schemaOnlyMembers(
-      forest: Dataset[TreeRow],
+      nodes: Dataset[graft.model.NodeRow],
       cands: Dataset[CandRow],
       tau: Double,
       decay: Double,
@@ -354,10 +357,10 @@ object TreeClusterer {
       maxHeight: Int,
       minClusterSize: Int,
   ): DataFrame = {
-    val spark = forest.sparkSession
+    val spark = nodes.sparkSession
     import spark.implicits._
     val metric = SeqMetrics.byName(metricName)
-    val schema = graft.model.Schema.fromForest(Forest.toNodesDF(forest))
+    val schema = graft.model.Schema.fromForest(nodes)
     val schemaFeats = Similarity.treeFeatures(schema.toTree, "schema", maxHeight)
       .toSeq.sortBy(_._1)
 
