@@ -165,6 +165,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(labels.values.toSet.size == 1)
   }
 
+  test("property: tau-graph paths agree on random forests") {
+    import org.scalacheck.Gen
+    // random small forests over a shared entity alphabet so blocking
+    // produces cross-tree edges, twins, and noise in varying mixes
+    val entGen = Gen.oneOf("person", "fruit", "animal", "city", "qq")
+    val nodeGen: Gen[String] = for {
+      label <- Gen.oneOf("X", "Y", "X2", "Z")
+      n <- Gen.choose(1, 3)
+      ents <- Gen.pick(n, Seq("person", "fruit", "animal", "city", "qq"))
+      vals <- Gen.listOfN(n, Gen.alphaLowerStr.map(s => if (s.isEmpty) "v" else s.take(4)))
+    } yield ents.zip(vals).map { case (e, v) => s"(ENT::$e $v)" }.mkString(s"($label ", " ", ")")
+    val treeGen: Gen[String] = Gen.choose(1, 3)
+      .flatMap(k => Gen.listOfN(k, nodeGen))
+      .map(_.mkString("(S ", " ", ")"))
+    val forestGen: Gen[Seq[String]] = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, treeGen))
+
+    val forests = Gen.listOfN(8, forestGen)
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(7L))
+    forests.foreach { treeStrs =>
+      val forest = Forest.fromTrees(spark, treeStrs.map(SExpr.parse))
+      def run(): Map[String, (String, Double)] =
+        TreeClusterer.fit(forest, tau = 0.6, metricName = "jaccard")
+          .assignments.collect().map(a => a.key -> (a.cluster, a.prob)).toMap
+      val local = run()
+      spark.conf.set(TreeClusterer.LocalTauGraphMaxRepsKey, "-1")
+      val dist =
+        try run()
+        finally spark.conf.unset(TreeClusterer.LocalTauGraphMaxRepsKey)
+      assert(local.keySet == dist.keySet,
+        s"keys diverge on forest ${treeStrs.mkString(" | ")}")
+      local.foreach { case (key, (cluster, prob)) =>
+        val (dc, dp) = dist(key)
+        assert(cluster == dc && math.abs(prob - dp) < 1e-9,
+          s"$key: ($cluster,$prob) vs ($dc,$dp) on forest ${treeStrs.mkString(" | ")}")
+      }
+    }
+  }
+
   test("local and distributed tau-graph paths produce identical results") {
     // varied structures: twins, a near-duplicate family sharing entity
     // labels (cross-feature edges), a noise subtree, an untyped root —
