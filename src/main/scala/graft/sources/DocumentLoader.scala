@@ -271,13 +271,13 @@ object DocumentLoader {
 
     /** Cut a `#` comment not inside a quoted string. */
     private def stripComment(line: String): String = {
-      var inStr = ' '
+      var inStr = '\u0000'
       var i = 0
       while (i < line.length) {
         val c = line.charAt(i)
-        if (inStr != ' ') {
+        if (inStr != '\u0000') {
           if (c == '\\' && inStr == '"') i += 1
-          else if (c == inStr) inStr = ' '
+          else if (c == inStr) inStr = '\u0000'
         } else if (c == '"' || c == '\'') inStr = c
         else if (c == '#') return line.substring(0, i)
         i += 1
@@ -361,14 +361,14 @@ object DocumentLoader {
     private def splitTopLevel(s: String): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var depth = 0
-      var inStr = ' '
+      var inStr = '\u0000'
       var start = 0
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
-        if (inStr != ' ') {
+        if (inStr != '\u0000') {
           if (c == '\\' && inStr == '"') i += 1
-          else if (c == inStr) inStr = ' '
+          else if (c == inStr) inStr = '\u0000'
         } else c match {
           case '"' | '\'' => inStr = c
           case '[' => depth += 1
