@@ -292,7 +292,7 @@ object Rewrite {
       .flatMap(row => TreeOps.simpleRewriteKey(TreeJson.fromJson(row.tree)))
       .distinct()
       .collect()
-      .sortBy(_.mkString(""))
+      .sortBy(_.mkString("\u0001"))
     val ids: Map[Seq[String], String] =
       keys.zipWithIndex.map { case (k, i) => (k: Seq[String]) -> (i + 1).toString }.toMap
     val idsB = forest.sparkSession.sparkContext.broadcast(ids)
