@@ -19,13 +19,18 @@ object Cli {
     System.err.println(
       """usage: graft.Cli <command> [args]
         |  inspect <dir> [--db customerDb|ordersDb|tpch]   forest statistics
-        |  load <dir> [--db NAME] [--out DIR]              load to a metamodel forest (JSONL if --out)
+        |  load <dir> [--db NAME] [--out DIR]              relational load to a metamodel forest (JSONL if --out)
+        |  load document <path> [--out DIR]                document files (JSON/XML/YAML/TOML sniffed)
+        |  load graph <nodes.parquet> <edges.parquet> [--out DIR]
+        |                                                  property graph (id,label,props / src,dst,tpe,props)
+        |  load corpus <dir> [--cache DIR] [--out DIR]     BRAT .txt/.ann pairs through the NLP pipeline
         |  simplify <dir> [--db NAME] [--tau T] [--decay D] [--epochs N]
         |           [--min-support K] [--schema-only] [--out DIR]
         |  cleanup <dir> [--db NAME] [--out DIR]           keep only schema-valid trees
         |  compare <dirA> <dirB> [--db NAME] [--tau T]     coverage/AMI/completeness between loads
         |  export sql|cypher <dir> [--db NAME] [--out DIR]
         |  generate [--size N] [--out DIR]                 synthetic instance from the demo schema
+        |  cache-clear <dir>                               remove a corpus parse cache
         |""".stripMargin)
     sys.exit(2)
   }
@@ -79,17 +84,66 @@ object Cli {
         .foreach(r => println(f"${r.getString(0)}%-24s ${r.get(1)}"))
       spark.stop()
 
+    // document lane (cli/loader.py:67-96): whole files through the
+    // try-each-parser sniffing chain
+    case "load" :: "document" :: path :: rest =>
+      val opts = parseOpts(rest)
+      val spark = session()
+      import spark.implicits._
+      val docs = spark.sparkContext.wholeTextFiles(path).map(_._2).toDS()
+      val forest = graft.sources.DocumentLoader.parseDocuments(docs)(
+        graft.sources.DocumentLoader.fromString)
+      reportForest(forest, opts)
+      spark.stop()
+
+    // property-graph lane (cli/loader.py:129-161): node/edge frames from
+    // parquet instead of a bolt connection (zero-egress environment)
+    case "load" :: "graph" :: nodesPath :: edgesPath :: rest =>
+      val opts = parseOpts(rest)
+      val spark = session()
+      val forest = graft.cypher.CypherLoader.load(spark,
+        spark.read.parquet(nodesPath), spark.read.parquet(edgesPath))
+      reportForest(forest, opts)
+      spark.stop()
+
+    // corpus lane (cli/loader.py:163-187): BRAT .txt/.ann pairs →
+    // sentence split → parse (whitespace floor parser; real parsers are
+    // env-absent) → enrich via NlpOps.processTree; optionally cached
+    case "load" :: "corpus" :: dir :: rest =>
+      val opts = parseOpts(rest)
+      val spark = session()
+      import spark.implicits._
+      def parse() = {
+        val byBase = spark.sparkContext.wholeTextFiles(s"$dir/*.{txt,ann}")
+          .map { case (path, content) =>
+            val name = path.substring(path.lastIndexOf('/') + 1)
+            val (base, ext) = name.splitAt(name.lastIndexOf('.'))
+            (base, (ext, content))
+          }
+          .groupByKey()
+        val sentences = byBase.flatMap { case (_, parts) =>
+          val m = parts.toMap
+          for {
+            txt <- m.get(".txt").toSeq
+            sentence <- graft.nlp.Brat.parseDocument(txt, m.getOrElse(".ann", ""))
+          } yield sentence
+        }.toDS()
+        new graft.nlp.WhitespaceParser().parseBatch(sentences)
+      }
+      val forest = opts.get("cache") match {
+        case Some(cacheDir) =>
+          val key = graft.nlp.CorpusCache.cacheKey(dir, Map("parser" -> "whitespace"))
+          graft.nlp.CorpusCache.getOrParse(spark, cacheDir, key)(parse())
+        case None => parse()
+      }
+      reportForest(forest, opts)
+      spark.stop()
+
     case "load" :: dir :: rest =>
       val opts = parseOpts(rest)
       val spark = session()
       val forest = RelationalLoader.load(spark, dir, dbConfig(opts.getOrElse("db", "customerDb")))
-      println(s"trees: ${forest.count()}")
-      Forest.collectTrees(forest.limit(1)).headOption
-        .foreach(t => println(s"sample: ${t.render.take(300)}"))
-      opts.get("out").foreach { out =>
-        graft.sinks.Jsonl.write(forest, out)
-        println(s"wrote JSONL forest to $out")
-      }
+      reportForest(forest, opts)
       spark.stop()
 
     case "simplify" :: dir :: rest =>
@@ -196,6 +250,31 @@ object Cli {
       }
       spark.stop()
 
+    // cache-clear (cli/__init__.py:467-483): drop a corpus parse cache
+    case "cache-clear" :: dir :: Nil =>
+      val spark = session()
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) {
+        fs.delete(path, true)
+        println(s"cleared cache at $dir")
+      } else println(s"no cache at $dir")
+      spark.stop()
+
     case _ => usage()
+  }
+
+  /** Shared tail for the load lanes: count, sample, optional JSONL out. */
+  private def reportForest(
+      forest: org.apache.spark.sql.Dataset[graft.model.TreeRow],
+      opts: Map[String, String],
+  ): Unit = {
+    println(s"trees: ${forest.count()}")
+    Forest.collectTrees(forest.limit(1)).headOption
+      .foreach(t => println(s"sample: ${t.render.take(300)}"))
+    opts.get("out").foreach { out =>
+      graft.sinks.Jsonl.write(forest, out)
+      println(s"wrote JSONL forest to $out")
+    }
   }
 }
