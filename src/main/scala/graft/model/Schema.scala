@@ -262,13 +262,19 @@ object Schema {
     val spark = nodes.sparkSession
     import spark.implicits._
 
-    val c = nodes.select(
+    // three collect actions below each join+aggregate over the nodes
+    // input — cache the narrow node rows once (the schema-only rewrite
+    // lane passes a fresh per-epoch forest flatten), but leave the
+    // aggregations unpersisted so each action keeps its pruned plan
+    val cached = nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val c = cached.select(
       col("treeId").as("cTreeId"), col("parentId").as("cParentId"), col("pos").as("cPos"),
       col("nodeType").as("cType"), col("name").as("cName"), col("oid").as("cOid"))
     val label = (t: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =>
       when(t.isNull, n).otherwise(concat(t, lit("::"), n))
 
-    val joined = nodes
+    val joined = cached
       .join(c, col("treeId") === col("cTreeId") && col("nodeId") === col("cParentId"))
       .groupBy(col("treeId"), col("nodeId"), col("nodeType"), col("name"), col("nChildren"))
       .agg(sort_array(collect_list(struct(
@@ -278,11 +284,6 @@ object Schema {
       // non-lexical (no leaf children) and not the ROOT label
       .filter(size(col("kids")) === col("nChildren") &&
         !(col("nodeType").isNull && col("name") === "ROOT"))
-      // three collect actions below derive from this frame — materialize
-      // the self-join + aggregation once, not once per action (the
-      // schema-only rewrite lane calls fromForest every epoch and the
-      // nodes input may itself be a full forest flatten)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val prodRows: Seq[ProdRow] = joined
       .select(col("nodeType"), col("name"), col("kids.lbl").as("rhs"))
@@ -336,7 +337,7 @@ object Schema {
       .map { case (r, l, rr) => r -> (l, rr) }
       .toMap
 
-    joined.unpersist()
+    cached.unpersist()
     assemble(prodRows, multiFlags, sideOrder, keepUnlabelled, mergeLhs)
   }
 
