@@ -104,21 +104,22 @@ object Rewrite {
         .sortBy(c => (-c.support, -c.avgEntities, -c.avgDepth, c.name))
         .zipWithIndex.map { case (c, i) => c.name -> i }.toMap
       val rankB = spark.sparkContext.broadcast(rank)
-      val assignByTree = result.assignments
-        .groupByKey(_.treeId)
-        .mapGroups((tid, as) => tid -> as.map(a => a.key -> a.cluster).toSeq)
-      trees = trees.groupByKey(_._1)
-        .cogroup(assignByTree.groupByKey(_._1)) { case (tid, ts, as) =>
-          val assigns = as.flatMap(_._2).toSeq
-          ts.map { case (id, tree) =>
-            (id, findGroupsInTree(tree, id, assigns, rankB.value))
+      // with no cluster above minSupport, findGroupsInTree is identity
+      // on every tree — skip the cogroup shuffle and checkpoint outright
+      if (rank.nonEmpty) {
+        trees = trees.groupByKey(_._1)
+          .cogroup(result.assignments.groupByKey(_.treeId)) { case (tid, ts, as) =>
+            val assigns = as.map(a => a.key -> a.cluster).toSeq
+            ts.map { case (id, tree) =>
+              (id, findGroupsInTree(tree, id, assigns, rankB.value))
+            }
           }
-        }
+        // 4. operations run over the materialized cogroup output
+        trees = timed("findGroups+ckpt") { checkpointTrees(trees) }
+      }
 
-      // 4. operations with early exit at the first op that changed
-      // anything (tree_rewriting/__init__.py:203-218); the checkpoint
-      // materializes the cogroup output once for the op passes
-      trees = timed("findGroups+ckpt") { checkpointTrees(trees) }
+      // operations with early exit at the first op that changed
+      // anything (tree_rewriting/__init__.py:203-218)
       var opChanged = false
       val it = cfg.operations.iterator
       while (it.hasNext && !opChanged) {
