@@ -25,7 +25,7 @@ object Cli {
         |                                                  property graph (id,label,props / src,dst,tpe,props)
         |  load corpus <dir> [--cache DIR] [--out DIR]     BRAT .txt/.ann pairs through the NLP pipeline
         |  simplify <dir> [--db NAME] [--tau T] [--decay D] [--epochs N]
-        |           [--min-support K] [--schema-only] [--out DIR]
+        |           [--min-support K] [--schema-only] [--metrics] [--out DIR]
         |  cleanup <dir> [--db NAME] [--out DIR]           keep only schema-valid trees
         |  compare <dirA> <dirB> [--db NAME] [--tau T]     coverage/AMI/completeness between loads
         |  export sql|cypher <dir> [--db NAME] [--out DIR]
@@ -157,10 +157,20 @@ object Cli {
         minSupport = opts.get("min-support").map(_.toInt),
         schemaOnly = opts.contains("schema-only"))
       val forest = RelationalLoader.load(spark, dir, dbConfig(opts.getOrElse("db", "customerDb")))
+        .localCheckpoint(true)
       println(s"rewriting ${forest.count()} trees with tau=${cfg.tau}, decay=${cfg.decay}, " +
         s"epochs=${cfg.epochs}, minSupport=${cfg.minSupport.getOrElse("auto")}")
       val out = Rewrite.rewrite(forest, cfg)
       showSchema(Schema.fromForest(Forest.toNodesDF(out), keepUnlabelled = false))
+      // --metrics (cli/__init__.py:138,104-110): simplification quality
+      // vs the input forest
+      if (opts.contains("metrics")) {
+        val m = new graft.metrics.Metrics(forest, cfg.tau)
+        m.update(out)
+        println(f"coverage=${m.coverage}%.4f")
+        println(f"cluster_ami=${m.clusterAmi}%.4f")
+        println(f"cluster_completeness=${m.clusterCompleteness}%.4f")
+      }
       opts.get("out").foreach { o =>
         graft.sinks.Jsonl.write(out, o)
         println(s"wrote simplified forest to $o")

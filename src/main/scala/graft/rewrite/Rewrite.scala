@@ -114,11 +114,11 @@ object Rewrite {
               (id, findGroupsInTree(tree, id, assigns, rankB.value))
             }
           }
-        // 4. operations run over the materialized cogroup output
+        // materialize the cogroup output once for the op passes below
         trees = timed("findGroups+ckpt") { checkpointTrees(trees) }
       }
 
-      // operations with early exit at the first op that changed
+      // 4. operations with early exit at the first op that changed
       // anything (tree_rewriting/__init__.py:203-218)
       var opChanged = false
       val it = cfg.operations.iterator
