@@ -82,12 +82,16 @@ object Rewrite {
 
     var epoch = 1
     var converged = false
+    // deferred release of the op output backing the current `trees` —
+    // dropped only after the next checkpoint breaks the lineage
+    var releasePrevOp: () => Unit = () => ()
 
     while (epoch < cfg.epochs && !converged) {
       // 1. reduce_all({ENT}) (tree_rewriting/__init__.py:196-201)
       trees = timed("reduceAll+ckpt") { checkpointTrees(
         trees.map { case (id, t) => (id, t.reduceAll(Set(NodeType.Ent))) })
       }
+      releasePrevOp(); releasePrevOp = () => ()
 
       // 2. cluster the candidate subtrees
       val result = timed("fit") { TreeClusterer.fitTrees(trees, cfg.tau, cfg.decay,
@@ -119,7 +123,10 @@ object Rewrite {
       }
 
       // 4. operations with early exit at the first op that changed
-      // anything (tree_rewriting/__init__.py:203-218)
+      // anything (tree_rewriting/__init__.py:203-218). The changing op's
+      // persisted output BACKS the forest into the next epoch — the
+      // checkpoint at the next reduceAll breaks the (one-step) lineage,
+      // so no second full-forest materialization happens here.
       var opChanged = false
       val it = cfg.operations.iterator
       while (it.hasNext && !opChanged) {
@@ -132,9 +139,9 @@ object Rewrite {
           val changed = mapped.filter(_._2).count()
           if (changed > 0) {
             opChanged = true
-            trees = checkpointTrees(mapped.map(_._1))
-          }
-          mapped.unpersist()
+            trees = mapped.map(_._1)
+            releasePrevOp = () => { mapped.unpersist(); () }
+          } else mapped.unpersist()
         }
       }
 
@@ -154,7 +161,9 @@ object Rewrite {
     }
 
     if (cfg.simplifyNames) current = timed("simplifyNames") { simplifyNames(current) }
-    timed("final ckpt") { Forest.checkpoint(current) }
+    val out = timed("final ckpt") { Forest.checkpoint(current) }
+    releasePrevOp()
+    out
   }
 
   /** Per-epoch lineage break for the Kryo tree dataset — reliable
