@@ -209,12 +209,13 @@ object TreeClusterer {
       maxHeight: Int = 5,
       minClusterSize: Int = 2,
       keepPerCluster: Int = 20,
+      entityParentsOnly: Boolean = false,
       schemaOnly: Boolean = false,
   ): Result = {
     import trees.sparkSession.implicits._
     // the schema-only path flattens the parsed trees directly — no JSON
     // round trip per epoch
-    fitImpl(candidatesFromTrees(trees, maxHeight),
+    fitImpl(candidatesFromTrees(trees, maxHeight, entityParentsOnly),
       () => trees.flatMap { case (id, t) => Forest.nodeRows(id, t) },
       tau, decay, metricName, maxHeight, minClusterSize, keepPerCluster, schemaOnly)
   }
@@ -681,25 +682,34 @@ object TreeClusterer {
         .as[(String, String)]
     }
 
-    val result = fit(forest, tau = tau, decay = decay, metricName = metricName,
+    // parse once: the same Kryo tree dataset feeds candidate extraction
+    // and the parent-child pairs below
+    val trees = Forest.trees(forest).persist(StorageLevel.MEMORY_AND_DISK)
+    val result = fitTrees(trees, tau = tau, decay = decay, metricName = metricName,
       entityParentsOnly = true)
     // (parent key, entity oid) pairs, joined against the assignments —
     // no driver-side parent map, no broadcast sized by the forest
-    val parentChild = forest.flatMap { row =>
-      val tree = TreeJson.fromJson(row.tree)
+    val parentChild = trees.flatMap { case (treeId, tree) =>
       tree.positionedSubtrees.flatMap { case (path, t) =>
-        val key = s"${row.treeId}/${path.mkString(".")}"
+        val key = s"$treeId/${path.mkString(".")}"
         t.childTrees.zipWithIndex.collect {
           case (c, i) if c.hasType(NodeType.Ent) =>
-            val oid = if (c.oid.nonEmpty) c.oid else s"${row.treeId}/${(path :+ i).mkString(".")}"
+            val oid = if (c.oid.nonEmpty) c.oid else s"$treeId/${(path :+ i).mkString(".")}"
             key -> oid
         }
       }
     }.toDF("key", "oid")
 
-    result.assignments.toDF().select(col("key"), col("cluster"))
+    val labelled = result.assignments.toDF().select(col("key"), col("cluster"))
       .join(parentChild, "key")
       .groupBy("oid").agg(max(col("cluster")).as("label"))
       .as[(String, String)]
+    // materialize before releasing the backing trees (reliable checkpoint
+    // on a real cluster — the result is data-sized; local otherwise)
+    val out =
+      if (forest.sparkSession.sparkContext.getCheckpointDir.isDefined) labelled.checkpoint(true)
+      else labelled.localCheckpoint(true)
+    trees.unpersist()
+    out
   }
 }
