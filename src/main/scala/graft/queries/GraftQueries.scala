@@ -328,6 +328,23 @@ object GraftQueries {
         .productions.map(p => (p.lhs, p.rhs.mkString(" "))).sorted.toDF("lhs", "rhs")
     }),
 
+    // §2.3 llm_rewrite (simplification/llm.py), oracle-checked: the full
+    // protocol — token-budget batching, numbered-list prompt/parse,
+    // sanitize, vocab mining + fuzzy snap, fallback-to-original — driven
+    // by the deterministic offline client (GroupifyLlmClient wraps
+    // all-entity untyped nodes into GROUPs named after their first
+    // entity; a live endpoint plugs in via LlmClient). Output = node
+    // counts by (type, name), which the oracle derives from the customer
+    // row count (the loader's per-tree multiplicities are fixed).
+    "llm_rewrite_customer" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      val out = graft.llm.LlmRewrite.rewrite(untypedCustomer(s, d),
+        new graft.llm.GroupifyLlmClient)
+      Forest.toNodesDF(out)
+        .groupBy(coalesce(col("nodeType"), lit("PLAIN")).as("node_type"), col("name"))
+        .count().withColumnRenamed("count", "n_nodes")
+    }),
+
     // §2.5 schema_only mode (similarity.py:230,296-339): the cheap
     // clustering lane — the tau-graph runs over the SCHEMA template
     // (bounded by schema variety) and instances map in by self-label.
@@ -557,6 +574,27 @@ object GraftQueries {
       """SELECT 'COLL::UndefinedGroup' AS lhs, 'GROUP::UndefinedGroup' AS rhs
         |UNION ALL SELECT 'GROUP::UndefinedGroup',
         |  'ENT::c_acctbal ENT::c_custkey ENT::c_mktsegment ENT::c_name ENT::n_name ENT::n_nationkey ENT::r_name ENT::r_regionkey'""".stripMargin,
+
+    // SF-proportional identities (verified at sf0.001/sf0.01): per tree
+    // the groupified customer nodes appear 2× (standalone + in its REL),
+    // nation 3× (pair + inside both RELs), region 2×; ENT counts follow
+    // their groups; one ROOT and one node per REL name stay PLAIN
+    "llm_rewrite_customer" ->
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer)
+        |SELECT 'PLAIN' AS node_type, 'ROOT' AS name, n AS n_nodes FROM c
+        |UNION ALL SELECT 'PLAIN', 'customer<->nation', n FROM c
+        |UNION ALL SELECT 'PLAIN', 'nation<->region', n FROM c
+        |UNION ALL SELECT 'ENT', 'c_acctbal', 2*n FROM c
+        |UNION ALL SELECT 'ENT', 'c_custkey', 2*n FROM c
+        |UNION ALL SELECT 'ENT', 'c_mktsegment', 2*n FROM c
+        |UNION ALL SELECT 'ENT', 'c_name', 2*n FROM c
+        |UNION ALL SELECT 'ENT', 'n_name', 3*n FROM c
+        |UNION ALL SELECT 'ENT', 'n_nationkey', 3*n FROM c
+        |UNION ALL SELECT 'ENT', 'r_name', 2*n FROM c
+        |UNION ALL SELECT 'ENT', 'r_regionkey', 2*n FROM c
+        |UNION ALL SELECT 'GROUP', 'c_custkey', 2*n FROM c
+        |UNION ALL SELECT 'GROUP', 'n_nationkey', 3*n FROM c
+        |UNION ALL SELECT 'GROUP', 'r_regionkey', 2*n FROM c""".stripMargin,
 
     // Pinned golden (verified identical at sf0.001/sf0.01/sf0.1): the
     // schema-template lane splits the stripped forest into the
