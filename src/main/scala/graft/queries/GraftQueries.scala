@@ -328,6 +328,27 @@ object GraftQueries {
         .productions.map(p => (p.lhs, p.rhs.mkString(" "))).sorted.toDF("lhs", "rhs")
     }),
 
+    // §2.1/§2.2 corpus NLP pipeline at corpus scale, oracle-checked: one
+    // sentence per document line → regex NER (env-free EntityExtractor
+    // seam) → whitespace constituency parse → the full processTree
+    // enrichment (coordination fixes, entity insertion, reduce, UNDEF
+    // renames). Every extracted entity must survive into the forest, so
+    // the oracle is the raw regex match count per type. The patterns are
+    // substring-safe in this corpus's vocabulary (no word contains
+    // another pattern), which keeps Java and RE2 regex semantics aligned.
+    "corpus_pipeline_documents" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, explode, split}
+      val lines = s.read.parquet(s"$d/documents.parquet")
+        .select(explode(split(col("text"), "\n")).as("line")).as[String]
+      val extractor = new graft.nlp.RegexEntityExtractor(
+        Seq("CUST" -> "customer", "SCAN" -> "scan"))
+      val sentences = lines.map(l => extractor.extract(l))
+      val forest = new graft.nlp.WhitespaceParser().parseBatch(sentences)
+      Forest.toNodesDF(forest).filter(col("nodeType") === "ENT")
+        .groupBy(col("name")).count().withColumnRenamed("count", "n_ents")
+    }),
+
     // §2.3 llm_rewrite (simplification/llm.py), oracle-checked: the full
     // protocol — token-budget batching, numbered-list prompt/parse,
     // sanitize, vocab mining + fuzzy snap, fallback-to-original — driven
@@ -574,6 +595,15 @@ object GraftQueries {
       """SELECT 'COLL::UndefinedGroup' AS lhs, 'GROUP::UndefinedGroup' AS rhs
         |UNION ALL SELECT 'GROUP::UndefinedGroup',
         |  'ENT::c_acctbal ENT::c_custkey ENT::c_mktsegment ENT::c_name ENT::n_name ENT::n_nationkey ENT::r_name ENT::r_regionkey'""".stripMargin,
+
+    // every regex entity must survive the parse+enrich pipeline
+    "corpus_pipeline_documents" ->
+      """SELECT 'CUST' AS name,
+        |       CAST(sum(len(regexp_extract_all(text, 'customer'))) AS BIGINT) AS n_ents
+        |FROM documents
+        |UNION ALL
+        |SELECT 'SCAN', CAST(sum(len(regexp_extract_all(text, 'scan'))) AS BIGINT)
+        |FROM documents""".stripMargin,
 
     // SF-proportional identities (verified at sf0.001/sf0.01): per tree
     // the groupified customer nodes appear 2× (standalone + in its REL),
