@@ -328,6 +328,32 @@ object GraftQueries {
         .productions.map(p => (p.lhs, p.rhs.mkString(" "))).sorted.toDF("lhs", "rhs")
     }),
 
+    // §2.1 read_cypher at table scale, oracle-checked: customers and
+    // nations as a property graph (node/edge frames with string-map
+    // props — the zero-egress stand-in for a live bolt connection),
+    // loaded through the per-component tree builder, then the Customer
+    // group dataset extracted back out. A lossless graph→forest→dataset
+    // round trip must reproduce the relational projection exactly.
+    "read_cypher_customer" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, concat, lit, map}
+      val cust = s.read.parquet(s"$d/customer.parquet")
+      val nat = s.read.parquet(s"$d/nation.parquet")
+      val nodes = cust.select(
+          concat(lit("c:"), col("c_custkey")).as("id"), lit("Customer").as("label"),
+          map(lit("c_name"), col("c_name").cast("string"),
+            lit("c_acctbal"), col("c_acctbal").cast("string"),
+            lit("c_mktsegment"), col("c_mktsegment").cast("string")).as("props"))
+        .unionByName(nat.select(
+          concat(lit("n:"), col("n_nationkey")).as("id"), lit("Nation").as("label"),
+          map(lit("n_name"), col("n_name").cast("string")).as("props")))
+      val edges = cust.select(
+        concat(lit("c:"), col("c_custkey")).as("src"),
+        concat(lit("n:"), col("c_nationkey")).as("dst"),
+        lit("IN_NATION").as("tpe"), map().cast("map<string,string>").as("props"))
+      val forest = graft.cypher.CypherLoader.load(s, nodes, edges)
+      Schema.extractDataset(Forest.toNodesDF(forest), "Customer")
+    }),
+
     // §2.1/§2.2 corpus NLP pipeline at corpus scale, oracle-checked: one
     // sentence per document line → regex NER (env-free EntityExtractor
     // seam) → whitespace constituency parse → the full processTree
@@ -595,6 +621,9 @@ object GraftQueries {
       """SELECT 'COLL::UndefinedGroup' AS lhs, 'GROUP::UndefinedGroup' AS rhs
         |UNION ALL SELECT 'GROUP::UndefinedGroup',
         |  'ENT::c_acctbal ENT::c_custkey ENT::c_mktsegment ENT::c_name ENT::n_name ENT::n_nationkey ENT::r_name ENT::r_regionkey'""".stripMargin,
+
+    "read_cypher_customer" ->
+      s"SELECT DISTINCT ${castCols(Seq("c_acctbal", "c_mktsegment", "c_name"))} FROM customer",
 
     // every regex entity must survive the parse+enrich pipeline
     "corpus_pipeline_documents" ->
