@@ -328,6 +328,28 @@ object GraftQueries {
         .productions.map(p => (p.lhs, p.rhs.mkString(" "))).sorted.toDF("lhs", "rhs")
     }),
 
+    // §2.7 export_cypher, oracle-checked: the MERGE statement stream for
+    // the customer forest, classified into node MERGEs (per label), edge
+    // MERGEs (per relationship type), and index statements; every count
+    // is a relational identity of the base tables. Statement text is
+    // produced distributed (one flatMap); only the classification
+    // aggregates.
+    "export_cypher_customer" -> ((s, d) => {
+      import s.implicits._
+      val forest = customerTrees(s, d)
+      val schema = Schema.fromForest(Forest.toNodesDF(forest), keepUnlabelled = false)
+      val ex = graft.cypher.CypherExporter.export(forest, schema)
+      ex.statements.map { st =>
+        if (st.startsWith("MERGE (n:"))
+          ("node", st.replaceAll("(?s)^MERGE \\(n:`([^`]+)`.*", "$1"))
+        else if (st.startsWith("CREATE INDEX"))
+          ("index", st.replaceAll("(?s).*FOR \\(n:`([^`]+)`\\).*", "$1"))
+        else
+          ("edge", st.replaceAll("(?s).*MERGE \\(src\\)-\\[r:`([^`]+)`.*", "$1"))
+      }.toDF("kind", "name").groupBy("kind", "name").count()
+        .withColumnRenamed("count", "n_stmts")
+    }),
+
     // §2.1 read_cypher at table scale, oracle-checked: customers and
     // nations as a property graph (node/edge frames with string-map
     // props — the zero-egress stand-in for a live bolt connection),
@@ -624,6 +646,23 @@ object GraftQueries {
 
     "read_cypher_customer" ->
       s"SELECT DISTINCT ${castCols(Seq("c_acctbal", "c_mktsegment", "c_name"))} FROM customer",
+
+    // node/edge/index statement counts are relational identities: one
+    // node per entity instance (dedup by oid), one edge per distinct
+    // FK pair, one index per exported label
+    "export_cypher_customer" ->
+      """WITH refn AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+        |     refr AS (SELECT DISTINCT n_regionkey AS k FROM nation
+        |              WHERE n_nationkey IN (SELECT k FROM refn))
+        |SELECT 'node' AS kind, 'customer' AS name,
+        |       CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_stmts
+        |UNION ALL SELECT 'node', 'nation', (SELECT count(*) FROM refn)
+        |UNION ALL SELECT 'node', 'region', (SELECT count(*) FROM refr)
+        |UNION ALL SELECT 'edge', 'c_nationkey', (SELECT count(*) FROM customer)
+        |UNION ALL SELECT 'edge', 'n_regionkey', (SELECT count(*) FROM refn)
+        |UNION ALL SELECT 'index', 'customer', 1
+        |UNION ALL SELECT 'index', 'nation', 1
+        |UNION ALL SELECT 'index', 'region', 1""".stripMargin,
 
     // every regex entity must survive the parse+enrich pipeline
     "corpus_pipeline_documents" ->
