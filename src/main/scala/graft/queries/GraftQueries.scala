@@ -328,6 +328,31 @@ object GraftQueries {
         .productions.map(p => (p.lhs, p.rhs.mkString(" "))).sorted.toDF("lhs", "rhs")
     }),
 
+    // §2.6 Metrics snapshot machinery, oracle-checked via an algebraic
+    // identity: comparing the customer forest against itself must yield
+    // coverage = AMI = completeness = 1.0 exactly. This drives the full
+    // distributed path — entity-oid join coverage, entity-parent
+    // clustering (entityLabels), and the exact-EMI contingency math —
+    // so a regression anywhere in it breaks an exact oracle.
+    "metrics_self_compare_customer" -> ((s, d) => {
+      import s.implicits._
+      val forest = customerTrees(s, d)
+      val m = new graft.metrics.Metrics(forest, tau = 0.7)
+      m.update(forest)
+      Seq((m.coverage, m.clusterAmi, m.clusterCompleteness))
+        .toDF("coverage", "cluster_ami", "cluster_completeness")
+    }),
+
+    // §2.4 Schema.verify, oracle-checked: the schema derived from the
+    // loader forest must satisfy the structural meta-grammar (groups of
+    // distinct entities, relations over two distinct defined groups,
+    // collections wrapping one defined group/relation).
+    "schema_verify_customer" -> ((s, d) => {
+      import s.implicits._
+      val schema = Schema.fromForest(customerNodes(s, d), keepUnlabelled = false)
+      Seq(schema.verify).toDF("is_valid")
+    }),
+
     // §2.7 export_cypher, oracle-checked: the MERGE statement stream for
     // the customer forest, classified into node MERGEs (per label), edge
     // MERGEs (per relationship type), and index statements; every count
@@ -646,6 +671,13 @@ object GraftQueries {
 
     "read_cypher_customer" ->
       s"SELECT DISTINCT ${castCols(Seq("c_acctbal", "c_mktsegment", "c_name"))} FROM customer",
+
+    // identity: a forest compared against itself scores perfectly
+    "metrics_self_compare_customer" ->
+      """SELECT CAST(1.0 AS DOUBLE) AS coverage, CAST(1.0 AS DOUBLE) AS cluster_ami,
+        |       CAST(1.0 AS DOUBLE) AS cluster_completeness""".stripMargin,
+
+    "schema_verify_customer" -> "SELECT true AS is_valid",
 
     // node/edge/index statement counts are relational identities: one
     // node per entity instance (dedup by oid), one edge per distinct
