@@ -132,12 +132,27 @@ object Cli {
       }
       val forest = opts.get("cache") match {
         case Some(cacheDir) =>
-          val key = graft.nlp.CorpusCache.cacheKey(dir, Map("parser" -> "whitespace"))
+          // cacheKey's contract wants a content fingerprint, not a bare
+          // path — otherwise edits to the corpus silently serve stale
+          // parses. Name + size + mtime of every input file is the
+          // cheapest stable one.
+          val cpath = new org.apache.hadoop.fs.Path(s"$dir/*.{txt,ann}")
+          val fs = cpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val fingerprint = Option(fs.globStatus(cpath)).getOrElse(Array.empty)
+            .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+            .sorted.mkString("\n")
+          val key = graft.nlp.CorpusCache.cacheKey(s"$dir\n$fingerprint",
+            Map("parser" -> "whitespace"))
           graft.nlp.CorpusCache.getOrParse(spark, cacheDir, key)(parse())
         case None => parse()
       }
       reportForest(forest, opts)
       spark.stop()
+
+    // incomplete sub-lane invocations must print usage, not fall through
+    // to a relational load of a directory literally named "document" etc.
+    case "load" :: ("document" | "graph" | "corpus") :: Nil => usage()
+    case "load" :: "graph" :: _ :: Nil                      => usage()
 
     case "load" :: dir :: rest =>
       val opts = parseOpts(rest)

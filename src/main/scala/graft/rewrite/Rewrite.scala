@@ -23,16 +23,8 @@ import org.apache.spark.storage.StorageLevel
   */
 object Rewrite {
 
-  // phase timing to stderr when SPARK_GRAFT_PROFILE is set — dev aid only
-  private val profile = sys.env.contains("SPARK_GRAFT_PROFILE")
   @inline private def timed[A](label: String)(body: => A): A =
-    if (!profile) body
-    else {
-      val t0 = System.nanoTime()
-      val r = body
-      System.err.println(f"[rewrite-profile] $label%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    graft.util.Spark.timed("rewrite-profile", label)(body)
 
   /** One rewrite operation: pure per-tree function that may consult the
     * broadcast cluster model.
@@ -80,6 +72,10 @@ object Rewrite {
     if (total == 0) return forest
     val minSupport = cfg.minSupport.getOrElse(math.max((total / 10).toInt, 2))
 
+    // epoch counts like the reference: `trange(1, epoch)`
+    // (tree_rewriting/__init__.py:127) runs epochs-1 iterations, so
+    // epochs=1 is a no-op pass and the default 100 runs 99 — intentional
+    // parity, not an off-by-one
     var epoch = 1
     var converged = false
     // deferred release of the op output backing the current `trees` —
@@ -121,6 +117,9 @@ object Rewrite {
         // materialize the cogroup output once for the op passes below
         trees = timed("findGroups+ckpt") { checkpointTrees(trees) }
       }
+      // the per-fit assignments cache is consumed (or unused) now —
+      // release it, or N epochs stack N caches in executor storage
+      result.assignments.unpersist()
 
       // 4. operations with early exit at the first op that changed
       // anything (tree_rewriting/__init__.py:203-218). The changing op's
@@ -166,14 +165,9 @@ object Rewrite {
     out
   }
 
-  /** Per-epoch lineage break for the Kryo tree dataset — reliable
-    * checkpoint when a checkpoint dir is configured (an executor loss
-    * must not kill a 100-epoch lineage on a real cluster), local
-    * otherwise; mirrors Forest.checkpoint.
-    */
+  /** Per-epoch lineage break for the Kryo tree dataset. */
   private def checkpointTrees(ds: Dataset[(Long, ArchiTree)]): Dataset[(Long, ArchiTree)] =
-    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) ds.checkpoint(true)
-    else ds.localCheckpoint(true)
+    graft.util.Spark.checkpoint(ds)
 
   /** find_groups applied inside one tree: assignments ordered by cluster
     * rank (frequent first); conditions re-checked on the evolving tree.

@@ -121,16 +121,8 @@ object TreeClusterer {
 
   final case class Result(assignments: Dataset[Assignment], model: ClusterModel)
 
-  // phase timing to stderr when SPARK_GRAFT_PROFILE is set — dev aid only
-  private val profile = sys.env.contains("SPARK_GRAFT_PROFILE")
   @inline private def timed[A](label: String)(body: => A): A =
-    if (!profile) body
-    else {
-      val t0 = System.nanoTime()
-      val r = body
-      System.err.println(f"[fit-profile] $label%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    graft.util.Spark.timed("fit-profile", label)(body)
 
   def candidates(
       forest: Dataset[TreeRow],
@@ -704,11 +696,9 @@ object TreeClusterer {
       .join(parentChild, "key")
       .groupBy("oid").agg(max(col("cluster")).as("label"))
       .as[(String, String)]
-    // materialize before releasing the backing trees (reliable checkpoint
-    // on a real cluster — the result is data-sized; local otherwise)
-    val out =
-      if (forest.sparkSession.sparkContext.getCheckpointDir.isDefined) labelled.checkpoint(true)
-      else labelled.localCheckpoint(true)
+    // materialize before releasing the backing trees (the result is
+    // data-sized, so the reliable-checkpoint policy applies)
+    val out = graft.util.Spark.checkpoint(labelled)
     trees.unpersist()
     out
   }

@@ -1,0 +1,28 @@
+package graft.util
+
+import org.apache.spark.sql.Dataset
+
+/** Shared Spark-session helpers. */
+object Spark {
+
+  // phase timing to stderr when SPARK_GRAFT_PROFILE is set — dev aid only
+  private val profile = sys.env.contains("SPARK_GRAFT_PROFILE")
+
+  /** Time `body` under `[prefix] label` when profiling is enabled. */
+  @inline def timed[A](prefix: String, label: String)(body: => A): A =
+    if (!profile) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[$prefix] $label%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+  /** Break lineage: reliable checkpoint when a checkpoint dir is
+    * configured (an executor loss must not kill a long lineage on a real
+    * cluster), eager localCheckpoint otherwise.
+    */
+  def checkpoint[T](ds: Dataset[T]): Dataset[T] =
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) ds.checkpoint(true)
+    else ds.localCheckpoint(true)
+}
