@@ -19,11 +19,18 @@ import org.apache.spark.sql.functions._
   * count. Only labelCounts (bounded by label variety) and the schema
   * live on the driver.
   */
-final case class Snapshot(
-    schema: Schema,
-    entityOids: Dataset[String],
-    labelCounts: Map[String, Long],
-    clustering: Dataset[(String, String)])
+final class Snapshot(
+    schemaThunk: () => Schema,
+    val entityOids: Dataset[String],
+    val labelCounts: Map[String, Long],
+    val clustering: Dataset[(String, String)]) {
+  /** Derived on first use — the coverage/AMI/completeness metrics never
+    * touch it, and deriving it costs a full nodes aggregation pass.
+    * Forcing it after the snapshot's parse cache is released recomputes
+    * from the source forest's lineage (correct, one extra parse).
+    */
+  lazy val schema: Schema = schemaThunk()
+}
 
 final class Metrics(
     source: Dataset[TreeRow],
@@ -33,27 +40,32 @@ final class Metrics(
 
   private def snapshot(forest: Dataset[TreeRow]): Snapshot = {
     import forest.sparkSession.implicits._
-    val nodes = Forest.toNodesDF(forest)
-    val schema = Schema.fromForest(nodes)
-    val oids = forest.flatMap { row =>
-      val tree = TreeJson.fromJson(row.tree)
+    // one JSON parse feeds the nodes view, the oid set, the label
+    // counts, and the entity clustering (four consumers)
+    val trees = Forest.trees(forest)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oids = trees.flatMap { case (treeId, tree) =>
       tree.positionedSubtrees.collect {
         case (path, t) if t.hasType(NodeType.Ent) =>
-          if (t.oid.nonEmpty) t.oid else s"${row.treeId}/${path.mkString(".")}"
+          if (t.oid.nonEmpty) t.oid else s"$treeId/${path.mkString(".")}"
       }
     }.distinct().localCheckpoint(true)
-    val labels = forest.flatMap { row =>
-      TreeJson.fromJson(row.tree).subtrees.map(_.label.render)
+    val labels = trees.flatMap { case (_, tree) =>
+      tree.subtrees.map(_.label.render)
     }.groupByKey(identity).count().collect().toMap
-    val clustering = TreeClusterer.entityLabels(forest, tau, metricName, decay)
-      .localCheckpoint(true)
-    Snapshot(schema, oids, labels, clustering)
+    val clustering = TreeClusterer.entityLabelsFromTrees(trees, tau, metricName, decay)
+    trees.unpersist()
+    new Snapshot(() => Schema.fromForest(Forest.toNodesDF(forest)), oids, labels, clustering)
   }
 
   val origin: Snapshot = snapshot(source)
   private var currentSnapshot: Snapshot = origin
+  private var contingencyCache: Option[Map[(String, String), Long]] = None
 
-  def update(forest: Dataset[TreeRow]): Unit = currentSnapshot = snapshot(forest)
+  def update(forest: Dataset[TreeRow]): Unit = {
+    currentSnapshot = snapshot(forest)
+    contingencyCache = None
+  }
   def current: Snapshot = currentSnapshot
 
   /** Jaccard of entity oid sets (metrics.py:226-238), as a distributed
@@ -97,13 +109,19 @@ final class Metrics(
     (matched ++ singleA ++ singleB).toMap
   }
 
+  // AMI and completeness share the table; build it once per snapshot pair
+  private def contingency(): Map[(String, String), Long] = {
+    if (contingencyCache.isEmpty) contingencyCache = Some(contingencyTable)
+    contingencyCache.get
+  }
+
   /** AMI between origin and current entity clusterings (metrics.py:240-258). */
   def clusterAmi: Double =
-    ClusterComparison.adjustedMutualInfoFromContingency(contingencyTable)
+    ClusterComparison.adjustedMutualInfoFromContingency(contingency())
 
   /** Completeness between origin and current clusterings (metrics.py:260-277). */
   def clusterCompleteness: Double =
-    ClusterComparison.completenessFromContingency(contingencyTable)
+    ClusterComparison.completenessFromContingency(contingency())
 
   /** Mean redundancy over the current schema's group datasets
     * (metrics.py:279-302).

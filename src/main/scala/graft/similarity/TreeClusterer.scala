@@ -659,24 +659,37 @@ object TreeClusterer {
       metricName: String = "jaro",
       decay: Double = Similarity.Decay,
   ): Dataset[(String, String)] = {
-    import forest.sparkSession.implicits._
+    val trees = Forest.trees(forest).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = entityLabelsFromTrees(trees, tau, metricName, decay)
+    trees.unpersist()
+    out
+  }
+
+  /** entityLabels over an already-parsed (and caller-managed) tree
+    * dataset — callers holding the parsed forest (Metrics snapshots)
+    * avoid a fresh JSON parse per labelling.
+    */
+  def entityLabelsFromTrees(
+      trees: Dataset[(Long, ArchiTree)],
+      tau: Double,
+      metricName: String = "jaro",
+      decay: Double = Similarity.Decay,
+  ): Dataset[(String, String)] = {
+    import trees.sparkSession.implicits._
     if (metricName == null) {
-      return forest.flatMap { row =>
-        val tree = TreeJson.fromJson(row.tree)
+      val labelled = trees.flatMap { case (treeId, tree) =>
         tree.positionedSubtrees.flatMap { case (path, t) =>
           t.childTrees.zipWithIndex.collect {
             case (c, i) if c.hasType(NodeType.Ent) =>
-              val oid = if (c.oid.nonEmpty) c.oid else s"${row.treeId}/${(path :+ i).mkString(".")}"
+              val oid = if (c.oid.nonEmpty) c.oid else s"$treeId/${(path :+ i).mkString(".")}"
               oid -> t.label.render
           }
         }
       }.groupBy(col("_1").as("oid")).agg(max(col("_2")).as("label"))
         .as[(String, String)]
+      return graft.util.Spark.checkpoint(labelled)
     }
 
-    // parse once: the same Kryo tree dataset feeds candidate extraction
-    // and the parent-child pairs below
-    val trees = Forest.trees(forest).persist(StorageLevel.MEMORY_AND_DISK)
     val result = fitTrees(trees, tau = tau, decay = decay, metricName = metricName,
       entityParentsOnly = true)
     // (parent key, entity oid) pairs, joined against the assignments —
@@ -696,10 +709,10 @@ object TreeClusterer {
       .join(parentChild, "key")
       .groupBy("oid").agg(max(col("cluster")).as("label"))
       .as[(String, String)]
-    // materialize before releasing the backing trees (the result is
-    // data-sized, so the reliable-checkpoint policy applies)
+    // materialize before the caller releases the backing trees (the
+    // result is data-sized, so the reliable-checkpoint policy applies)
     val out = graft.util.Spark.checkpoint(labelled)
-    trees.unpersist()
+    result.assignments.unpersist()
     out
   }
 }
