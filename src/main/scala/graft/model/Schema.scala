@@ -385,6 +385,32 @@ object Schema {
     assemble(prodRows.toSeq, multi.toMap, order.toMap, keepUnlabelled, mergeLhs)
   }
 
+  /** Productions-only derivation over an already-parsed tree dataset,
+    * for the schema_only clustering template (similarity.py:296-339):
+    * `toTree` consumes only `productions`, so the relation-orientation
+    * machinery (a nodes self-join plus two extra aggregation jobs per
+    * call) is skipped — one flatMap + distinct + collect, which is the
+    * per-epoch fixed cost of the schema-only rewrite lane. The returned
+    * schema carries an empty `relations` set; REL productions are still
+    * present.
+    */
+  def templateFromTrees(
+      trees: Dataset[(Long, ArchiTree)],
+      keepUnlabelled: Boolean = true,
+      mergeLhs: Boolean = true,
+  ): Schema = {
+    import trees.sparkSession.implicits._
+    val rows = trees.flatMap { case (_, tree) =>
+      tree.subtrees.collect {
+        case t if t.label != Plain("ROOT") && t.children.nonEmpty &&
+            !t.children.exists(_.isInstanceOf[Child.Leaf]) =>
+          (t.label.nodeType.map(_.value).orNull, t.label.name, t.childTrees.map(_.label.render))
+      }.distinct
+    }.distinct().collect().toSeq
+    assemble(rows.map { case (t, n, r) => ProdRow(t, n, r) },
+      Map.empty, Map.empty, keepUnlabelled, mergeLhs)
+  }
+
   private def assemble(
       prodRows: Seq[ProdRow],
       multiFlags: Map[(String, String), Boolean],

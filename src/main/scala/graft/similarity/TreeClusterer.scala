@@ -187,7 +187,7 @@ object TreeClusterer {
       schemaOnly: Boolean = false,
   ): Result =
     fitImpl(candidates(forest, maxHeight, entityParentsOnly),
-      () => Forest.toNodesDF(forest),
+      () => graft.model.Schema.templateFromTrees(Forest.trees(forest)).toTree,
       tau, decay, metricName, maxHeight, minClusterSize, keepPerCluster, schemaOnly)
 
   /** fit() over an already-parsed Kryo tree dataset — the rewrite epoch
@@ -203,18 +203,18 @@ object TreeClusterer {
       keepPerCluster: Int = 20,
       entityParentsOnly: Boolean = false,
       schemaOnly: Boolean = false,
-  ): Result = {
-    import trees.sparkSession.implicits._
-    // the schema-only path flattens the parsed trees directly — no JSON
-    // round trip per epoch
+      buildModel: Boolean = true,
+  ): Result =
+    // the schema-only template derives from the parsed trees directly —
+    // no JSON round trip (and no nodes self-join) per epoch
     fitImpl(candidatesFromTrees(trees, maxHeight, entityParentsOnly),
-      () => trees.flatMap { case (id, t) => Forest.nodeRows(id, t) },
-      tau, decay, metricName, maxHeight, minClusterSize, keepPerCluster, schemaOnly)
-  }
+      () => graft.model.Schema.templateFromTrees(trees).toTree,
+      tau, decay, metricName, maxHeight, minClusterSize, keepPerCluster, schemaOnly,
+      buildModel)
 
   private def fitImpl(
       candsIn: Dataset[CandRow],
-      nodesForSchema: () => Dataset[graft.model.NodeRow],
+      schemaTemplate: () => ArchiTree,
       tau: Double,
       decay: Double,
       metricName: String,
@@ -222,6 +222,7 @@ object TreeClusterer {
       minClusterSize: Int,
       keepPerCluster: Int,
       schemaOnly: Boolean,
+      buildModel: Boolean = true,
   ): Result = {
     require(tau >= 0 && tau <= 1, "tau must be between 0 and 1")
     val spark = candsIn.sparkSession
@@ -231,7 +232,7 @@ object TreeClusterer {
 
     val (membersDf, releaseIntermediates) =
       if (schemaOnly)
-        (schemaOnlyMembers(nodesForSchema(), cands, tau, decay, metricName, maxHeight,
+        (schemaOnlyMembers(schemaTemplate(), cands, tau, decay, metricName, maxHeight,
           minClusterSize), () => ())
       else instanceMembers(cands, tau, decay, metricName, maxHeight)
 
@@ -280,53 +281,63 @@ object TreeClusterer {
     // top-`keepPerCluster` member features — O(clusters × K), never
     // O(members). The members frame already carries every candidate
     // column, so the model rows come straight from it — no second
-    // shuffle join back against cands.
-    val memberRows = withCluster
-      .select(col("cluster"), col("prob"), col("node").as("key"),
-        struct(col("node").as("key"), col("treeId"), col("height"), col("depth"),
-          col("labelName"), col("labelTyped"), col("levels")).as("cand"))
-      .as[MemberRow]
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // shuffle join back against cands. Callers that consume only the
+    // assignments (entity_labels) pass buildModel = false and skip all
+    // three jobs.
+    val summaries: Map[String, ClusterSummary] = if (!buildModel) {
+      // materialize the returned assignments BEFORE the backing frames
+      // are released — afterwards a recompute would rebuild the chain
+      timed("assignments") { assignments.count() }
+      members.unpersist()
+      Map.empty
+    } else {
+      val memberRows = withCluster
+        .select(col("cluster"), col("prob"), col("node").as("key"),
+          struct(col("node").as("key"), col("treeId"), col("height"), col("depth"),
+            col("labelName"), col("labelTyped"), col("levels")).as("cand"))
+        .as[MemberRow]
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val statRows = timed("statRows") { memberRows.groupBy("cluster")
-      .agg(
-        count(lit(1)).as("support"),
-        avg(size(col("cand.levels").getItem(0).getField("ents"))).as("avgEnts"),
-        avg(col("cand.depth")).as("avgDepth"))
-      .collect()
-    }
-    val featRows = timed("featRows") { memberRows
-      .map(m => (m.cluster, StructKey(m.cand.height, m.cand.depth,
-        m.cand.levels.map(l => StructLevel(l.label, l.isTyped, l.ents)))))
-      .distinct()
-      .collect()
-    }
-    val rankWin = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster").orderBy(col("prob").desc, col("key").asc)
-    val topRows = timed("topRows") { memberRows.toDF()
-      .withColumn("rn", row_number().over(rankWin))
-      .filter(col("rn") <= keepPerCluster)
-      .drop("rn")
-      .as[MemberRow]
-      .collect()
-    }
-    // materialize the returned assignments BEFORE the backing frames are
-    // released — afterwards a recompute would rebuild the whole chain
-    timed("assignments") { assignments.count() }
-    memberRows.unpersist()
-    members.unpersist()
+      val statRows = timed("statRows") { memberRows.groupBy("cluster")
+        .agg(
+          count(lit(1)).as("support"),
+          avg(size(col("cand.levels").getItem(0).getField("ents"))).as("avgEnts"),
+          avg(col("cand.depth")).as("avgDepth"))
+        .collect()
+      }
+      val featRows = timed("featRows") { memberRows
+        .map(m => (m.cluster, StructKey(m.cand.height, m.cand.depth,
+          m.cand.levels.map(l => StructLevel(l.label, l.isTyped, l.ents)))))
+        .distinct()
+        .collect()
+      }
+      val rankWin = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(col("prob").desc, col("key").asc)
+      val topRows = timed("topRows") { memberRows.toDF()
+        .withColumn("rn", row_number().over(rankWin))
+        .filter(col("rn") <= keepPerCluster)
+        .drop("rn")
+        .as[MemberRow]
+        .collect()
+      }
+      // materialize the returned assignments BEFORE the backing frames are
+      // released — afterwards a recompute would rebuild the whole chain
+      timed("assignments") { assignments.count() }
+      memberRows.unpersist()
+      members.unpersist()
 
-    val featsByCluster = featRows.groupBy(_._1).map { case (n, fs) => n -> fs.map(_._2).toSet }
-    val membersByCluster = topRows.groupBy(_.cluster)
-    val summaries = statRows.map { r =>
-      val name = r.getString(0)
-      val ms = membersByCluster.getOrElse(name, Array.empty[MemberRow])
-        .sortBy(m => (-m.prob, m.key))
-        .map(m => (m.cand.toFeature, m.prob)).toVector
-      name -> ClusterSummary(
-        name, r.getLong(1).toInt, featsByCluster.getOrElse(name, Set.empty),
-        ms, r.getDouble(2), r.getDouble(3))
-    }.toMap
+      val featsByCluster = featRows.groupBy(_._1).map { case (n, fs) => n -> fs.map(_._2).toSet }
+      val membersByCluster = topRows.groupBy(_.cluster)
+      statRows.map { r =>
+        val name = r.getString(0)
+        val ms = membersByCluster.getOrElse(name, Array.empty[MemberRow])
+          .sortBy(m => (-m.prob, m.key))
+          .map(m => (m.cand.toFeature, m.prob)).toVector
+        name -> ClusterSummary(
+          name, r.getLong(1).toInt, featsByCluster.getOrElse(name, Set.empty),
+          ms, r.getDouble(2), r.getDouble(3))
+      }.toMap
+    }
 
     cands.unpersist()
     releaseIntermediates()
@@ -342,7 +353,7 @@ object TreeClusterer {
     * label expansion).
     */
   private def schemaOnlyMembers(
-      nodes: Dataset[graft.model.NodeRow],
+      template: ArchiTree,
       cands: Dataset[CandRow],
       tau: Double,
       decay: Double,
@@ -350,11 +361,10 @@ object TreeClusterer {
       maxHeight: Int,
       minClusterSize: Int,
   ): DataFrame = {
-    val spark = nodes.sparkSession
+    val spark = cands.sparkSession
     import spark.implicits._
     val metric = SeqMetrics.byName(metricName)
-    val schema = graft.model.Schema.fromForest(nodes)
-    val schemaFeats = Similarity.treeFeatures(schema.toTree, "schema", maxHeight)
+    val schemaFeats = Similarity.treeFeatures(template, "schema", maxHeight)
       .toSeq.sortBy(_._1)
 
     // union-find over the O(k²) template pairs
@@ -483,8 +493,12 @@ object TreeClusterer {
     })
   }
 
-  /** Typed projection of a representative row for the local tau-graph. */
-  private final case class RepRow(
+  /** Typed projection of a representative row for the local tau-graph.
+    * Public: Spark's generated SafeProjection cannot access a private
+    * class and would fall back to interpreted deserialization (after a
+    * logged compile failure) on every collect.
+    */
+  final case class RepRow(
       key: String, mult: Long, height: Int, depth: Int, levels: Seq[LevelRow])
 
   /** Driver-side tau-graph for a provably-small representative set: the
@@ -690,8 +704,10 @@ object TreeClusterer {
       return graft.util.Spark.checkpoint(labelled)
     }
 
+    // assignments are the only consumed output — skip the three
+    // model-build jobs (stats, struct-keys, top-K) entirely
     val result = fitTrees(trees, tau = tau, decay = decay, metricName = metricName,
-      entityParentsOnly = true)
+      entityParentsOnly = true, buildModel = false)
     // (parent key, entity oid) pairs, joined against the assignments —
     // no driver-side parent map, no broadcast sized by the forest
     val parentChild = trees.flatMap { case (treeId, tree) =>
