@@ -25,6 +25,22 @@ class SchemaSparkSpec extends AnyFunSuite with SparkSpec {
     assert(dist.productions.toSet == local.productions.toSet)
   }
 
+  test("templateFromTrees: productions match fromForest; template trees identical") {
+    val trees = Seq(
+      t("(S (GROUP::P (ENT::name Alice) (ENT::age 30)))"),
+      t("(S (GROUP::P (ENT::name Bob) (ENT::city NYC)) (GROUP::Q (ENT::x 1)))"),
+      t("(ROOT (REL::r (GROUP::P (ENT::name Al)) (GROUP::Q (ENT::x 2))))"),
+      t("(ROOT (COLL::c (GROUP::Q (ENT::x 3)) (GROUP::Q (ENT::x 4))))"))
+    val forest = Forest.fromTrees(spark, trees)
+    val full = Schema.fromForest(Forest.toNodesDF(forest))
+    val tmpl = Schema.templateFromTrees(Forest.trees(forest))
+    assert(tmpl.productions.toSet == full.productions.toSet)
+    assert(tmpl.groups == full.groups)
+    // relations are intentionally absent (orientation not derived) but
+    // the expanded template tree — the only consumer — is identical
+    assert(tmpl.toTree == full.toTree)
+  }
+
   test("extract_datasets goldens (test_schema.py one_group/duplicates/widening)") {
     val trees = Seq(
       t("(S (GROUP::Person (ENT::name Alice) (ENT::age 30)))"),

@@ -148,6 +148,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(result.model.getEquivOf(other("other/0")).isEmpty)
   }
 
+  test("buildModel=false yields identical assignments and an empty model") {
+    def tree(p: String, f: String, a: String) =
+      SExpr.parse(s"(S (X (ENT::person $p) (ENT::fruit $f)) (Y (ENT::person $p) (ENT::animal $a)))")
+    val trees = Forest.trees(Forest.fromTrees(spark,
+      Seq(tree("Alice", "apple", "rabbit"), tree("Bob", "banana", "dog"), tree("Carol", "cherry", "cat"))))
+    val withModel = TreeClusterer.fitTrees(trees, tau = 0.7, metricName = "jaccard")
+    val without = TreeClusterer.fitTrees(trees, tau = 0.7, metricName = "jaccard",
+      buildModel = false)
+    assert(without.model.clusters.isEmpty)
+    assert(withModel.model.clusters.nonEmpty)
+    assert(without.assignments.collect().toSet == withModel.assignments.collect().toSet)
+  }
+
   test("entityLabels with null metric maps entities to parent labels") {
     val forest = Forest.fromTrees(spark, Seq(
       SExpr.parse("(S (X (ENT::a 1)) (GROUP::G (ENT::b 2)))")))
