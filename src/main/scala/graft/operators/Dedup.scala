@@ -36,9 +36,17 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs (a < b) with similarity ≥
-    * threshold, via inverted-index self-join — no all-pairs, no false
-    * negatives. Pairs sharing zero shingles are never generated (their
-    * Jaccard is 0).
+    * threshold, via a PREFIX-FILTERED inverted-index self-join (the
+    * All-Pairs/PPJoin candidate rule): each document's shingles are
+    * ordered by ascending global document frequency, and only the first
+    * |S| − ⌈t·|S|⌉ + 1 ("prefix") shingles enter the join. Any pair with
+    * Jaccard ≥ t must share a prefix shingle under a global order, so
+    * candidates are exact — and a boilerplate shingle shared by K
+    * documents no longer fans out K²/2 pairs (it sorts to the END of
+    * every ordering and stays out of prefixes), which is the hot-shingle
+    * skew killer at corpus scale. Candidates are then verified with the
+    * full intersection, so the output is identical to the unfiltered
+    * join: no false negatives, no false positives.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -49,19 +57,50 @@ object Dedup {
   ): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    // global document frequency orders each prefix rarest-first
+    val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val rankWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("shingle"))
+    // minimum overlap ⌈t·|S|⌉, with the epsilon erring toward a LARGER
+    // prefix: fp noise in t·|S| may only ever shrink the required
+    // overlap (a too-small prefix would silently drop true pairs; a
+    // too-large one just verifies a few extra candidates)
+    val prefix = sh.join(docFreq, "shingle")
+      .withColumn("rank", row_number().over(rankWin))
+      .join(sizes, "id")
+      .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      .select("id", "shingle")
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    val out = verifiedJaccard(candidates, sh, sizes, threshold)
+    sh.unpersist()
+    out
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the full
+    * shingle index; returns pairs with true Jaccard ≥ threshold.
+    */
+  private def verifiedJaccard(
+      candidates: DataFrame,
+      sh: DataFrame,
+      sizes: DataFrame,
+      threshold: Double,
+  ): DataFrame = {
+    val inter = candidates
+      .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("shingle", "sa"), "a_id")
+      .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("shingle", "sb"), "b_id")
+      .filter(col("sa") === col("sb"))
+      .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))
-    val out = pairs
+    inter
       .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n", "na"), "a_id")
       .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n", "nb"), "b_id")
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id")
       .localCheckpoint(true)
-    sh.unpersist()
-    out
   }
 
   /** MinHash signature + banded LSH candidate generation, then exact
@@ -107,19 +146,7 @@ object Dedup {
 
     // exact verification of candidates only
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("shingle", "sa"), "a_id")
-      .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("shingle", "sb"), "b_id")
-      .filter(col("sa") === col("sb"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"))
-    val out = inter
-      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n", "na"), "a_id")
-      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n", "nb"), "b_id")
-      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id")
-      .localCheckpoint(true)
+    val out = verifiedJaccard(candidates, sh, sizes, threshold)
     sh.unpersist()
     out
   }

@@ -35,6 +35,32 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("prefix-filtered ngram pairs equal brute force despite a hot shared shingle") {
+    // every doc ends with the same boilerplate (hot shingles shared by
+    // all) — the prefix filter must keep those out of the join without
+    // losing the one true near-duplicate pair
+    val texts = Map(
+      1L -> "alpha beta gamma delta epsilon zeta shared common tail",
+      2L -> "alpha beta gamma delta epsilon eta shared common tail",
+      3L -> "one two three four five six shared common tail",
+      4L -> "seven eight nine ten eleven twelve shared common tail",
+      5L -> "red green blue cyan magenta yellow shared common tail")
+    val df = docs(texts.toSeq: _*)
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = texts.map { case (id, s) =>
+        id -> s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      }
+      val want = (for {
+        a <- texts.keys; b <- texts.keys if a < b
+        j = (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size
+        if j >= t
+      } yield (a, b)).toSet
+      assert(got == want, s"threshold $t")
+    }
+  }
+
   test("minhash-LSH pairs equal the exact ngram pairs on sf0.001 documents") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.8)
