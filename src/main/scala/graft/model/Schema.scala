@@ -356,14 +356,7 @@ object Schema {
 
     trees.foreach { tree =>
       tree.subtrees.foreach { t =>
-        val isRoot = t.label == Plain("ROOT")
-        val lexical = t.children.exists(_.isInstanceOf[Child.Leaf])
-        if (!isRoot && !lexical && t.children.nonEmpty) {
-          prodRows += ProdRow(
-            t.label.nodeType.map(_.value).orNull,
-            t.label.name,
-            t.childTrees.map(_.label.render))
-        }
+        prodTupleOf(t).foreach { case (lt, ln, rhs) => prodRows += ProdRow(lt, ln, rhs) }
         if (t.hasType(NodeType.Rel) && t.childTrees.size == 2 && t.children.size == 2 &&
           t.childTrees.forall(_.hasType(NodeType.Group))) {
           val Vector(l, r) = t.childTrees
@@ -401,14 +394,25 @@ object Schema {
   ): Schema = {
     import trees.sparkSession.implicits._
     val rows = trees.flatMap { case (_, tree) =>
-      tree.subtrees.collect {
-        case t if t.label != Plain("ROOT") && t.children.nonEmpty &&
-            !t.children.exists(_.isInstanceOf[Child.Leaf]) =>
-          (t.label.nodeType.map(_.value).orNull, t.label.name, t.childTrees.map(_.label.render))
-      }.distinct
+      tree.subtrees.flatMap(prodTupleOf).distinct
     }.distinct().collect().toSeq
     assemble(rows.map { case (t, n, r) => ProdRow(t, n, r) },
       Map.empty, Map.empty, keepUnlabelled, mergeLhs)
+  }
+
+  /** The shared production-extraction predicate: non-ROOT, non-lexical
+    * (no leaf children), non-empty nodes yield one (lhsType, lhsName,
+    * rhs-labels) row. Both local (`fromTrees`) and template
+    * (`templateFromTrees`) derivations go through here — the predicate
+    * must match `fromForest`'s relational filter exactly, so it lives in
+    * one place. Tuple-shaped (not ProdRow) because the template path
+    * ships it through a Dataset encoder.
+    */
+  private def prodTupleOf(t: ArchiTree): Option[(String, String, Seq[String])] = {
+    val isRoot = t.label == Plain("ROOT")
+    val lexical = t.children.exists(_.isInstanceOf[Child.Leaf])
+    Option.when(!isRoot && !lexical && t.children.nonEmpty)(
+      (t.label.nodeType.map(_.value).orNull, t.label.name, t.childTrees.map(_.label.render)))
   }
 
   private def assemble(

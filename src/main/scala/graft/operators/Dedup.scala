@@ -61,14 +61,21 @@ object Dedup {
     val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val rankWin = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("shingle"))
-    // minimum overlap ⌈t·|S|⌉, with the epsilon erring toward a LARGER
-    // prefix: fp noise in t·|S| may only ever shrink the required
-    // overlap (a too-small prefix would silently drop true pairs; a
-    // too-large one just verifies a few extra candidates)
+    val sizeWin = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    // minimum overlap ⌈t·|S|⌉, with a RELATIVE shrink factor erring
+    // toward a LARGER prefix: the product's fp rounding error is
+    // relative (~ulps), so an absolute epsilon stops protecting once
+    // t·|S| grows past ~2^30 — 1e-12 relative dominates the few-ulp
+    // error at any |S| while loosening the bound by at most one rank
+    // (a too-small prefix would silently drop true pairs; a too-large
+    // one just verifies a few extra candidates). |S| comes from a
+    // second window over the same partitioning — no extra shuffle, no
+    // join against the sizes aggregate on this hot path.
     val prefix = sh.join(docFreq, "shingle")
       .withColumn("rank", row_number().over(rankWin))
-      .join(sizes, "id")
-      .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      .withColumn("sz", count(lit(1)).over(sizeWin))
+      .filter(col("rank") <=
+        col("sz") - ceil(lit(threshold * (1.0 - 1e-12)) * col("sz")) + 1)
       .select("id", "shingle")
     val candidates = prefix.as("a")
       .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

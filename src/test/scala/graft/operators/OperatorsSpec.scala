@@ -39,12 +39,15 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     // every doc ends with the same boilerplate (hot shingles shared by
     // all) — the prefix filter must keep those out of the join without
     // losing the one true near-duplicate pair
+    // doc 6 is short and shingle-contained in doc 1: exercises the
+    // per-record prefix length with UNEQUAL set sizes (|Sa| != |Sb|)
     val texts = Map(
       1L -> "alpha beta gamma delta epsilon zeta shared common tail",
       2L -> "alpha beta gamma delta epsilon eta shared common tail",
       3L -> "one two three four five six shared common tail",
       4L -> "seven eight nine ten eleven twelve shared common tail",
-      5L -> "red green blue cyan magenta yellow shared common tail")
+      5L -> "red green blue cyan magenta yellow shared common tail",
+      6L -> "alpha beta gamma delta epsilon")
     val df = docs(texts.toSeq: _*)
     for (t <- Seq(0.3, 0.5, 0.8)) {
       val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = t)
