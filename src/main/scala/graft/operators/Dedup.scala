@@ -132,9 +132,17 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val sh = shingles(df, idCol, textCol, n).cache()
 
+    // each shingle string is hashed ONCE to a 64-bit base; the hash
+    // family then re-hashes the fixed-width base (h_i = xxhash64(i, base)
+    // mixes 12 bytes) instead of re-hashing the variable-length string
+    // numHashes times per shingle — the dominant CPU cost of the
+    // signature stage at corpus scale. Family quality is unchanged
+    // (independent-ish permutations of a 64-bit universe); candidates
+    // are exact-verified, so the operator's output is identical w.h.p.
     val sigCols: Seq[Column] =
-      (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    val sig = sh.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+      (0 until numHashes).map(i => min(xxhash64(lit(i), col("base"))).as(s"h$i"))
+    val sig = sh.withColumn("base", xxhash64(col("shingle")))
+      .groupBy("id").agg(sigCols.head, sigCols.tail: _*)
 
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
