@@ -15,13 +15,43 @@ object SqlExporter {
   /** default_pk_factory (export/sql.py:35-44). */
   def pkColumn(table: String): String = s"architxt_${table}ID"
 
+  /** Exported tables + DDL. Each table frame is backed by a persisted
+    * (MEMORY_AND_DISK) pre-cast intermediate that the cast-inference
+    * pass already materialized — consuming a table re-reads that cache
+    * rather than re-running its pivot + FK-join chain. The cache lives
+    * until the session evicts it (LRU); an export is terminal in every
+    * pipeline here, so no explicit release hook is exposed.
+    */
   final case class Export(tables: Map[String, DataFrame], ddl: Seq[String])
 
   def export(nodes: Dataset[NodeRow], schema: Schema): Export = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+
     val groupTables = scala.collection.mutable.Map.empty[String, DataFrame]
 
+    // (group instance × child entity) rows for every exported group at
+    // once: the per-group pivot COLUMNS all derive from one aggregation
+    // pass instead of a distinct().collect() job per group — at export
+    // scale the cost is job count, not data size
+    val groupNames = schema.groups.map(_.name).toSeq
+    val groupRows = nodes
+      .filter(col("nodeType") === "GROUP" && col("name").isin(groupNames: _*))
+      .select(
+        col("treeId").as("gTree"), col("nodeId").as("gNode"),
+        col("name").as("gName"), col("oid").as("gOid"))
+    val entRows = nodes
+      .filter(col("nodeType") === "ENT")
+      .select(col("treeId"), col("parentId"), col("name").as("entName"), col("value"))
+    val groupEnts = entRows.join(
+      groupRows, col("treeId") === col("gTree") && col("parentId") === col("gNode"))
+    val entColsByGroup: Map[String, Seq[String]] = groupEnts
+      .groupBy("gName").agg(collect_set(col("entName")).as("cols"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).sorted.toSeq).toMap
+
     for (group <- schema.groups) {
-      val df = groupTable(nodes, group.name)
+      val df = groupTable(groupEnts, group.name, entColsByGroup.getOrElse(group.name, Nil))
       groupTables(group.name) = df
     }
 
@@ -50,25 +80,33 @@ object SqlExporter {
     }
 
     val all = groupTables.toMap ++ junctions.toMap
-    val casted = all.map { case (name, df) => name -> castOnExport(df, pkColumns = df.columns.filter(_.startsWith("architxt_")).toSet) }
+    // cast inference runs one eager aggregation per table; submit them
+    // CONCURRENTLY (Spark schedules jobs from any thread) so the wall
+    // cost is the widest table, not the sum over tables. Each pre-cast
+    // frame is persisted first: the inference agg materializes it, and
+    // the caller's consumption then reuses that result instead of
+    // re-running the pivot + FK-join chain.
+    val casted = Await.result(
+      Future.traverse(all.toSeq) { case (name, df) =>
+        Future {
+          val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          name -> castOnExport(cached, pkColumns = df.columns.filter(_.startsWith("architxt_")).toSet)
+        }
+      }, Duration.Inf).toMap
     Export(casted, ddlFor(schema, casted))
   }
 
-  /** One row per distinct group oid, columns = entity names + oid PK. */
-  private def groupTable(nodes: Dataset[NodeRow], groupName: String): DataFrame = {
-    val groups = nodes
-      .filter(col("nodeType") === "GROUP" && col("name") === groupName)
-      .select(col("treeId").as("gTree"), col("nodeId").as("gNode"), col("oid").as("gOid"))
-    val ents = nodes
-      .filter(col("nodeType") === "ENT")
-      .select(col("treeId"), col("parentId"), col("name").as("entName"), col("value"))
-    val joined = ents.join(groups, col("treeId") === col("gTree") && col("parentId") === col("gNode"))
-    val entCols = joined.select("entName").distinct().collect().map(_.getString(0)).sorted
-    joined
+  /** One row per distinct group oid, columns = entity names + oid PK.
+    * `groupEnts` = the shared (group instance × child entity) join;
+    * `entCols` = this group's pivot columns, precomputed in one pass
+    * for all groups by [[export]].
+    */
+  private def groupTable(groupEnts: DataFrame, groupName: String, entCols: Seq[String]): DataFrame =
+    groupEnts
+      .filter(col("gName") === groupName)
       .groupBy(col("gOid").as(pkColumn(groupName)))
       .pivot("entName", entCols)
       .agg(max("value"))
-  }
 
   /** (relOid, leftOid, rightOid) per REL instance, sides matched by group
     * name (export/sql.py:216-236).
