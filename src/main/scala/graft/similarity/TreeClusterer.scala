@@ -185,10 +185,12 @@ object TreeClusterer {
       keepPerCluster: Int = 20,
       entityParentsOnly: Boolean = false,
       schemaOnly: Boolean = false,
+      buildModel: Boolean = true,
   ): Result =
     fitImpl(candidates(forest, maxHeight, entityParentsOnly),
       () => graft.model.Schema.templateFromTrees(Forest.trees(forest)).toTree,
-      tau, decay, metricName, maxHeight, minClusterSize, keepPerCluster, schemaOnly)
+      tau, decay, metricName, maxHeight, minClusterSize, keepPerCluster, schemaOnly,
+      buildModel)
 
   /** fit() over an already-parsed Kryo tree dataset — the rewrite epoch
     * loop's entry point; skips the JSON parse in candidate extraction.

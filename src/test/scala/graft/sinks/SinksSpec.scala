@@ -60,6 +60,26 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
       "dt" -> "date", "ts" -> "timestamp", "s" -> "string"))
   }
 
+  test("export_sql: per-group pivot columns stay separate when entity names overlap") {
+    // groups A (x,y) and B (x,z) share entity name "x" — the one-pass
+    // column derivation must not leak one group's columns into the other
+    def tree(i: Int) = ArchiTree(Plain("ROOT"), Vector(
+      Child.Node(ArchiTree(Typed(NodeType.Group, "A"), Vector(
+        Child.Node(ArchiTree.leafNode("ENT::x", s"ax$i")),
+        Child.Node(ArchiTree.leafNode("ENT::y", s"ay$i"))), s"oidA$i")),
+      Child.Node(ArchiTree(Typed(NodeType.Group, "B"), Vector(
+        Child.Node(ArchiTree.leafNode("ENT::x", s"bx$i")),
+        Child.Node(ArchiTree.leafNode("ENT::z", s"bz$i"))), s"oidB$i"))))
+    val forest = Forest.fromTrees(spark, (1 to 3).map(tree))
+    val nodes = Forest.toNodesDF(forest)
+    val schema = Schema.fromForest(nodes, keepUnlabelled = false)
+    val ex = SqlExporter.export(nodes, schema)
+    assert(ex.tables("A").columns.toSet == Set("architxt_AID", "x", "y"))
+    assert(ex.tables("B").columns.toSet == Set("architxt_BID", "x", "z"))
+    assert(ex.tables("A").count() == 3)
+    assert(ex.tables("B").count() == 3)
+  }
+
   test("JSONL round-trips a forest") {
     val trees = Seq(
       SExpr.parse("(ROOT (GROUP::A (ENT::x New York)) (REL::r (GROUP::A (ENT::x 1)) (GROUP::B (ENT::y 2))))"),
