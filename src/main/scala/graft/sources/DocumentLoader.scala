@@ -14,10 +14,10 @@ import scala.jdk.CollectionConverters._
   * `REL::parent<->child` per collection element.
   *
   * Formats (documents.py:23-29 FILE_PARSERS): JSON, XML (per the
-  * xmltodict convention), YAML (multi-document), and a TOML subset, all
-  * normalized to one nested node shape before `readTree`; CSV goes
-  * through the relational loader and Excel is env-absent (no POI on the
-  * classpath). `fromString` is the reference's try-each-parser chain.
+  * xmltodict convention), CSV (rows as a record collection), Excel
+  * (xlsx subset), YAML (multi-document), and a TOML subset, all
+  * normalized to one nested node shape before `readTree`.
+  * `fromString` is the reference's try-each-parser chain.
   *
   * Spark-first: one document per row, the whole recursion is a pure
   * per-row function (no shuffle).
@@ -194,6 +194,26 @@ object DocumentLoader {
     parseDocumentTree(readTree(docs))
   }
 
+  // ---- CSV (documents.py:25: `pd.read_csv(x).to_dict(orient='records')`) ----
+
+  /** One metamodel forest from a CSV document: the rows become a root
+    * collection of header-keyed records, the shape the reference gets
+    * from `pd.read_csv(...).to_dict(orient='records')`. A deliberately
+    * STRICT subset (RFC-4180 quoting, comma delimiter, ≥ 2 distinct
+    * header columns, rectangular rows): pandas' anything-parses
+    * permissiveness would swallow the YAML/TOML lanes further down the
+    * try-each chain. Empty fields drop like the reference's
+    * `pd.notna` filter; all values stay text (no pandas dtype
+    * inference, so an int column never turns into `1000.0`).
+    */
+  def fromCsvString(csv: String): Seq[ArchiTree] = {
+    val records = CsvSubset.parse(csv)
+    if (records.isEmpty) throw new IllegalArgumentException("Empty document")
+    val arr = nodeFactory.arrayNode()
+    records.foreach(arr.add)
+    parseDocumentTree(readTree(arr))
+  }
+
   // ---- Excel (documents.py:27: `pd.read_excel(sheet_name=None)`) ----
 
   /** One metamodel forest from an .xlsx byte array: each sheet becomes
@@ -219,12 +239,12 @@ object DocumentLoader {
   }
 
   /** The reference's try-each-parser chain (documents.py:23-29, in its
-    * order minus the pandas-backed CSV/Excel lanes): JSON, XML, YAML,
+    * order minus the bytes-only Excel lane): JSON, XML, CSV, YAML,
     * TOML — first parser that accepts the content wins.
     */
   def fromString(content: String): Seq[ArchiTree] = {
     val parsers: Seq[String => Seq[ArchiTree]] =
-      Seq(fromJsonString, fromXmlString, fromYamlString, fromTomlString)
+      Seq(fromJsonString, fromXmlString, fromCsvString, fromYamlString, fromTomlString)
     parsers.view
       .map(p => scala.util.Try(p(content)))
       .collectFirst { case scala.util.Success(trees) => trees }
@@ -381,6 +401,71 @@ object DocumentLoader {
       }
       if (start < s.length) out += s.substring(start, i)
       out.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+  }
+
+  /** The CSV-subset parser backing `fromCsvString`: RFC-4180 records
+    * (quoted fields may hold commas, doubled quotes, and newlines) to
+    * header-keyed objects. Header-only or empty input yields no records
+    * (→ "Empty document", and the try-each chain moves on); a
+    * sub-2-column or duplicate header and ragged rows are rejected so
+    * prose, YAML, and TOML never parse as CSV.
+    */
+  private[sources] object CsvSubset {
+
+    def parse(src: String): Seq[JsonNode] = {
+      val rows = records(src)
+      if (rows.length < 2) return Seq.empty
+      val header = rows.head
+      if (header.length < 2 || header.exists(_.trim.isEmpty) ||
+          header.distinct.length != header.length)
+        throw new IllegalArgumentException(s"not a CSV header: ${header.mkString(",")}")
+      rows.tail.map { row =>
+        if (row.length != header.length)
+          throw new IllegalArgumentException(s"ragged CSV row: ${row.mkString(",")}")
+        val obj = nodeFactory.objectNode()
+        header.zip(row).foreach { case (k, v) => obj.set[JsonNode](k, nodeFactory.textNode(v)) }
+        obj
+      }
+    }
+
+    /** Quote-aware record/field split; a trailing newline does not
+      * produce a phantom empty record (pandas drops it too).
+      */
+    private def records(src: String): Vector[Vector[String]] = {
+      val rows = Vector.newBuilder[Vector[String]]
+      var fields = Vector.newBuilder[String]
+      val field = new StringBuilder
+      var fieldCount = 0
+      var inQuotes = false
+      var i = 0
+      def endField(): Unit = { fields += field.toString; field.clear(); fieldCount += 1 }
+      def endRecord(): Unit = {
+        endField()
+        rows += fields.result()
+        fields = Vector.newBuilder[String]
+        fieldCount = 0
+      }
+      while (i < src.length) {
+        val c = src.charAt(i)
+        if (inQuotes) {
+          if (c == '"') {
+            if (i + 1 < src.length && src.charAt(i + 1) == '"') { field += '"'; i += 1 }
+            else inQuotes = false
+          } else field += c
+        } else c match {
+          case '"' if field.isEmpty => inQuotes = true
+          case ','                  => endField()
+          case '\r' if i + 1 < src.length && src.charAt(i + 1) == '\n' =>
+            endRecord(); i += 1
+          case '\n'                 => endRecord()
+          case other                => field += other
+        }
+        i += 1
+      }
+      if (inQuotes) throw new IllegalArgumentException("unterminated quoted CSV field")
+      if (field.nonEmpty || fieldCount > 0) endRecord()
+      rows.result()
     }
   }
 

@@ -133,10 +133,40 @@ class DocumentLoaderSpec extends AnyFunSuite with SparkSpec {
     assert(Xlsx.colIndex("AA3") == 26)
   }
 
+  test("CSV lane: rows parse like their JSON record-list equivalent") {
+    val viaCsv = DocumentLoader.fromCsvString(
+      "name,price\nLaptop,1000\nSmartphone,500").map(_.render)
+    val viaJson = DocumentLoader.fromJsonString(
+      """[{"name": "Laptop", "price": 1000}, {"name": "Smartphone", "price": 500}]"""
+    ).map(_.render)
+    assert(viaCsv == viaJson)
+  }
+
+  test("CSV: RFC-4180 quoting, empty-field drop, strictness guards") {
+    val trees = DocumentLoader.fromCsvString(
+      "a,b\n\"x,1\n2\",\"say \"\"hi\"\"\"\nplain,")
+    assert(trees.size == 2)
+    // render percent-encodes the delimiter/quote/newline characters
+    val first = trees.head.render
+    assert(first.contains("(ENT::a x%2C1%0A2)") && first.contains("(ENT::b say%20%22hi%22)"))
+    // the empty b field drops like the reference's pd.notna filter
+    assert(trees(1).render == "(GROUP::root (ENT::a plain))")
+
+    // strictness: prose, single columns, ragged and duplicate headers
+    // are NOT CSV — they must fall through to the later chain lanes
+    assertThrows[IllegalArgumentException](DocumentLoader.fromCsvString("just: prose\nno: commas"))
+    assertThrows[IllegalArgumentException](DocumentLoader.fromCsvString("a,a\n1,2"))
+    assertThrows[IllegalArgumentException](DocumentLoader.fromCsvString("a,b\n1,2,3"))
+    // header-only input is EMPTY, not invalid
+    assertThrows[IllegalArgumentException](DocumentLoader.fromCsvString("a,b"))
+  }
+
   test("fromString try-each chain detects the format") {
     val expected = DocumentLoader.fromJsonString(orderJson).map(_.render)
     for (doc <- Seq(orderJson, orderXml, orderYaml, orderToml))
       assert(DocumentLoader.fromString(doc).map(_.render) == expected)
+    assert(DocumentLoader.fromString("name,price\nLaptop,1000").head.render ==
+      "(GROUP::root (ENT::name Laptop) (ENT::price 1000))")
     assertThrows[IllegalArgumentException](DocumentLoader.fromString(""))
   }
 
