@@ -313,6 +313,21 @@ object GraftQueries {
       Schema.extractDataset(Forest.toNodesDF(forest), "region")
     }),
 
+    // §2.1 read_document CSV lane (supplier table), through the format
+    // sniffing chain — certifies CSV detection ahead of the YAML/TOML
+    // lanes and the record-collection shape end-to-end
+    "read_document_csv" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val csv = s.read.parquet(s"$d/supplier.parquet")
+        .select(concat(
+          lit("s_name,s_suppkey\n"),
+          col("s_name"), lit(","), col("s_suppkey").cast("string")).as("doc")).as[String]
+      val forest = graft.sources.DocumentLoader.parseDocuments(csv)(
+        graft.sources.DocumentLoader.fromString)
+      Schema.extractDataset(Forest.toNodesDF(forest), "root")
+    }),
+
     // §2.3 simple_rewrite: strip the loader's typed labels (simulating an
     // untyped ingestion), collapse each tree to one GROUP of its distinct
     // entities, then extract the dataset of the single resulting group.
@@ -767,6 +782,8 @@ object GraftQueries {
       s"SELECT DISTINCT ${castCols(Seq("n_name", "n_nationkey"))} FROM nation",
     "read_document_toml" ->
       s"SELECT DISTINCT ${castCols(Seq("r_name", "r_regionkey"))} FROM region",
+    "read_document_csv" ->
+      s"SELECT DISTINCT ${castCols(Seq("s_name", "s_suppkey"))} FROM supplier",
 
     "simple_rewrite_customer" ->
       s"""SELECT DISTINCT ${castCols(Seq(
