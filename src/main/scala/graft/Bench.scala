@@ -19,7 +19,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // optional comma-separated subset for local iteration; unset = all
-    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    val only = SparkEntry.querySubset()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -235,6 +235,7 @@ object Cli {
             ex.tables.foreach { case (name, df) => df.write.mode("overwrite").parquet(s"$o/$name") }
             println(s"wrote ${ex.tables.size} tables to $o")
           }
+          ex.release()
         case "cypher" =>
           val forest = RelationalLoader.load(spark, dir, cfg)
           val schema = Schema.fromForest(Forest.toNodesDF(forest), keepUnlabelled = false)

@@ -16,4 +16,20 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = GraftQueries.oracleSql
+
+  /** SPARK_GRAFT_QUERIES subset (one contract shared by Bench and
+    * Verify): comma-separated query names, validated against the
+    * registry. An unknown or empty name fails LOUDLY — a typo'd subset
+    * that silently selects zero queries would make a verify run that
+    * ran nothing read as fully green.
+    */
+  def querySubset(): Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_QUERIES").map { raw =>
+      val names = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      require(names.nonEmpty, "SPARK_GRAFT_QUERIES is set but names no queries")
+      val unknown = names.diff(queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_QUERIES names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      names
+    }
 }

@@ -18,7 +18,7 @@ object Verify {
     // iteration aid, same contract as Bench: run (and dump oracles for)
     // a comma-separated subset so tools/selfcheck.py stays usable on it;
     // the driver runs with the variable unset = everything
-    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    val only = SparkEntry.querySubset()
     def keep(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name)) {

@@ -114,7 +114,9 @@ object Dedup {
     * Jaccard verification of the candidates. Output = candidate pairs
     * whose true shingle Jaccard ≥ threshold.
     *
-    * Hash family: h_i(s) = xxhash64(i, s) — deterministic, seedless.
+    * Hash family: h_i(s) = xxhash64(i, xxhash64(s)) — deterministic,
+    * seedless; the variable-length shingle is hashed once and the
+    * family permutes its fixed-width 64-bit base.
     * With numHashes = bands·rowsPerBand, a pair with Jaccard j collides
     * in ≥1 band with p = 1 − (1 − j^r)^b; at j ≥ 0.8, b=32, r=4 the miss
     * probability is ~5e-8, so the verified output matches the exact

@@ -18,11 +18,15 @@ object SqlExporter {
   /** Exported tables + DDL. Each table frame is backed by a persisted
     * (MEMORY_AND_DISK) pre-cast intermediate that the cast-inference
     * pass already materialized — consuming a table re-reads that cache
-    * rather than re-running its pivot + FK-join chain. The cache lives
-    * until the session evicts it (LRU); an export is terminal in every
-    * pipeline here, so no explicit release hook is exposed.
+    * rather than re-running its pivot + FK-join chain. Call `release()`
+    * once the tables are written: disk-spilled cache blocks are freed
+    * only by unpersist or session end, so a session exporting corpus
+    * after corpus would otherwise accumulate them without bound.
     */
-  final case class Export(tables: Map[String, DataFrame], ddl: Seq[String])
+  final case class Export(
+      tables: Map[String, DataFrame],
+      ddl: Seq[String],
+      release: () => Unit = () => ())
 
   def export(nodes: Dataset[NodeRow], schema: Schema): Export = {
     import scala.concurrent.{Await, Future}
@@ -86,14 +90,16 @@ object SqlExporter {
     // frame is persisted first: the inference agg materializes it, and
     // the caller's consumption then reuses that result instead of
     // re-running the pivot + FK-join chain.
-    val casted = Await.result(
+    val castedWithCache = Await.result(
       Future.traverse(all.toSeq) { case (name, df) =>
         Future {
           val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          name -> castOnExport(cached, pkColumns = df.columns.filter(_.startsWith("architxt_")).toSet)
+          (name, castOnExport(cached, pkColumns = df.columns.filter(_.startsWith("architxt_")).toSet), cached)
         }
-      }, Duration.Inf).toMap
-    Export(casted, ddlFor(schema, casted))
+      }, Duration.Inf)
+    val casted = castedWithCache.map { case (name, table, _) => name -> table }.toMap
+    Export(casted, ddlFor(schema, casted),
+      () => castedWithCache.foreach { case (_, _, cached) => cached.unpersist() })
   }
 
   /** One row per distinct group oid, columns = entity names + oid PK.

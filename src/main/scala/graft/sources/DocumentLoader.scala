@@ -240,7 +240,11 @@ object DocumentLoader {
 
   /** The reference's try-each-parser chain (documents.py:23-29, in its
     * order minus the bytes-only Excel lane): JSON, XML, CSV, YAML,
-    * TOML — first parser that accepts the content wins.
+    * TOML — first parser that accepts the content wins. CSV sits BEFORE
+    * YAML like the reference's pd.read_csv does, so a YAML-looking
+    * mapping whose every line carries a comma routes to the CSV lane —
+    * there and here; documents needing the later lanes reach them only
+    * because the strict CsvSubset rejects their shape.
     */
   def fromString(content: String): Seq[ArchiTree] = {
     val parsers: Seq[String => Seq[ArchiTree]] =
@@ -429,8 +433,12 @@ object DocumentLoader {
       }
     }
 
-    /** Quote-aware record/field split; a trailing newline does not
-      * produce a phantom empty record (pandas drops it too).
+    /** Quote-aware record/field split. LF, CRLF, and lone CR all
+      * terminate a record (pandas' C parser accepts all three), so a
+      * classic-Mac CR-delimited file splits correctly and a stray
+      * trailing CR never leaks into the last field's value. A trailing
+      * terminator does not produce a phantom empty record (pandas
+      * drops it too).
       */
     private def records(src: String): Vector[Vector[String]] = {
       val rows = Vector.newBuilder[Vector[String]]
@@ -456,8 +464,9 @@ object DocumentLoader {
         } else c match {
           case '"' if field.isEmpty => inQuotes = true
           case ','                  => endField()
-          case '\r' if i + 1 < src.length && src.charAt(i + 1) == '\n' =>
-            endRecord(); i += 1
+          case '\r' =>
+            endRecord()
+            if (i + 1 < src.length && src.charAt(i + 1) == '\n') i += 1
           case '\n'                 => endRecord()
           case other                => field += other
         }

@@ -152,6 +152,10 @@ class DocumentLoaderSpec extends AnyFunSuite with SparkSpec {
     // the empty b field drops like the reference's pd.notna filter
     assert(trees(1).render == "(GROUP::root (ENT::a plain))")
 
+    // LF, CRLF, and classic-Mac lone-CR line endings all split records
+    assert(DocumentLoader.CsvSubset.parse("a,b\r1,2\r3,4").size == 2)
+    assert(DocumentLoader.CsvSubset.parse("a,b\r\n1,2\r\n").size == 1)
+
     // strictness: prose, single columns, ragged and duplicate headers
     // are NOT CSV — they must fall through to the later chain lanes
     assertThrows[IllegalArgumentException](DocumentLoader.fromCsvString("just: prose\nno: commas"))
@@ -161,12 +165,51 @@ class DocumentLoaderSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](DocumentLoader.fromCsvString("a,b"))
   }
 
+  test("CSV subset: serialize/parse round-trips arbitrary field content") {
+    import org.scalacheck.Gen
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      Gen.listOfN(n, g).pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(7L))
+
+    val fieldGen: Gen[String] = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(',', '"', '\n', '\r', ' ', '\'', '#'))).map(_.mkString)
+    val tableGen: Gen[(Vector[String], Vector[Vector[String]])] = for {
+      nCols <- Gen.choose(2, 5)
+      header <- Gen.containerOfN[Set, String](nCols,
+        Gen.choose(1, 6).flatMap(Gen.stringOfN(_, Gen.alphaLowerChar))).suchThat(_.size >= 2)
+      nRows <- Gen.choose(1, 6)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(header.size, fieldGen).map(_.toVector))
+    } yield (header.toVector, rows.toVector)
+
+    def esc(f: String): String =
+      if (f.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + f.replace("\"", "\"\"") + "\""
+      else f
+
+    for ((header, rows) <- samples(tableGen, 60)) {
+      val csv = (header +: rows).map(_.map(esc).mkString(",")).mkString("\n")
+      val parsed = DocumentLoader.CsvSubset.parse(csv)
+      assert(parsed.size == rows.size)
+      parsed.zip(rows).foreach { case (node, row) =>
+        header.zip(row).foreach { case (k, v) =>
+          assert(Option(node.get(k)).map(_.asText).contains(v))
+        }
+      }
+    }
+  }
+
   test("fromString try-each chain detects the format") {
     val expected = DocumentLoader.fromJsonString(orderJson).map(_.render)
     for (doc <- Seq(orderJson, orderXml, orderYaml, orderToml))
       assert(DocumentLoader.fromString(doc).map(_.render) == expected)
     assert(DocumentLoader.fromString("name,price\nLaptop,1000").head.render ==
       "(GROUP::root (ENT::name Laptop) (ENT::price 1000))")
+    // reference chain-order quirk, pinned: CSV tries BEFORE YAML
+    // (documents.py:22-29), so a mapping whose every line carries a
+    // comma parses as 2-column CSV — here exactly as with pd.read_csv
+    val commaYaml = "k1: a, b\nk2: c, d"
+    assert(DocumentLoader.fromString(commaYaml).map(_.render) ==
+      DocumentLoader.fromCsvString(commaYaml).map(_.render))
     assertThrows[IllegalArgumentException](DocumentLoader.fromString(""))
   }
 
