@@ -32,6 +32,22 @@ class DocumentLoaderSpec extends AnyFunSuite with SparkSpec {
     assert(relC.childTrees(1).render == "(GROUP::consumer (ENT::name Alice) (ENT::age 30))")
   }
 
+  test("parse_document_tree goldens (reference tests/database/test_read_documents.py)") {
+    import graft.core.{ArchiTree, Plain, SExpr}
+    def parsed(s: String) = DocumentLoader.parseDocumentTree(SExpr.parse(s)).map(_.render)
+    // id='empty'
+    assert(DocumentLoader.parseDocumentTree(ArchiTree(Plain("ROOT"), Vector.empty)).isEmpty)
+    // id='group'
+    assert(parsed("(name (ENT::A x) (ENT::B y))") ==
+      Seq("(GROUP::name (ENT::A x) (ENT::B y))"))
+    // id='coll'
+    assert(parsed("(COLL::A (ENT::A x) (ENT::A y))") ==
+      Seq("(GROUP::A (ENT::A x))", "(GROUP::A (ENT::A y))"))
+    // id='rel'
+    assert(parsed("(name (ENT::A x) (sub (ENT::B y)))") ==
+      Seq("(ROOT (REL::name<->sub (GROUP::name (ENT::A x)) (GROUP::sub (ENT::B y))))"))
+  }
+
   test("root collection yields one tree per element") {
     val json = """[{"a": {"x": 1}}, {"a": {"x": 2}}]"""
     val trees = DocumentLoader.fromJsonString(json)
