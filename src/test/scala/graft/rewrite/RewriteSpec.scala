@@ -121,6 +121,34 @@ class RewriteSpec extends AnyFunSuite with SparkSpec {
     assert(out3.render == "(parent (GROUP::new (ENT::X xxx) (ENT::Y yyy)))")
   }
 
+  test("find_groups goldens (reference test_find_groups.py): root, largest, frequent, multi") {
+    // without_parent: a root whose children are all ENTs converts itself
+    val root = Rewrite.findGroupsInTree(
+      t("(SENT (ENT::X xxx) (ENT::Y yyy))"), 7L, Seq("7/" -> "0"), Map("0" -> 0))
+    assert(root.render == "(GROUP::0 (ENT::X xxx) (ENT::Y yyy))")
+
+    // largest: the root member does NOT qualify (a non-ENT child), so
+    // only the inner subtree converts — regardless of cluster order
+    val largest = Rewrite.findGroupsInTree(
+      t("(1 (2 (ENT::X xxx) (ENT::Y yyy)) (ENT::Z zzz))"), 7L,
+      Seq("7/" -> "0", "7/0" -> "1"), Map("0" -> 0, "1" -> 1))
+    assert(largest.render == "(1 (GROUP::1 (ENT::X xxx) (ENT::Y yyy)) (ENT::Z zzz))")
+
+    // frequent: same shape, the subtree sits in the higher-support
+    // cluster and takes ITS name
+    val frequent = Rewrite.findGroupsInTree(
+      t("(1 (2 (ENT::X xxx) (ENT::Y yyy)) (ENT::Z zzz))"), 7L,
+      Seq("7/0" -> "0", "7/" -> "1"), Map("0" -> 0, "1" -> 1))
+    assert(frequent.render == "(1 (GROUP::0 (ENT::X xxx) (ENT::Y yyy)) (ENT::Z zzz))")
+
+    // multi: two qualifying members of two clusters convert in one pass
+    val multi = Rewrite.findGroupsInTree(
+      t("(SENT (1 (ENT::X xxx) (ENT::Y yyy)) (ENT::Z zzz) (2 (ENT::A aaa) (ENT::B bbb) (ENT::C ccc)))"),
+      7L, Seq("7/2" -> "0", "7/0" -> "1"), Map("0" -> 0, "1" -> 1))
+    assert(multi.render ==
+      "(SENT (GROUP::1 (ENT::X xxx) (ENT::Y yyy)) (ENT::Z zzz) (GROUP::0 (ENT::A aaa) (ENT::B bbb) (ENT::C ccc)))")
+  }
+
   // --- simple_rewrite ---
 
   test("simple_rewrite collapses unlabelled trees into one group") {
