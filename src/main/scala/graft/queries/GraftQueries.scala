@@ -386,7 +386,9 @@ object GraftQueries {
     "export_cypher_customer" -> ((s, d) => {
       import s.implicits._
       val forest = customerTrees(s, d)
-      val schema = Schema.fromForest(Forest.toNodesDF(forest), keepUnlabelled = false)
+      // same forest, same derivation as the memoized customer schema
+      // (the nodes view and the tree view flatten identically)
+      val schema = customerSchema(s, d)
       val ex = graft.cypher.CypherExporter.export(forest, schema)
       ex.statements.map { st =>
         if (st.startsWith("MERGE (n:"))
