@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan guardrails for the scale-critical operator entry points.
+  *
+  * These cases assert on the *planned* shape (no execution beyond the
+  * bounded collects some builders do for dim/centroid inference): a
+  * cartesian product or an accidental nested-loop join in any pair
+  * generator would still pass a row-count oracle at test SF while being
+  * unrunnable at 100 TB, so the plan itself is the contract worth
+  * pinning. Each assertion was taken from the current (good) plan; a
+  * failure here means a refactor changed the join strategy, not just
+  * the numbers.
+  */
+class PlanGuardrailSpec extends AnyFunSuite with SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def assertNoUnbounded(name: String, p: String): Unit = {
+    assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
+  }
+
+  test("every near-dup pair generator joins on keys, never all-pairs") {
+    assertNoUnbounded("ngramJaccardPairs", plan(Dedup.ngramJaccardPairs(docs, "doc_id", "text")))
+    assertNoUnbounded("minHashLshPairs", plan(Dedup.minHashLshPairs(docs, "doc_id", "text")))
+    assertNoUnbounded("simHashPairs", plan(Dedup.simHashPairs(docs, "doc_id", "text")))
+    assertNoUnbounded("embeddingCosinePairs", plan(Dedup.embeddingCosinePairs(embs, "vec_id", "embedding")))
+  }
+
+  test("IVF ANN probes via an equi-join; only the brute baseline broadcasts all-pairs") {
+    val ivf = plan(Ann.ivfTopK(embs, "vec_id", "embedding", Seq(0L, 1L, 2L)))
+    assertNoUnbounded("ivfTopK", ivf)
+
+    // the brute-force baseline IS an all-pairs scan by definition — the
+    // guardrail is that the query side (bounded by queryIds) is the
+    // broadcast side, so the corpus never shuffles or collects
+    val brute = plan(Ann.bruteForceTopK(embs, "vec_id", "embedding", Seq(0L, 1L, 2L)))
+    assert(!brute.contains("CartesianProduct"), "bruteForceTopK plans an unbroadcast cartesian")
+    assert(brute.contains("BroadcastNestedLoopJoin"), "bruteForceTopK should broadcast the query side")
+  }
+
+  test("column pruning reaches the parquet scan through dedup and extraction") {
+    val exact = plan(Dedup.exact(docs, "doc_id", "text"))
+    val exactScans = exact.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(exactScans.nonEmpty)
+    exactScans.foreach { l =>
+      assert(l.contains("struct<doc_id:bigint,text:string>"),
+        s"exact-dedup scan reads more than its two columns: $l")
+    }
+
+    val extract = plan(graft.sources.RelationalLoader.extractGroupDataset(
+      spark, dir, graft.sources.Testdata.customerDb, "customer"))
+    assertNoUnbounded("extractGroupDataset", extract)
+    val extractScans = extract.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(extractScans.size == 1,
+      s"customer-group extraction should scan exactly one table, got: $extractScans")
+    assert(!extractScans.head.contains("c_address") && !extractScans.head.contains("c_phone"),
+      s"extraction scan reads columns the group never uses: ${extractScans.head}")
+  }
+
+  test("event rollups aggregate map-side before the exchange") {
+    // same nanos→micros read shim as the events_hourly registry entry
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val p = plan(Events.hourlyStats(ev))
+    assertNoUnbounded("hourlyStats", p)
+    // approx_count_distinct keeps this an ObjectHashAggregate pair; either
+    // flavor proves the partial/final split survived
+    assert(p.contains("HashAggregate"), "hourly rollup lost its partial aggregation")
+  }
+}
