@@ -48,6 +48,12 @@ final case class Schema(
 
   def entities: Set[String] = groups.flatMap(_.entities)
 
+  /** Schema union (schema.py:85-93): productions concatenate (the
+    * reference keeps duplicates), group and relation views union.
+    */
+  def |(other: Schema): Schema =
+    Schema(productions ++ other.productions, groups | other.groups, relations | other.relations)
+
   /** `ROOT -> <sorted lhs per production>` header + productions, each
     * terminated by `;` (schema.py:79-85,346-352).
     */

@@ -117,4 +117,18 @@ class SchemaSpec extends AnyFunSuite {
     assert(schema.groupBalanceScore == 1.0) // equal sizes → no variation
     assert(Schema(Seq.empty, Set.empty, Set.empty).groupBalanceScore == 1.0)
   }
+
+  test("schema union concatenates productions and unions views (schema.py:85-93)") {
+    val a = Schema.fromTrees(Seq(t("(GROUP::1 (ENT::A AAA) (ENT::B bbb))")), keepUnlabelled = false)
+    val b = Schema.fromTrees(Seq(t("(GROUP::2 (ENT::B bbb) (ENT::C ccc))")), keepUnlabelled = false)
+    val u = a | b
+    // reference keeps duplicate productions; views are set unions
+    assert(u.productions == a.productions ++ b.productions)
+    assert(u.groups == a.groups ++ b.groups)
+    assert(u.relations == a.relations ++ b.relations)
+    assert(u.entities == Set("A", "B", "C"))
+    val dup = a | a
+    assert(dup.productions.size == 2 * a.productions.size)
+    assert(dup.groups == a.groups)
+  }
 }
