@@ -7,9 +7,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Command-line entry points mirroring the reference CLI surface
   * (cli/__init__.py:76-187 cleanup/simplify/inspect, cli/export.py:15-39
-  * graph/sql, cli/__init__.py:437 generate) minus the env-absent lanes
-  * (web UI, MLflow logging, LLM simplify): every command dispatches to
-  * the same library modules the registered queries use.
+  * graph/sql, cli/__init__.py:437 generate, cli/__init__.py:189
+  * simplify_llm under the offline client) minus the env-absent lanes
+  * (web UI, MLflow logging, live model endpoints): every command
+  * dispatches to the same library modules the registered queries use.
   *
   *   sbt "runMain graft.Cli inspect /root/testdata/sf0.001"
   */
@@ -26,6 +27,9 @@ object Cli {
         |  load corpus <dir> [--cache DIR] [--out DIR]     BRAT .txt/.ann pairs through the NLP pipeline
         |  simplify <dir> [--db NAME] [--tau T] [--decay D] [--epochs N]
         |           [--min-support K] [--schema-only] [--metrics] [--out DIR]
+        |  simplify-llm <dir> [--db NAME] [--min-support K] [--vocab-similarity S]
+        |           [--refining-steps N] [--max-tokens T] [--metrics] [--out DIR]
+        |                                                  LLM-protocol simplify (offline groupify client)
         |  cleanup <dir> [--db NAME] [--out DIR]           keep only schema-valid trees
         |  compare <dirA> <dirB> [--db NAME] [--tau T]     coverage/AMI/completeness between loads
         |  export sql|cypher <dir> [--db NAME] [--out DIR]
@@ -181,6 +185,41 @@ object Cli {
       // vs the input forest
       if (opts.contains("metrics")) {
         val m = new graft.metrics.Metrics(forest, cfg.tau)
+        m.update(out)
+        println(f"coverage=${m.coverage}%.4f")
+        println(f"cluster_ami=${m.clusterAmi}%.4f")
+        println(f"cluster_completeness=${m.clusterCompleteness}%.4f")
+      }
+      opts.get("out").foreach { o =>
+        graft.sinks.Jsonl.write(out, o)
+        println(s"wrote simplified forest to $o")
+      }
+      spark.stop()
+
+    // cli/__init__.py:189-313 simplify_llm, minus the env-absent model
+    // endpoints (huggingface/openvino/mlflow): the full numbered-list
+    // rewrite protocol runs against the deterministic offline
+    // GroupifyLlmClient; a live endpoint plugs in through the same
+    // LlmClient seam.
+    case "simplify-llm" :: dir :: rest =>
+      val opts = parseOpts(rest)
+      val spark = session()
+      import graft.llm.LlmRewrite
+      val cfg = LlmRewrite.Config(
+        maxTokens = opts.get("max-tokens").map(_.toInt).getOrElse(4096),
+        refiningSteps = opts.get("refining-steps").map(_.toInt).getOrElse(0),
+        minSupport = opts.get("min-support").map(_.toInt),
+        vocabSimilarity = opts.get("vocab-similarity").map(_.toDouble).getOrElse(0.6))
+      val forest = Forest.untypeStructure(
+        RelationalLoader.load(spark, dir, dbConfig(opts.getOrElse("db", "customerDb"))))
+        .localCheckpoint(true)
+      println(s"llm-rewriting ${forest.count()} trees with " +
+        s"minSupport=${cfg.minSupport.getOrElse("auto")}, vocabSimilarity=${cfg.vocabSimilarity}, " +
+        s"refiningSteps=${cfg.refiningSteps}")
+      val out = LlmRewrite.rewrite(forest, new graft.llm.GroupifyLlmClient, cfg)
+      showSchema(Schema.fromForest(Forest.toNodesDF(out), keepUnlabelled = false))
+      if (opts.contains("metrics")) {
+        val m = new graft.metrics.Metrics(forest, 0.7)
         m.update(out)
         println(f"coverage=${m.coverage}%.4f")
         println(f"cluster_ami=${m.clusterAmi}%.4f")

@@ -57,6 +57,27 @@ object Forest {
     forest.map(row => TreeRow(row.treeId, TreeJson.toJson(f(TreeJson.fromJson(row.tree)))))
   }
 
+  /** Demote GROUP/REL typing to plain labels (ENT leaves keep their
+    * type) — the "untyped ingestion" shape the rewrite and LLM-simplify
+    * pipelines are specified against (they must re-discover structure,
+    * not inherit it from the loader).
+    */
+  def untypeStructure(forest: Dataset[TreeRow]): Dataset[TreeRow] =
+    mapTrees(forest) { tree =>
+      def strip(t: ArchiTree): ArchiTree = {
+        val kids = t.children.map {
+          case Child.Node(c) => Child.Node(strip(c)): Child
+          case l             => l
+        }
+        t.label match {
+          case Typed(NodeType.Group, n) => t.copy(label = Plain(n), children = kids)
+          case Typed(NodeType.Rel, n)   => t.copy(label = Plain(n), children = kids)
+          case _                        => t.copy(children = kids)
+        }
+      }
+      strip(tree)
+    }
+
   def trees(forest: Dataset[TreeRow]): Dataset[(Long, ArchiTree)] = {
     implicit val enc = org.apache.spark.sql.Encoders.kryo[(Long, ArchiTree)]
     forest.map(row => (row.treeId, TreeJson.fromJson(row.tree)))

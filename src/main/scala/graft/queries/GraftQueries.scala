@@ -50,23 +50,8 @@ object GraftQueries {
     * plain ones — the "untyped ingestion" input shape the rewrite
     * pipeline exists for.
     */
-  private def untypedCustomer(s: SparkSession, d: String): Dataset[graft.model.TreeRow] = {
-    import graft.core._
-    Forest.mapTrees(customerTrees(s, d)) { tree =>
-      def strip(t: ArchiTree): ArchiTree = {
-        val kids = t.children.map {
-          case Child.Node(c) => Child.Node(strip(c)): Child
-          case l             => l
-        }
-        t.label match {
-          case Typed(NodeType.Group, n) => t.copy(label = Plain(n), children = kids)
-          case Typed(NodeType.Rel, n)   => t.copy(label = Plain(n), children = kids)
-          case _                        => t.copy(children = kids)
-        }
-      }
-      strip(tree)
-    }
-  }
+  private def untypedCustomer(s: SparkSession, d: String): Dataset[graft.model.TreeRow] =
+    Forest.untypeStructure(customerTrees(s, d))
 
   /** Extracted group datasets, memoized: fd_* queries re-consume the
     * extract_* results, and each extraction is eagerly materialized
