@@ -21,7 +21,8 @@ object Cli {
       """usage: graft.Cli <command> [args]
         |  inspect <dir> [--db customerDb|ordersDb|tpch]   forest statistics
         |  load <dir> [--db NAME] [--out DIR]              relational load to a metamodel forest (JSONL if --out)
-        |  load document <path> [--out DIR]                document files (JSON/XML/YAML/TOML sniffed)
+        |  load document <path> [--raw] [--root-name N] [--sample K] [--out DIR]
+        |                                                  document files (JSON/XML/CSV/YAML/TOML sniffed)
         |  load graph <nodes.parquet> <edges.parquet> [--out DIR]
         |                                                  property graph (id,label,props / src,dst,tpe,props)
         |  load corpus <dir> [--cache DIR] [--out DIR]     BRAT .txt/.ann pairs through the NLP pipeline
@@ -94,9 +95,14 @@ object Cli {
       val opts = parseOpts(rest)
       val spark = session()
       import spark.implicits._
+      // --raw / --root-name / --sample mirror read_document's raw_read /
+      // root_name / sample options (cli/loader.py:67-78)
+      val raw = opts.contains("raw")
+      val rootName = opts.getOrElse("root-name", "ROOT")
+      val sample = opts.get("sample").map(_.toInt).getOrElse(0)
       val docs = spark.sparkContext.wholeTextFiles(path).map(_._2).toDS()
       val forest = graft.sources.DocumentLoader.parseDocuments(docs)(
-        graft.sources.DocumentLoader.fromString)
+        graft.sources.DocumentLoader.readDocument(_, raw, rootName, sample))
       reportForest(forest, opts)
       spark.stop()
 

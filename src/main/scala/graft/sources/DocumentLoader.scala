@@ -114,12 +114,15 @@ object DocumentLoader {
     * Empty/absent data is an error, matching the reference's
     * `ValueError('Empty document')` (documents.py:77-79).
     */
-  def fromJsonString(json: String): Seq[ArchiTree] = {
+  def fromJsonString(json: String): Seq[ArchiTree] =
+    parseDocumentTree(readTree(jsonNode(json)))
+
+  private def jsonNode(json: String): JsonNode = {
     val node = mapper.readTree(json)
     if (node == null || node.isMissingNode || node.isNull ||
         (node.isContainerNode && node.isEmpty))
       throw new IllegalArgumentException("Empty document")
-    parseDocumentTree(readTree(node))
+    node
   }
 
   // ---- XML (documents.py:25, xmltodict convention) ----
@@ -168,11 +171,14 @@ object DocumentLoader {
     * result is wrapped as `{rootTag: content}` so the root tag name
     * survives into the tree.
     */
-  def fromXmlString(xml: String): Seq[ArchiTree] = {
+  def fromXmlString(xml: String): Seq[ArchiTree] =
+    parseDocumentTree(readTree(xmlNode(xml)))
+
+  private def xmlNode(xml: String): JsonNode = {
     val root = scala.xml.XML.loadString(xml)
     val wrapper = nodeFactory.objectNode()
     wrapper.set[JsonNode](root.label, xmlToNode(root))
-    parseDocumentTree(readTree(wrapper))
+    wrapper
   }
 
   // ---- YAML (documents.py:28: `list(yaml.YAML().load_all(x))`) ----
@@ -185,13 +191,16 @@ object DocumentLoader {
     * of documents, so even a single document arrives at `readTree` as a
     * one-element collection.
     */
-  def fromYamlString(yaml: String): Seq[ArchiTree] = {
+  def fromYamlString(yaml: String): Seq[ArchiTree] =
+    parseDocumentTree(readTree(yamlNode(yaml)))
+
+  private def yamlNode(yaml: String): JsonNode = {
     val it = yamlMapper.readValues(
       yamlMapper.createParser(yaml), classOf[JsonNode])
     val docs = nodeFactory.arrayNode()
     while (it.hasNext) docs.add(it.next())
     if (docs.isEmpty) throw new IllegalArgumentException("Empty document")
-    parseDocumentTree(readTree(docs))
+    docs
   }
 
   // ---- CSV (documents.py:25: `pd.read_csv(x).to_dict(orient='records')`) ----
@@ -206,12 +215,15 @@ object DocumentLoader {
     * `pd.notna` filter; all values stay text (no pandas dtype
     * inference, so an int column never turns into `1000.0`).
     */
-  def fromCsvString(csv: String): Seq[ArchiTree] = {
+  def fromCsvString(csv: String): Seq[ArchiTree] =
+    parseDocumentTree(readTree(csvNode(csv)))
+
+  private def csvNode(csv: String): JsonNode = {
     val records = CsvSubset.parse(csv)
     if (records.isEmpty) throw new IllegalArgumentException("Empty document")
     val arr = nodeFactory.arrayNode()
     records.foreach(arr.add)
-    parseDocumentTree(readTree(arr))
+    arr
   }
 
   // ---- Excel (documents.py:27: `pd.read_excel(sheet_name=None)`) ----
@@ -221,8 +233,15 @@ object DocumentLoader {
     * same `readTree` path as every other format (see [[Xlsx]] for the
     * subset contract).
     */
-  def fromExcelBytes(bytes: Array[Byte]): Seq[ArchiTree] =
-    parseDocumentTree(readTree(Xlsx.parse(bytes)))
+  def fromExcelBytes(
+      bytes: Array[Byte],
+      rawRead: Boolean = false,
+      rootName: String = "ROOT",
+      sample: Int = 0,
+  ): Seq[ArchiTree] = {
+    val docTree = readTree(Xlsx.parse(bytes), rootName)
+    if (rawRead) Seq(docTree) else parseDocumentTree(docTree, sample)
+  }
 
   // ---- TOML subset (documents.py:29: `toml.loads`) ----
 
@@ -232,10 +251,13 @@ object DocumentLoader {
     * integers, floats, booleans, and flat arrays; no inline tables,
     * multi-line strings, or date-times.
     */
-  def fromTomlString(toml: String): Seq[ArchiTree] = {
+  def fromTomlString(toml: String): Seq[ArchiTree] =
+    parseDocumentTree(readTree(tomlNode(toml)))
+
+  private def tomlNode(toml: String): JsonNode = {
     val node = TomlSubset.parse(toml)
     if (node.isEmpty) throw new IllegalArgumentException("Empty document")
-    parseDocumentTree(readTree(node))
+    node
   }
 
   /** The reference's try-each-parser chain (documents.py:23-29, in its
@@ -246,13 +268,27 @@ object DocumentLoader {
     * there and here; documents needing the later lanes reach them only
     * because the strict CsvSubset rejects their shape.
     */
-  def fromString(content: String): Seq[ArchiTree] = {
-    val parsers: Seq[String => Seq[ArchiTree]] =
-      Seq(fromJsonString, fromXmlString, fromCsvString, fromYamlString, fromTomlString)
-    parsers.view
+  def fromString(content: String): Seq[ArchiTree] = readDocument(content)
+
+  /** `read_document` (documents.py:32-58): parse through the chain,
+    * build the document tree under `rootName`, then either return it
+    * untransformed (`rawRead`, documents.py:54-56) or apply the
+    * metamodel transformation with the per-collection `sample` cap.
+    */
+  def readDocument(
+      content: String,
+      rawRead: Boolean = false,
+      rootName: String = "ROOT",
+      sample: Int = 0,
+  ): Seq[ArchiTree] = {
+    val parsers: Seq[String => JsonNode] =
+      Seq(jsonNode, xmlNode, csvNode, yamlNode, tomlNode)
+    val node = parsers.view
       .map(p => scala.util.Try(p(content)))
-      .collectFirst { case scala.util.Success(trees) => trees }
+      .collectFirst { case scala.util.Success(n) => n }
       .getOrElse(throw new IllegalArgumentException("Unsupported file type"))
+    val docTree = readTree(node, rootName)
+    if (rawRead) Seq(docTree) else parseDocumentTree(docTree, sample)
   }
 
   /** The TOML-subset parser backing `fromTomlString`. Hand-rolled

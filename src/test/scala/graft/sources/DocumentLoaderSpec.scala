@@ -240,6 +240,22 @@ class DocumentLoaderSpec extends AnyFunSuite with SparkSpec {
     assert(trees.head.render.contains("Laptop") && !trees.head.render.contains("Smartphone"))
   }
 
+  test("readDocument: raw read, root name, and sample (documents.py:32-58)") {
+    // raw_read returns the untransformed document tree (one tree)
+    val raw = DocumentLoader.readDocument(orderJson, rawRead = true)
+    assert(raw.size == 1)
+    assert(raw.head.render.startsWith("(root (order (ENT::quantity 2)"))
+    // root_name flows into the document tree label (lowercased like read_tree)
+    assert(DocumentLoader.readDocument(orderJson, rawRead = true, rootName = "DB")
+      .head.label.render == "db")
+    // default transformed path ≡ fromString
+    assert(DocumentLoader.readDocument(orderJson).map(_.render) ==
+      DocumentLoader.fromString(orderJson).map(_.render))
+    // sample caps collections through the chain
+    val sampled = DocumentLoader.readDocument(orderJson, sample = 1)
+    assert(sampled.head.render.contains("Laptop") && !sampled.head.render.contains("Smartphone"))
+  }
+
   test("loadJsonLines builds a forest dataset") {
     val dir = java.nio.file.Files.createTempDirectory("docs")
     java.nio.file.Files.writeString(
