@@ -39,6 +39,42 @@ object TextAnalysis {
       (nTokens < 10).cast("boolean").as("is_short"))
   }
 
+  /** Composite pretraining-style quality score (0-100) from the classic
+    * corpus-filtering heuristics — length band, punctuation and digit
+    * ratios, stopword density, token diversity:
+    *
+    *   +25 if 10 ≤ n_tokens ≤ 100000
+    *   +20 if punct ratio ≤ 0.1 (as `10·n_punct ≤ n_chars`)
+    *   +20 if digit ratio ≤ 0.2 (as `5·n_digits ≤ n_chars`)
+    *   +20 if ≥ 2 distinct `en` stopwords appear
+    *   +15 if type-token ratio ≥ 0.3 (as `100·n_distinct ≥ 30·n_tokens`)
+    *
+    * Every flag is an integer cross-multiplication, never a float
+    * ratio — no rounding boundary can flip a flag between engines, so
+    * the score reproduces bit-for-bit in plain SQL for the oracle lane.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val trimmed = trim(t)
+    val nChars = length(t).cast("long")
+    val nTokens = when(length(trimmed) === 0, 0L)
+      .otherwise(length(trimmed) - length(regexp_replace(trimmed, " ", "")) + 1)
+      .cast("long")
+    val nDistinct = size(array_distinct(split(trimmed, " "))).cast("long")
+    val nDigits = (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("long")
+    val nPunct = (length(t) - length(regexp_replace(t, "[.,;:!?'\"()\\[\\]{}-]", ""))).cast("long")
+    val stopHits = size(array_intersect(
+      array_distinct(split(lower(trimmed), " ")),
+      array(stopwords("en").map(lit): _*))).cast("long")
+    val score =
+      when(nTokens >= 10L && nTokens <= 100000L, 25).otherwise(0) +
+        when(nPunct * 10 <= nChars, 20).otherwise(0) +
+        when(nDigits * 5 <= nChars, 20).otherwise(0) +
+        when(stopHits >= 2L, 20).otherwise(0) +
+        when(nDistinct * 100 >= nTokens * 30, 15).otherwise(0)
+    df.select(col(idCol).as("doc_id"), score.cast("int").as("quality_score"))
+  }
+
   /** Stopword profiles for the heuristic language id. Kept tiny and
     * literal so the same lists can be embedded in an oracle SQL.
     */

@@ -189,6 +189,8 @@ object GraftQueries {
       TextAnalysis.stats(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     "lang_id_documents" -> ((s, d) =>
       TextAnalysis.langId(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
+    "quality_score_documents" -> ((s, d) =>
+      TextAnalysis.qualityScore(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     "fingerprint_documents" -> ((s, d) =>
       TextAnalysis.fingerprint(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     "token_count_documents" -> ((s, d) =>
@@ -814,6 +816,24 @@ object GraftQueries {
         |  (CASE WHEN length(trim(text)) = 0 THEN 0
         |        ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END) < 10 AS is_short
         |FROM documents""".stripMargin,
+
+    "quality_score_documents" ->
+      """SELECT doc_id, CAST(
+        |  (CASE WHEN nt BETWEEN 10 AND 100000 THEN 25 ELSE 0 END) +
+        |  (CASE WHEN np*10 <= nc THEN 20 ELSE 0 END) +
+        |  (CASE WHEN nd*5 <= nc THEN 20 ELSE 0 END) +
+        |  (CASE WHEN sh >= 2 THEN 20 ELSE 0 END) +
+        |  (CASE WHEN ndt*100 >= nt*30 THEN 15 ELSE 0 END) AS INT) AS quality_score
+        |FROM (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS nc,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS BIGINT) AS nt,
+        |  CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS ndt,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS nd,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS BIGINT) AS np,
+        |  CAST(len(list_intersect(list_distinct(string_split(lower(trim(text)), ' ')),
+        |       ['the','a','and','of','to','in','is','that','it','for'])) AS BIGINT) AS sh
+        |FROM documents)""".stripMargin,
 
     "token_count_documents" ->
       """SELECT doc_id,

@@ -96,6 +96,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out.getBoolean(6)) // short
   }
 
+  test("quality score: each flag contributes its weight") {
+    // 12 tokens, of which 2 distinct en stopwords; no digits/punct;
+    // all-distinct tokens → every flag fires: 25+20+20+20+15 = 100
+    val good = "the quick brown fox jumps over a lazy dog near riverbank today"
+    // 4 tokens (< 10) of one distinct value (TTR 0.25 < 0.3), digit and
+    // punct ratios over their caps, no stopwords → no flag fires
+    val bad = "!1! !1! !1! !1!"
+    val out = TextAnalysis.qualityScore(
+      docs(1L -> good, 2L -> bad), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) == 100)
+    assert(out(2L) == 0)
+  }
+
   test("lang id heuristic: en / es / zh / und") {
     val df = docs(
       1L -> "the cat is in the house and it is warm",
