@@ -49,12 +49,21 @@ class PlanGuardrailSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("column pruning reaches the parquet scan through dedup and extraction") {
-    val exact = plan(Dedup.exact(docs, "doc_id", "text"))
-    val exactScans = exact.linesIterator.filter(_.contains("ReadSchema")).toSeq
-    assert(exactScans.nonEmpty)
-    exactScans.foreach { l =>
-      assert(l.contains("struct<doc_id:bigint,text:string>"),
-        s"exact-dedup scan reads more than its two columns: $l")
+    // the pair generators cache their shingle/signature frames, which
+    // hides the file scan inside an InMemoryRelation — so pruning is
+    // pinned at each lane's ingestion stage, where the scan is visible
+    val ingest = Seq(
+      "exact" -> Dedup.exact(docs, "doc_id", "text"),
+      "shingles" -> Dedup.shingles(docs, "doc_id", "text", 3),
+      "simHash" -> Dedup.simHash(docs, "doc_id", "text"),
+      "qualityScore" -> TextAnalysis.qualityScore(docs, "doc_id", "text"))
+    for ((name, df) <- ingest) {
+      val scans = plan(df).linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(scans.nonEmpty, s"$name shows no file scan")
+      scans.foreach { l =>
+        assert(l.contains("struct<doc_id:bigint,text:string>"),
+          s"$name scan reads more than its two columns: $l")
+      }
     }
 
     val extract = plan(graft.sources.RelationalLoader.extractGroupDataset(
