@@ -573,6 +573,29 @@ object GraftQueries {
       s.table("events_hourly_streaming_sink")
     }),
 
+    // §2.8 custom keyed state, oracle-checked: mapGroupsWithState tracks
+    // each user's distinct event-type set (state bounded by the type
+    // vocabulary). The update stream's count is monotone and set union
+    // commutative, so max-per-user is batching-independent and equals
+    // the batch COUNT(DISTINCT) — the oracle.
+    "events_user_types_streaming" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{expr, max}
+      import org.apache.spark.sql.streaming.Trigger
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      val ev = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val q = graft.streaming.EventStream.userTypeProfile(ev)
+        .writeStream.format("memory").queryName("events_user_types_sink")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_user_types_sink")
+        .groupBy("user_id").agg(max("n_types").as("n_types"))
+    }),
+
     // §2.8 streaming exact dedup, oracle-checked: ingest-time
     // dropDuplicatesWithinWatermark over the documents corpus (constant
     // event time — the corpus has no timestamp; state bounding is
@@ -897,6 +920,10 @@ object GraftQueries {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_user_types_streaming" ->
+      """SELECT user_id, CAST(count(DISTINCT event_type) AS INT) AS n_types
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "dedup_streaming_documents" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents",

@@ -64,4 +64,33 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       assert(got == Seq("other text", "same text"))
     } finally query.stop()
   }
+
+  test("user type profile: keyed state accumulates across micro-batches") {
+    import spark.implicits._
+    // Spark 4 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val src = MemoryStream[(Long, Long, String)]
+    val df = src.toDF().toDF("event_id", "user_id", "event_type")
+    val query = EventStream.userTypeProfile(df)
+      .writeStream.format("memory").queryName("user_types_test")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 sees two types, user 2 one
+      src.addData((1L, 1L, "click"), (2L, 1L, "view"), (3L, 2L, "click"))
+      query.processAllAvailable()
+      // batch 2: user 1 repeats a type (no growth), user 2 adds one
+      src.addData((4L, 1L, "click"), (5L, 2L, "purchase"))
+      query.processAllAvailable()
+      val finalCounts = spark.sql(
+        "SELECT user_id, max(n_types) FROM user_types_test GROUP BY user_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // state carried the batch-1 sets into batch 2
+      assert(finalCounts == Map(1L -> 2, 2L -> 2))
+      // the update stream emitted a row per touched user per batch
+      val updates = spark.sql("SELECT count(*) FROM user_types_test").head.getLong(0)
+      assert(updates == 4L)
+    } finally query.stop()
+  }
 }
