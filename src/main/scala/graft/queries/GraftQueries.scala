@@ -548,6 +548,34 @@ object GraftQueries {
       Events.hourlyStats(ev).drop("approx_users")
     }),
 
+    // Training-pipeline sessionization: gap-split each user's event run
+    // (8 h gap ≈ 4.8k sessions over 10k events at sf0.01) into
+    // per-session stats. Window-function lane: lag → boundary flag →
+    // running sum → aggregate, one exchange total; boundaries compare
+    // integer epoch micros, so the SQL oracle reproduces them exactly.
+    "events_sessions" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val ev =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        else raw
+      graft.operators.Sessions.sessionize(ev)
+    }),
+
+    // Deterministic stratified sampling (corpus rebalancing): keep 40%
+    // of the dominant language, 90% of zh, 75% of everything else —
+    // membership is a pure function of (lang, doc_id) via the portable
+    // md5-prefix hash, so the exact sample is reproducible by any SQL
+    // engine and stable across partitioning/retries.
+    "sample_stratified_documents" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      graft.operators.Sampling.stratified(
+          docs, "lang", "doc_id", Map("en" -> 0.4, "zh" -> 0.9), defaultFraction = 0.75)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // §2.8 Structured Streaming, oracle-checked: the SAME hourly transform
     // driven through readStream + watermark, run to completion with an
     // AvailableNow trigger into a memory sink. Complete output mode
@@ -911,6 +939,30 @@ object GraftQueries {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) > 28800000000
+        |         THEN 1 ELSE 0 END AS f
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us, value,
+        |    CAST(sum(f) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM o)
+        |SELECT user_id, session_seq,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+        |  max(us) - min(us) AS duration_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "sample_stratified_documents" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${duckHash("lang || ':' || CAST(doc_id AS VARCHAR)")} % 10000 <
+         |  CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 9000 ELSE 7500 END""".stripMargin,
 
     // the streaming lane computes the identical aggregation
     "events_hourly_streaming" ->

@@ -10,6 +10,19 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, Outp
   */
 final case class UserTypeCount(user_id: Long, n_types: Int)
 
+/** One CLOSED session emitted by [[EventStream.userSessions]]. */
+final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+/** Keyed state of [[EventStream.userSessions]]: the user's one open
+  * session — constant size per user regardless of stream length.
+  */
+final case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
+/** Typed input row for [[EventStream.userSessions]] (named field keeps
+  * the watermark tag on `ts` through the Dataset conversion).
+  */
+final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+
 /** Structured Streaming surface for the event aggregations: the SAME
   * transform as the batch query (graft.operators.Events), applied to a
   * streaming DataFrame with a watermark so state is bounded and late
@@ -55,6 +68,68 @@ object EventStream {
           UserTypeCount(user, types.size)
       }
   }
+
+  /** Streaming gap sessionization — the incremental counterpart of
+    * [[graft.operators.Sessions.sessionize]] via
+    * `flatMapGroupsWithState` with an event-time timeout. Per user the
+    * state is the single open session (constant size); a session closes
+    * — and emits exactly once (Append) — either when a new event
+    * arrives more than `gapSeconds` after it, or when the watermark
+    * passes its end by the gap (the timeout), so idle users hold no
+    * state hostage and emission needs no future event. Out-of-order
+    * rows within the watermark fold into the open session (start/end
+    * are min/max); rows later than that are dropped by the watermark
+    * upstream.
+    */
+  def userSessions(
+      stream: DataFrame,
+      gapSeconds: Long = 8 * 3600,
+      watermark: String = "1 hour",
+  ): Dataset[SessionOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    stream
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (user, rows, state) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(SessionOut(user, s.startUs, s.endUs, s.n))
+        } else {
+          // iterator order is not guaranteed — sort the batch's times
+          val times = rows.map(r => tsMicros(r.ts)).toArray.sorted
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur = state.getOption
+          for (t <- times) cur match {
+            case Some(s) if t - s.endUs <= gapUs =>
+              cur = Some(OpenSession(math.min(s.startUs, t), math.max(s.endUs, t), s.n + 1))
+            case Some(s) =>
+              closed += SessionOut(user, s.startUs, s.endUs, s.n)
+              cur = Some(OpenSession(t, t, 1))
+            case None =>
+              cur = Some(OpenSession(t, t, 1))
+          }
+          val open = cur.get
+          state.update(open)
+          // fire when the watermark passes end + gap; Spark requires the
+          // timeout to sit strictly beyond the current watermark
+          state.setTimeoutTimestamp(
+            math.max((open.endUs + gapUs) / 1000 + 1, state.getCurrentWatermarkMs + 1))
+          closed.iterator
+        }
+      }
+  }
+
+  /** Exact epoch micros of a Timestamp (getTime truncates to millis;
+    * getNanos carries the full fractional second).
+    */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   /** Read a directory of parquet event files as a stream (file source —
     * each newly arriving file becomes a micro-batch).

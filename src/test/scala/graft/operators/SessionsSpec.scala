@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class SessionsSpec extends AnyFunSuite with SparkSpec {
+
+  private def events(rows: (Long, String, Long, Double)*) = {
+    import spark.implicits._
+    rows.toSeq
+      .map { case (id, ts, u, v) => (id, Timestamp.valueOf(ts), u, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+  }
+
+  test("sessionize splits on gap, keeps runs together, numbers sessions per user") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, 1.00),
+      (2L, "2024-01-01 10:20:00", 1L, 2.00), // 20 min after -> same session
+      (3L, "2024-01-01 12:00:00", 1L, 4.00), // 100 min after -> new session
+      (4L, "2024-01-01 10:10:00", 2L, 8.00)) // other user, own session 0
+    val out = Sessions.sessionize(df, gapSeconds = 3600).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5))).toSet
+    assert(out == Set(
+      (1L, 0L, 2L, 300L), // user 1 session 0: events 1+2, 100+200 cents
+      (1L, 1L, 1L, 400L),
+      (2L, 0L, 1L, 800L)))
+  }
+
+  test("session bounds and duration are exact epoch micros") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00.000001", 1L, 1.0),
+      (2L, "2024-01-01 10:00:00.000005", 1L, 1.0))
+    val r = Sessions.sessionize(df, gapSeconds = 3600).collect().head
+    val start = r.getLong(3)
+    val end = r.getLong(4)
+    assert(end - start == 4L)
+    assert(r.getLong(6) == 4L) // duration_us
+  }
+
+  test("an exact-gap pair stays in one session; one microsecond more splits") {
+    val base = "2024-01-01 10:00:00"
+    val atGap = events((1L, base, 1L, 1.0), (2L, "2024-01-01 11:00:00", 1L, 1.0))
+    assert(Sessions.sessionize(atGap, gapSeconds = 3600).count() == 1)
+    val overGap = events((1L, base, 1L, 1.0), (2L, "2024-01-01 11:00:00.000001", 1L, 1.0))
+    assert(Sessions.sessionize(overGap, gapSeconds = 3600).count() == 2)
+  }
+
+  test("stratified sampling is deterministic, honors per-stratum rates, prunes columns") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    val sample = Sampling.stratified(docs, "lang", "doc_id",
+      Map("en" -> 0.1), defaultFraction = 0.8)
+    val rows = sample.select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    // 1000 docs per stratum; hash-bucket rates land within a few percent
+    assert(byLang("en") > 50 && byLang("en") < 150, s"en=${byLang("en")}")
+    assert(byLang("de") > 700 && byLang("de") < 900, s"de=${byLang("de")}")
+    // deterministic: the same call yields the identical sample
+    val again = Sampling.stratified(docs, "lang", "doc_id",
+      Map("en" -> 0.1), defaultFraction = 0.8)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet == again.toSet)
+  }
+
+  test("fraction bounds: 0 keeps nothing, 1 keeps everything") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, "en")).toDF("doc_id", "lang")
+    assert(Sampling.stratified(docs, "lang", "doc_id", Map("en" -> 0.0)).count() == 0)
+    assert(Sampling.stratified(docs, "lang", "doc_id", Map("en" -> 1.0)).count() == 100)
+  }
+
+  test("named splits draw independent samples") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, "x")).toDF("doc_id", "lang")
+    val a = Sampling.deterministic(docs, "doc_id", 0.5, "train").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministic(docs, "doc_id", 0.5, "valid").collect().map(_.getLong(0)).toSet
+    assert(a != b)
+    // ~25% expected overlap for independent halves
+    val overlap = (a & b).size
+    assert(overlap > 150 && overlap < 350, s"overlap=$overlap")
+  }
+}

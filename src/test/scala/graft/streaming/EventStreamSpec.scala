@@ -93,4 +93,40 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       assert(updates == 4L)
     } finally query.stop()
   }
+
+  test("streaming sessions close on a later event and on watermark timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val src = MemoryStream[(Long, Timestamp)]
+    val df = src.toDF().toDF("user_id", "ts")
+    // 10-minute gap, 10-minute watermark delay
+    val query = EventStream.userSessions(df, gapSeconds = 600, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("user_sessions_test")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    def sessions() = spark.sql("SELECT * FROM user_sessions_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val us10 = t("2024-01-01 10:00:00").getTime * 1000L
+    try {
+      // batch 1: two close events -> one OPEN session, nothing emitted
+      src.addData((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:05:00")))
+      query.processAllAvailable()
+      assert(sessions().isEmpty)
+      // batch 2: 55 min later -> closes session 1 via the gap rule
+      src.addData((1L, t("2024-01-01 11:00:00")))
+      query.processAllAvailable()
+      assert(sessions() == Set((1L, us10, us10 + 300000000L, 2L)))
+      // batches 3-4: another user far in the future advances the
+      // watermark past 11:00 + gap -> user 1's open session times out
+      src.addData((2L, t("2024-01-01 13:00:00")))
+      query.processAllAvailable()
+      src.addData((2L, t("2024-01-01 13:05:00")))
+      query.processAllAvailable()
+      val closed = sessions()
+      val us11 = t("2024-01-01 11:00:00").getTime * 1000L
+      assert(closed.contains((1L, us11, us11, 1L)), s"got $closed")
+    } finally query.stop()
+  }
 }
