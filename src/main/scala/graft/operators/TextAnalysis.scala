@@ -19,6 +19,16 @@ object TextAnalysis {
   def portableHash(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Whitespace token count as pure string arithmetic
+    * (spaces-in-trimmed + 1, 0 for blank) — bit-exact in any SQL
+    * engine; shared by stats, qualityScore, and the packing lane.
+    */
+  def tokenCountExpr(textCol: Column): Column = {
+    val trimmed = trim(textCol)
+    when(length(trimmed) === 0, 0L)
+      .otherwise(length(trimmed) - length(regexp_replace(trimmed, " ", "")) + 1)
+  }
+
   /** Per-document integer statistics. All counts are arithmetic on the
     * raw string, so an external SQL engine can reproduce them bit-exact:
     * n_tokens = spaces-in-trimmed + 1 (0 for blank).
@@ -26,8 +36,7 @@ object TextAnalysis {
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val trimmed = trim(t)
-    val nTokens = when(length(trimmed) === 0, 0L)
-      .otherwise(length(trimmed) - length(regexp_replace(trimmed, " ", "")) + 1)
+    val nTokens = tokenCountExpr(t)
     val toks = split(trimmed, " ")
     df.select(
       col(idCol).as("doc_id"),

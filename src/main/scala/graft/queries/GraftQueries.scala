@@ -563,6 +563,19 @@ object GraftQueries {
       graft.operators.Sessions.sessionize(ev)
     }),
 
+    // Sequence packing (pretraining chunk assignment): global token
+    // prefix sum in doc_id order via the two-phase parallel scan
+    // (range partition → per-partition running sum → partition-count-
+    // sized offset join), then chunk = prefix div budget. The output is
+    // partitioning-independent, so the single-window SQL oracle checks
+    // the distributed path exactly.
+    "pack_sequences_documents" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      graft.operators.Packing.packByTokenBudget(
+        docs, "doc_id", graft.operators.TextAnalysis.tokenCountExpr(col("text")), budget = 1000L)
+    }),
+
     // Deterministic stratified sampling (corpus rebalancing): keep 40%
     // of the dominant language, 90% of zh, 75% of everything else —
     // membership is a pure function of (lang, doc_id) via the portable
@@ -958,6 +971,20 @@ object GraftQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
         |  max(us) - min(us) AS duration_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "pack_sequences_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS excl
+        |  FROM t)
+        |SELECT doc_id AS id, n_tokens,
+        |  CAST(coalesce(excl, 0) // 1000 AS BIGINT) AS chunk
+        |FROM s""".stripMargin,
 
     "sample_stratified_documents" ->
       s"""SELECT doc_id, lang FROM documents
