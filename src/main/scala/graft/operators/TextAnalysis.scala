@@ -120,6 +120,42 @@ object TextAnalysis {
       when(cjk * 10 > length(t) * 3, lit("zh")).otherwise(lang).as("lang_pred"))
   }
 
+  /** Intra-document repetition statistics — the Gopher/RefinedWeb-style
+    * quality signals for boilerplate and degenerate generation: line
+    * counts, duplicate-line counts (occurrences beyond each line's
+    * first), and a repetition flag. The flag compares integers
+    * (`10·dups > 3·lines` ⇔ duplicate-line fraction > 0.3), never a
+    * float ratio, so no rounding boundary can flip it between engines.
+    * Blank lines count as lines on both sides (splitting "" yields one
+    * empty line — same convention in Spark and SQL).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines).cast("long")
+    val nDistinct = size(array_distinct(lines)).cast("long")
+    val nDup = (nLines - nDistinct).as("n_dup_lines")
+    df.select(
+      col(idCol).as("doc_id"),
+      nLines.as("n_lines"),
+      nDistinct.as("n_distinct_lines"),
+      nDup,
+      ((nLines - nDistinct) * 10 > nLines * 3).as("is_repetitive"))
+  }
+
+  /** Corpus vocabulary: the `topK` most frequent whitespace tokens with
+    * a deterministic (count desc, token asc) tie-break. The aggregation
+    * is map-side-combined on the token key and the final ordering is a
+    * takeOrdered over the vocabulary-bounded counts frame — nothing
+    * here scales with corpus size except the one token-count shuffle.
+    */
+  def vocabulary(df: DataFrame, textCol: String, topK: Int): DataFrame =
+    df.select(explode(split(trim(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(topK)
+
   /** BPE-style pre-tokenization pattern (GPT-2 family, minus the
     * RE2-unsupported lookahead): a token is an optionally-space-prefixed
     * letter run, digit run, or punctuation run, or a whitespace run.

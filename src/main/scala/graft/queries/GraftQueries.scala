@@ -195,6 +195,10 @@ object GraftQueries {
       TextAnalysis.fingerprint(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     "token_count_documents" -> ((s, d) =>
       TextAnalysis.bpeTokenCount(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
+    "repetition_stats_documents" -> ((s, d) =>
+      TextAnalysis.repetitionStats(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
+    "vocabulary_documents" -> ((s, d) =>
+      TextAnalysis.vocabulary(s.read.parquet(s"$d/documents.parquet"), "text", topK = 100)),
     "ann_topk_brute" -> ((s, d) =>
       Ann.bruteForceTopK(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0L to 9L, k = 5)),
@@ -971,6 +975,23 @@ object GraftQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
         |  max(us) - min(us) AS duration_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "repetition_stats_documents" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(list_distinct(string_split(text, chr(10)))) AS BIGINT) AS n_distinct_lines,
+        |  CAST(len(string_split(text, chr(10))) - len(list_distinct(string_split(text, chr(10)))) AS BIGINT) AS n_dup_lines,
+        |  (len(string_split(text, chr(10))) - len(list_distinct(string_split(text, chr(10))))) * 10
+        |    > len(string_split(text, chr(10))) * 3 AS is_repetitive
+        |FROM documents""".stripMargin,
+
+    "vocabulary_documents" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token ASC
+        |LIMIT 100""".stripMargin,
 
     "pack_sequences_documents" ->
       """WITH t AS (

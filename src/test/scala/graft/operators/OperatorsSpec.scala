@@ -121,6 +121,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "zh", 4L -> "und"))
   }
 
+  test("repetition stats: duplicate lines counted beyond first occurrence") {
+    val df = docs(
+      1L -> "a\nb\na\na", // 4 lines, 2 distinct -> 2 dups, frac 0.5 > 0.3
+      2L -> "x\ny", // no dups
+      3L -> "") // one empty line, no dups
+    val out = TextAnalysis.repetitionStats(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((4L, 2L, 2L, true)))
+    assert(out(2L) == ((2L, 2L, 0L, false)))
+    assert(out(3L) == ((1L, 1L, 0L, false)))
+  }
+
+  test("vocabulary: frequency order with ascending-token tie-break, capped at k") {
+    val df = docs(1L -> "b a b c a b", 2L -> "c a d")
+    val out = TextAnalysis.vocabulary(df, "text", topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a and b tie at 3 -> a first; c (2) third; d cut by the cap
+    assert(out == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
   test("fingerprint: identical docs share it, different ones don't") {
     val df = docs(1L -> "a b c d e f g h", 2L -> "a b c d e f g h", 3L -> "t u v w x y z q")
     val fp = TextAnalysis.fingerprint(df, "doc_id", "text").collect()
