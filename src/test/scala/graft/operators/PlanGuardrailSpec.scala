@@ -90,4 +90,45 @@ class PlanGuardrailSpec extends AnyFunSuite with SparkSpec {
     // flavor proves the partial/final split survived
     assert(p.contains("HashAggregate"), "hourly rollup lost its partial aggregation")
   }
+
+  test("sessionization reuses the user partition for every downstream step") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val p = plan(Sessions.sessionize(ev))
+    assertNoUnbounded("sessionize", p)
+    // lag, the running session counter, AND the per-session groupBy must
+    // all ride the one hash(user) exchange — hash(user) satisfies the
+    // (user, session) clustering, so a second exchange means a regression
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"sessionize plans $exchanges exchanges, expected 1:\n$p")
+  }
+
+  test("deterministic sampling stays a scan-level filter") {
+    // projected like the registered query — the filter keeps whole rows,
+    // so pruning is only observable once a consumer selects its columns
+    val p = plan(Sampling.stratified(docs, "lang", "doc_id", Map("en" -> 0.5), 0.1)
+      .select("doc_id", "lang"))
+    assert(!p.contains("Exchange"), "sampling should not shuffle")
+    assert(!p.contains("Join"), "sampling should not join")
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty && scans.forall(!_.contains("text")),
+      s"sampling scan should prune the text column: $scans")
+  }
+
+  test("sequence packing never plans a global single-task window") {
+    import org.apache.spark.sql.functions.col
+    val packed = Packing.packByTokenBudget(
+      docs, "doc_id", TextAnalysis.tokenCountExpr(col("text")), budget = 1000)
+    val p = plan(packed)
+    assertNoUnbounded("packByTokenBudget", p)
+    // the prefix sum must come from the two-phase scan, not WindowExec
+    // with "No Partition Defined" funneling the corpus into one task
+    assert(!p.contains("Window"), s"packing plans a window:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the partition-offset join should broadcast the offsets side")
+  }
 }
