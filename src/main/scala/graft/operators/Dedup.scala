@@ -324,4 +324,32 @@ object Dedup {
     sig.unpersist()
     out
   }
+
+  /** Resolve a near-duplicate PAIR list into the surviving corpus: group
+    * pairs into duplicate clusters (connected components of the pair
+    * graph — near-dup similarity is not transitive, but dropping the
+    * whole cluster behind one representative is the standard
+    * conservative policy) and keep the minimum id of each cluster.
+    * Documents in no pair survive untouched.
+    *
+    * Scale: the component computation runs only over the PAIRED ids —
+    * a small fraction of any real corpus — and the final step is one
+    * anti-join of the corpus against the non-representative ids, so
+    * nothing driver-side scales with data size.
+    */
+  def resolvePairs(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+  ): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("node"))
+      .union(pairs.select(col(bCol).as("node"))).distinct()
+    val labels = graft.util.Graph.connectedComponents(
+      nodes, pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    val dropped = labels.filter(col("node") =!= col("comp"))
+      .select(col("node").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
 }

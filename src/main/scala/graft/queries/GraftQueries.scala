@@ -175,6 +175,16 @@ object GraftQueries {
     "dedup_minhash_documents" -> ((s, d) =>
       Dedup.minHashLshPairs(
         s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", n = 3, threshold = 0.8)),
+    // pair list → surviving corpus: duplicate clusters = connected
+    // components of the pair graph (computed only over paired ids),
+    // min id survives per cluster; checked against a recursive-CTE
+    // transitive closure over the same exact-Jaccard pair SQL
+    "dedup_resolve_documents" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      Dedup.resolvePairs(docs, "doc_id", pairs)
+        .select("doc_id")
+    }),
     "dedup_simhash_documents" -> ((s, d) =>
       Dedup.simHashPairs(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     // threshold 0.5 and r=4/b=64 are tuned to this corpus: the synthetic
@@ -856,6 +866,7 @@ object GraftQueries {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "dedup_ngram_documents" -> ngramJaccardOracle,
+    "dedup_resolve_documents" -> dedupResolveOracle,
     // MinHash-LSH with b=32, r=4 has miss probability ~5e-8 at j ≥ 0.8,
     // and candidates are verified with exact Jaccard — so the oracle is
     // the same exact-pair SQL as the n-gram query.
@@ -1074,6 +1085,24 @@ object GraftQueries {
       |SELECT a_id, b_id
       |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin
+
+  /** Survivors of Dedup.resolvePairs over the ngram pair list: the
+    * recursive CTE enumerates (node, reachable-start) pairs of the
+    * undirected pair graph — bounded by component sizes, which are tiny
+    * for this corpus — so min(start) per node is the component's min id,
+    * exactly the representative the Spark side keeps.
+    */
+  private lazy val dedupResolveOracle: String =
+    s"""WITH RECURSIVE p AS ($ngramJaccardOracle),
+       |e AS (SELECT a_id AS src, b_id AS dst FROM p
+       |      UNION SELECT b_id, a_id FROM p),
+       |reach(node, lab) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node),
+       |comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> comp)""".stripMargin
 
   private def sqlList(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")

@@ -121,6 +121,17 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "zh", 4L -> "und"))
   }
 
+  test("resolvePairs keeps the min id per duplicate component, unpaired docs survive") {
+    import spark.implicits._
+    val df = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e")
+    // component {1,2,3} via the 1-2 and 2-3 edges (no 1-3 edge needed:
+    // near-dup similarity is not transitive, the cluster still merges),
+    // plus the pair {4,5}
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val kept = Dedup.resolvePairs(df, "doc_id", pairs).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("repetition stats: duplicate lines counted beyond first occurrence") {
     val df = docs(
       1L -> "a\nb\na\na", // 4 lines, 2 distinct -> 2 dups, frac 0.5 > 0.3
