@@ -25,11 +25,14 @@ object Sampling {
   /** Stable bucket in [0, Buckets) for a (stratum, id) pair. The id is
     * prefixed by its stratum so re-stratifying reshuffles bucket
     * membership (samples across different strata columns are
-    * independent).
+    * independent). A null stratum hashes as the empty string — the same
+    * key any `COALESCE(stratum, '') || ':' || id` SQL reproduction
+    * yields — so null-strata rows are sampled at the default rate
+    * rather than silently diverging between engines.
     */
   def bucket(strataCol: Column, idCol: Column): Column =
     TextAnalysis.portableHash(
-      concat_ws(":", strataCol.cast("string"), idCol.cast("string"))) % Buckets
+      concat_ws(":", coalesce(strataCol.cast("string"), lit("")), idCol.cast("string"))) % Buckets
 
   /** Per-stratum deterministic downsampling: keep `fractions(stratum)`
     * of each stratum's rows (`defaultFraction` for strata not listed).

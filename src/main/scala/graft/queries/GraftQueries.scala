@@ -239,8 +239,14 @@ object GraftQueries {
       val nodes = customerNodes(s, d)
       val schema = customerSchema(s, d)
       val ex = graft.sinks.SqlExporter.export(nodes, schema)
-      ex.tables("customer").drop(graft.sinks.SqlExporter.pkColumn("customer"))
+      // materialize off the export's persisted frames (localCheckpoint
+      // truncates the lineage), then free them — otherwise each run of
+      // this query leaks a MEMORY_AND_DISK table for the session's life
+      val out = ex.tables("customer").drop(graft.sinks.SqlExporter.pkColumn("customer"))
         .dropDuplicates()
+        .localCheckpoint(true)
+      ex.release()
+      out
     }),
 
     // §2.7/§2.1 JSONL round trip: write the forest as JSONL, read it
@@ -1020,7 +1026,7 @@ object GraftQueries {
 
     "sample_stratified_documents" ->
       s"""SELECT doc_id, lang FROM documents
-         |WHERE ${duckHash("lang || ':' || CAST(doc_id AS VARCHAR)")} % 10000 <
+         |WHERE ${duckHash("coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)")} % 10000 <
          |  CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 9000 ELSE 7500 END""".stripMargin,
 
     // the streaming lane computes the identical aggregation

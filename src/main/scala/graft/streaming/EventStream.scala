@@ -101,20 +101,27 @@ object EventStream {
           state.remove()
           Iterator.single(SessionOut(user, s.startUs, s.endUs, s.n))
         } else {
-          // iterator order is not guaranteed — sort the batch's times
-          val times = rows.map(r => tsMicros(r.ts)).toArray.sorted
+          // iterator order is not guaranteed, and with a watermark delay
+          // longer than the gap a batch may even carry events older than
+          // the open session's start. An interval merge over (state
+          // interval + batch events) sorted by start reproduces the
+          // batch sessionize semantics in every arrival order — a
+          // too-early straggler becomes its own closed session instead
+          // of being folded into a session it doesn't belong to.
+          val intervals =
+            (rows.map { r => val t = tsMicros(r.ts); OpenSession(t, t, 1) } ++
+              state.getOption.iterator).toArray.sortBy(s => (s.startUs, s.endUs))
           val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          var cur = state.getOption
-          for (t <- times) cur match {
-            case Some(s) if t - s.endUs <= gapUs =>
-              cur = Some(OpenSession(math.min(s.startUs, t), math.max(s.endUs, t), s.n + 1))
-            case Some(s) =>
-              closed += SessionOut(user, s.startUs, s.endUs, s.n)
-              cur = Some(OpenSession(t, t, 1))
-            case None =>
-              cur = Some(OpenSession(t, t, 1))
+          var cur = intervals.head
+          for (s <- intervals.iterator.drop(1)) {
+            if (s.startUs - cur.endUs <= gapUs)
+              cur = OpenSession(cur.startUs, math.max(cur.endUs, s.endUs), cur.n + s.n)
+            else {
+              closed += SessionOut(user, cur.startUs, cur.endUs, cur.n)
+              cur = s
+            }
           }
-          val open = cur.get
+          val open = cur
           state.update(open)
           // fire when the watermark passes end + gap; Spark requires the
           // timeout to sit strictly beyond the current watermark

@@ -129,4 +129,34 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       assert(closed.contains((1L, us11, us11, 1L)), s"got $closed")
     } finally query.stop()
   }
+
+  test("a too-early in-watermark straggler becomes its own closed session") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val src = MemoryStream[(Long, Timestamp)]
+    val df = src.toDF().toDF("user_id", "ts")
+    // watermark delay (2 h) deliberately LONGER than the gap (10 min):
+    // late events older than open.start - gap are in-watermark here
+    val query = EventStream.userSessions(df, gapSeconds = 600, watermark = "2 hours")
+      .writeStream.format("memory").queryName("straggler_sessions_test")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    def sessions() = spark.sql("SELECT * FROM straggler_sessions_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    try {
+      // batch 1 opens a session at 12:00
+      src.addData((1L, t("2024-01-01 12:00:00")))
+      query.processAllAvailable()
+      // batch 2: straggler at 10:30 — 90 min before the open start
+      // (beyond the gap), safely inside the 2 h watermark. Batch
+      // sessionize puts it in its own session; the old fold would have
+      // absorbed it into the 12:00 session.
+      src.addData((1L, t("2024-01-01 10:30:00")))
+      query.processAllAvailable()
+      val us1030 = t("2024-01-01 10:30:00").getTime * 1000L
+      assert(sessions() == Set((1L, us1030, us1030, 1L)), s"got ${sessions()}")
+    } finally query.stop()
+  }
 }
