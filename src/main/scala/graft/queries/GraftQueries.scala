@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.metrics.{FdMetrics, ForestInspector}
 import graft.model.{Forest, NodeRow, Schema}
-import graft.operators.{Ann, Dedup, Events, Multimodal, TextAnalysis}
+import graft.operators.{Ann, Decontaminate, Dedup, Events, Mixture, Multimodal, Pii, TextAnalysis}
 import graft.sources.{DbConfig, RelationalLoader, Testdata}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
@@ -209,6 +209,49 @@ object GraftQueries {
       TextAnalysis.repetitionStats(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     "vocabulary_documents" -> ((s, d) =>
       TextAnalysis.vocabulary(s.read.parquet(s"$d/documents.parquet"), "text", topK = 100)),
+    // PII redaction round trip (the masking stage of a pretraining
+    // pipeline). The synthetic corpus carries no PII, so the query
+    // injects a deterministic email/IP/phone/account quartet derived
+    // from (doc_id, source) into every document, counts each category
+    // in redaction order, and re-counts on the redacted text —
+    // n_residual must be 0 for every row. The oracle replays the same
+    // injection and the same RE2-subset patterns through DuckDB's
+    // regexp functions, so the two engines must agree match-for-match.
+    "pii_redaction_documents" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val injected = s.read.parquet(s"$d/documents.parquet").select(col("doc_id"), concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@"), col("source"), lit(".example.com or call +1 (555) 010-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 200).cast("string"), lit(".0."),
+        ((col("doc_id") * 7) % 250).cast("string"),
+        lit(" ref "), (col("doc_id") * 1000003L + 10000000L).cast("string")).as("text"))
+      val stats = Pii.stats(injected, "doc_id", "text")
+      val residual = injected.select(col("doc_id"),
+        Pii.Patterns.map { case (_, p, _) =>
+          regexp_count(Pii.redactExpr(col("text")), lit(p))
+        }.reduce(_ + _).cast("long").as("n_residual"))
+      stats.join(residual, "doc_id")
+    }),
+    // Benchmark decontamination: flag corpus documents sharing any
+    // 13-gram with the (hash-deterministic) held-out fifth of the
+    // corpus standing in for a benchmark set. The inverted-index
+    // semi-join never materializes doc×doc; the oracle recomputes the
+    // same distinct-13-gram overlap with DuckDB list slicing.
+    "decontaminate_documents" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      Decontaminate.overlap(
+        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 20 === 0), "text", n = 13)
+    }),
+    // Mixture rebalance (the data-mixing stage): per-language token
+    // totals and the integer-basis-point keep-fractions that level
+    // every language to the smallest one's token budget. Bit-exact by
+    // construction (integer division only), ready to feed the
+    // deterministic sampler.
+    "mixture_rebalance_documents" -> ((s, d) =>
+      Mixture.uniformRebalance(s.read.parquet(s"$d/documents.parquet"), "lang", "text")),
     "ann_topk_brute" -> ((s, d) =>
       Ann.bruteForceTopK(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0L to 9L, k = 5)),
@@ -1009,6 +1052,51 @@ object GraftQueries {
         |GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC
         |LIMIT 100""".stripMargin,
+
+    // the same injection + the same patterns as the Spark side, staged
+    // through one CTE per category so counts honor the redaction order
+    "pii_redaction_documents" -> {
+      val inj =
+        """inj AS (SELECT doc_id,
+          |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source ||
+          |  '.example.com or call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+          |  ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 250 AS VARCHAR) ||
+          |  ' ref ' || CAST(doc_id * 1000003 + 10000000 AS VARCHAR) AS t
+          |FROM documents)""".stripMargin
+      val stages = graft.operators.Pii.Patterns.zipWithIndex.map { case ((name, p, r), i) =>
+        val prev = if (i == 0) "inj" else s"s$i"
+        s"s${i + 1} AS (SELECT * EXCLUDE (t), " +
+          s"CAST(len(regexp_extract_all(t, '$p')) AS BIGINT) AS n_$name, " +
+          s"regexp_replace(t, '$p', '$r', 'g') AS t FROM $prev)"
+      }
+      val residual = graft.operators.Pii.Patterns
+        .map { case (_, p, _) => s"len(regexp_extract_all(t, '$p'))" }
+        .mkString(" + ")
+      (inj +: stages).mkString("WITH ", ",\n", "\n") +
+        s"SELECT * EXCLUDE (t), CAST($residual AS BIGINT) AS n_residual " +
+        s"FROM s${graft.operators.Pii.Patterns.size}"
+    },
+
+    "decontaminate_documents" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g
+        |  FROM toks CROSS JOIN UNNEST(range(1, len(t) - 11)) AS r(i)
+        |  WHERE len(t) >= 13),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+        |corp AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 20 <> 0)
+        |SELECT corp.doc_id, CAST(count(*) AS BIGINT) AS n_matched_ngrams
+        |FROM corp JOIN bench USING (g)
+        |GROUP BY 1""".stripMargin,
+
+    "mixture_rebalance_documents" ->
+      """WITH s AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1)
+        |SELECT stratum, n_docs, n_tokens,
+        |  CAST(10000 * (SELECT min(n_tokens) FROM s) // n_tokens AS BIGINT) AS keep_bp
+        |FROM s""".stripMargin,
 
     "pack_sequences_documents" ->
       """WITH t AS (

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pii / Decontaminate / Mixture — the round-8 pipeline lanes. */
+class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("pii stats: each category counted once, in redaction order") {
+    val df = docs(
+      1L -> "mail alice@example.com or bob.smith+tag@sub.example.org now",
+      2L -> "server 10.0.42.7 called +1 (555) 010-1234 ref 12345678",
+      3L -> "plain text with no identifiers at all")
+    val out = Pii.stats(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((2L, 0L, 0L, 0L)))
+    // the IP is counted as ipv4, NOT double-counted as a phone; the
+    // 8-digit run is a number, the phone a phone
+    assert(out(2L) == ((0L, 1L, 1L, 1L)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("pii redact masks every category and leaves clean text alone") {
+    val df = docs(
+      1L -> "mail alice@example.com from 10.0.42.7 call +1 (555) 010-1234 ref 12345678",
+      2L -> "clean text")
+    val out = Pii.redact(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail [EMAIL] from [IP] call [PHONE] ref [NUMBER]")
+    assert(out(2L) == "clean text")
+    // redacted text is a fixpoint: nothing left for a second pass
+    val again = Pii.redact(Pii.redact(df, "text"), "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
+
+  test("pii: an email's digits are not eaten as a phone number") {
+    val df = docs(1L -> "write to a123456789@example.com please")
+    val st = Pii.stats(df, "doc_id", "text").head()
+    assert((st.getLong(1), st.getLong(3), st.getLong(4)) == ((1L, 0L, 0L)))
+    val red = Pii.redact(df, "text").head().getString(1)
+    assert(red == "write to [EMAIL] please")
+  }
+
+  test("decontaminate: doc sharing a benchmark n-gram is flagged, others survive") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",   // contains the benchmark 3-gram
+      2L -> "one two three four five six",           // clean
+      3L -> "zeta epsilon delta gamma beta alpha")   // reversed: no shared 3-gram
+    val benchmark = docs(100L -> "x y beta gamma delta q")
+    val flagged = Decontaminate.overlap(corpus, "doc_id", "text", benchmark, "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == Set((1L, 1L)))
+    val survivors = Decontaminate.clean(corpus, "doc_id", "text", benchmark, "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(2L, 3L))
+  }
+
+  test("decontaminate: overlap counts distinct shared n-grams per doc") {
+    val corpus = docs(1L -> "a b c d e f", 2L -> "c d e x y z")
+    val benchmark = docs(9L -> "a b c d e q w")
+    // doc 1 shares "a b c", "b c d", "c d e"; doc 2 shares "c d e"
+    val flagged = Decontaminate.overlap(corpus, "doc_id", "text", benchmark, "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(flagged == Map(1L -> 3L, 2L -> 1L))
+    // a higher minMatches threshold keeps the weakly-overlapping doc
+    val strict = Decontaminate.overlap(corpus, "doc_id", "text", benchmark, "text",
+        n = 3, minMatches = 2L)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L))
+  }
+
+  test("mixture: uniform rebalance keeps the smallest stratum whole") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "a b c d e f g h i j"),      // 10 tokens
+      (2L, "en", "a b c d e f g h i j"),      // en total 20
+      (3L, "fr", "a b c d e"),                // fr total 5
+      (4L, "de", "a b c d e f g"))            // de total 7
+      .toDF("doc_id", "lang", "text")
+    val out = Mixture.uniformRebalance(df, "lang", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("fr") == ((1L, 5L, 10000L)))
+    assert(out("de") == ((1L, 7L, 50000L / 7L)))   // 7142, floored
+    assert(out("en") == ((2L, 20L, 2500L)))
+    // the fractions feed the deterministic sampler: fraction = bp/10000
+    val fracs = out.map { case (k, (_, _, bp)) => k -> bp / 10000.0 }
+    val sampled = Sampling.stratified(df, "lang", "doc_id", fracs)
+    assert(sampled.count() <= df.count())
+  }
+}
