@@ -25,7 +25,18 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          // a crashed query must surface as a RED row in the driver's
+          // ledger, not vanish: write a one-row tombstone whose schema
+          // (single `_error` column) can never match any oracle
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          try {
+            import spark.implicits._
+            Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
+              .toDF("_error").coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+          } catch { case t: Throwable =>
+            System.err.println(s"[verify] $name tombstone write failed: ${t.getMessage}")
+          }
         }
       }
     }

@@ -308,7 +308,9 @@ object GraftQueries {
     // forest → dataset of the single discovered group
     "read_document_props" -> ((s, d) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
+      // tolerate either ts encoding the driver has shipped (NANOS needs
+      // nanosAsLong just to open the file; only `props` is read here)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val props = s.read.parquet(s"$d/events.parquet").select("props").as[String]
       val forest = graft.sources.DocumentLoader.parseDocuments(props)(
         graft.sources.DocumentLoader.fromJsonString)
@@ -599,16 +601,9 @@ object GraftQueries {
     }),
 
     "events_hourly" -> ((s, d) => {
-      // the corpus stores ts as TIMESTAMP(NANOS), which Spark's parquet
-      // reader only accepts as raw int64; floor-divide to micros (same
-      // truncation DuckDB applies when reading nanos)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$d/events.parquet")
-      val ev =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-        else raw
-      Events.hourlyStats(ev).drop("approx_users")
+      // ts unit/type varies across testdata generations — probe, don't
+      // assume (graft.sources.EventTime)
+      Events.hourlyStats(graft.sources.EventTime.readBatch(s, d)).drop("approx_users")
     }),
 
     // Training-pipeline sessionization: gap-split each user's event run
@@ -616,15 +611,8 @@ object GraftQueries {
     // per-session stats. Window-function lane: lag → boundary flag →
     // running sum → aggregate, one exchange total; boundaries compare
     // integer epoch micros, so the SQL oracle reproduces them exactly.
-    "events_sessions" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$d/events.parquet")
-      val ev =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-        else raw
-      graft.operators.Sessions.sessionize(ev)
-    }),
+    "events_sessions" -> ((s, d) =>
+      graft.operators.Sessions.sessionize(graft.sources.EventTime.readBatch(s, d))),
 
     // Sequence packing (pretraining chunk assignment): global token
     // prefix sum in doc_id order via the two-phase parallel scan
@@ -660,14 +648,8 @@ object GraftQueries {
     // future data will bring; an unbounded deployment uses Append (see
     // EventStreamSpec).
     "events_hourly_streaming" -> ((s, d) => {
-      import org.apache.spark.sql.functions.expr
       import org.apache.spark.sql.streaming.Trigger
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      // file stream sources need a directory or glob, not a bare file
-      val ev = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ev = graft.sources.EventTime.readStreamEvents(s, d)
       val q = graft.streaming.EventStream.hourlyStats(ev).drop("approx_users")
         .writeStream.format("memory").queryName("events_hourly_streaming_sink")
         .outputMode("complete")
@@ -683,13 +665,9 @@ object GraftQueries {
     // commutative, so max-per-user is batching-independent and equals
     // the batch COUNT(DISTINCT) — the oracle.
     "events_user_types_streaming" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{expr, max}
+      import org.apache.spark.sql.functions.max
       import org.apache.spark.sql.streaming.Trigger
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      val ev = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ev = graft.sources.EventTime.readStreamEvents(s, d)
       val q = graft.streaming.EventStream.userTypeProfile(ev)
         .writeStream.format("memory").queryName("events_user_types_sink")
         .outputMode("update")
@@ -698,6 +676,28 @@ object GraftQueries {
       q.awaitTermination()
       s.table("events_user_types_sink")
         .groupBy("user_id").agg(max("n_types").as("n_types"))
+    }),
+
+    // §2.8 streaming gap sessionization, oracle-checked end-to-end: the
+    // flatMapGroupsWithState lane over the real corpus. With an
+    // AvailableNow run the emitted set is deterministic: every session
+    // closed by a later event of the same user (all data arrives in one
+    // micro-batch, so that is every session but each user's last), plus
+    // last sessions whose event-time timeout fires in the final no-data
+    // batch — exactly those with timeoutMs = (end_us+gap)/1000+1 below
+    // the final watermark maxMs - delayMs. Both conditions are integer
+    // arithmetic on epoch micros, so the SQL oracle reproduces the
+    // emitted set bit-exactly (see oracleSql).
+    "events_sessions_streaming" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = graft.sources.EventTime.readStreamEvents(s, d)
+      val q = graft.streaming.EventStream.userSessions(ev)
+        .writeStream.format("memory").queryName("events_sessions_streaming_sink")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_sessions_streaming_sink")
     }),
 
     // §2.8 streaming exact dedup, oracle-checked: ingest-time
@@ -1129,6 +1129,37 @@ object GraftQueries {
     "events_user_types_streaming" ->
       """SELECT user_id, CAST(count(DISTINCT event_type) AS INT) AS n_types
         |FROM events GROUP BY user_id""".stripMargin,
+
+    // batch sessionize, filtered to the sessions the Append stream must
+    // have emitted: closed-by-next-event (not the user's last) OR
+    // closed-by-timeout (timeout ms strictly below the final watermark,
+    // which Spark computes as floor(max_us/1000) - 3_600_000 for the
+    // 1-hour delay; the timeout is set to floor((end+gap)/1000)+1)
+    "events_sessions_streaming" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) > 28800000000
+        |         THEN 1 ELSE 0 END AS f
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(f) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, session_seq,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    min(us) AS start_us, max(us) AS end_us
+        |  FROM s GROUP BY 1, 2),
+        |g2 AS (
+        |  SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS last_seq
+        |  FROM g),
+        |m AS (SELECT max(epoch_us(ts)) AS max_us FROM events)
+        |SELECT user_id, start_us, end_us, n_events
+        |FROM g2, m
+        |WHERE session_seq < last_seq
+        |   OR (end_us + 28800000000) // 1000 + 1 < max_us // 1000 - 3600000""".stripMargin,
 
     "dedup_streaming_documents" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents",

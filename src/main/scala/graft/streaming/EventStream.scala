@@ -139,11 +139,13 @@ object EventStream {
     math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   /** Read a directory of parquet event files as a stream (file source —
-    * each newly arriving file becomes a micro-batch).
+    * each newly arriving file becomes a micro-batch). `ts` is normalized
+    * to TIMESTAMP whatever unit the files encode (see
+    * [[graft.sources.EventTime]]); test fixtures write plain TIMESTAMP.
     */
   def readEvents(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.readStream
+    graft.sources.EventTime.normalize(spark.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"))
-      .parquet(dir)
+      .parquet(dir))
 }

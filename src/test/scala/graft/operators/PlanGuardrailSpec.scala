@@ -77,14 +77,8 @@ class PlanGuardrailSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("event rollups aggregate map-side before the exchange") {
-    // same nanos→micros read shim as the events_hourly registry entry
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val ev =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else raw
-    val p = plan(Events.hourlyStats(ev))
+    // same type-probed ts normalization as the events_hourly registry entry
+    val p = plan(Events.hourlyStats(graft.sources.EventTime.readBatch(spark, dir)))
     assertNoUnbounded("hourlyStats", p)
     // approx_count_distinct keeps this an ObjectHashAggregate pair; either
     // flavor proves the partial/final split survived
@@ -92,13 +86,7 @@ class PlanGuardrailSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("sessionization reuses the user partition for every downstream step") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val ev =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else raw
-    val p = plan(Sessions.sessionize(ev))
+    val p = plan(Sessions.sessionize(graft.sources.EventTime.readBatch(spark, dir)))
     assertNoUnbounded("sessionize", p)
     // lag, the running session counter, AND the per-session groupBy must
     // all ride the one hash(user) exchange — hash(user) satisfies the
