@@ -506,6 +506,20 @@ object Schema {
       groupName: String,
       broadcastGroups: Boolean = true,
   ): org.apache.spark.sql.DataFrame = {
+    // The extraction touches only ENT rows plus the target group's GROUP
+    // rows, and only 8 of NodeRow's 11 columns — in particular none of
+    // the REL rows with their wide composite-key strings. Persist that
+    // pruned projection once: both branches below (occurrence dedup and
+    // the ENT join) consume it, so the node view's lineage — which may be
+    // a full loader flatten — runs exactly once, and what's cached is an
+    // order of magnitude narrower than the full node view.
+    val pruned = nodes
+      .filter(col("nodeType") === "ENT" ||
+        (col("nodeType") === "GROUP" && col("name") === groupName))
+      .select(col("treeId"), col("nodeId"), col("parentId"), col("pos"),
+        col("nodeType"), col("name"), col("value"), col("oid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // Within one tree, same-oid occurrences are copies of the same wide
     // row (the loader materializes a group once standalone plus once per
     // REL side), so deduping occurrences by (treeId, oid) BEFORE the
@@ -514,7 +528,7 @@ object Schema {
     // global: two trees may share an oid (a non-unique declared pk) yet
     // carry different values — the reference keeps both instances.
     // Occurrences with no oid keep their (treeId, nodeId) identity.
-    val occurrences = nodes
+    val occurrences = pruned
       .filter(col("nodeType") === "GROUP" && col("name") === groupName)
       .select(col("treeId").as("gTree"), col("nodeId").as("gNode"), col("oid"))
     val deduped = occurrences
@@ -525,7 +539,7 @@ object Schema {
       .agg(min(col("gNode")).as("gNode"))
       .select(col("gTree"), col("gNode"))
     val groupsDf = if (broadcastGroups) broadcast(deduped) else deduped
-    val ents = nodes
+    val ents = pruned
       .filter(col("nodeType") === "ENT")
       .select(col("treeId"), col("parentId"), col("pos"), col("name").as("entName"), col("value"))
 
@@ -546,8 +560,11 @@ object Schema {
         .agg(max(struct(col("pos"), col("value"))).getField("value"))
         .drop("gTree", "gNode")
 
-      // materialize before releasing the intermediate cache
+      // materialize before releasing the intermediate caches
       pivoted.dropDuplicates().localCheckpoint(true)
-    } finally joined.unpersist(blocking = false)
+    } finally {
+      joined.unpersist(blocking = false)
+      pruned.unpersist(blocking = false)
+    }
   }
 }

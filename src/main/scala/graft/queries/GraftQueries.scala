@@ -75,8 +75,6 @@ object GraftQueries {
       Schema.fromForest(customerNodes(s, d), keepUnlabelled = false))
 
   private def customerNodes(s: SparkSession, d: String) = nodes(s, d, "customerDb", Testdata.customerDb)
-  private def ordersNodes(s: SparkSession, d: String) = nodes(s, d, "ordersDb", Testdata.ordersDb)
-  private def tpchNodes(s: SparkSession, d: String) = nodes(s, d, "tpch", Testdata.tpch)
 
   // ---- oracle SQL helpers ----
   private def castCols(cols: Seq[String]): String =
@@ -105,9 +103,15 @@ object GraftQueries {
     extracted(s, d, "customerDb", "customer")(
       Schema.extractDataset(customerNodes(s, d), "customer"))
 
+  // The orders node view has exactly one consumer (this extraction;
+  // fd_confidence_orders reuses the memoized RESULT), so eagerly
+  // checkpointing the full 11-column 74M-row view was pure overhead —
+  // extractDataset now persists its own pruned projection (ENT rows +
+  // the target GROUP rows, 8 columns, no REL key strings) and the
+  // loader flatten runs exactly once.
   private def ordersExtract(s: SparkSession, d: String): DataFrame =
     extracted(s, d, "ordersDb", "orders")(
-      Schema.extractDataset(ordersNodes(s, d), "orders"))
+      Schema.extractDataset(RelationalLoader.loadNodes(s, d, Testdata.ordersDb), "orders"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 extract_datasets. The customer/orders forests run the full
