@@ -111,6 +111,46 @@ final class WhitespaceParser extends SentenceParser {
   }
 }
 
+/** Deterministic env-free parser that emits COORDINATION structure — the
+  * shape `fix_coord`/`fix_conj` (reference nlp/parser/__init__.py:247-407)
+  * exist to normalize. Tokens are split into segments on a designated
+  * conjunction token; segments become right-nested
+  * `(NP seg₀ (COORD (CCONJ c) (NP seg₁ (COORD …))))` — the constituency
+  * idiom real parsers produce for "a and b and c". `fixAllCoord` then
+  * rewrites it to one flat `(CONJ (NP seg₀) (NP seg₁) …)`, dropping the
+  * CCONJ leaves. Degenerate splits (an empty segment: leading/trailing/
+  * adjacent conjunctions) fall back to the flat [[WhitespaceParser]]
+  * shape, so every emitted COORD is well-formed and the restructuring
+  * arithmetic stays predictable by a SQL oracle.
+  */
+final class CoordinationParser(conj: String = "the") extends SentenceParser {
+  override def parse(sentence: String, language: String): Option[ArchiTree] = {
+    val toks = sentence.split("\\s+").filter(_.nonEmpty).toVector
+    if (toks.isEmpty) return None
+    def tok(t: String): Child = Child.Node(ArchiTree(Plain("TOK"), Vector(Child.Leaf(t))))
+    val segs = {
+      val out = Vector.newBuilder[Vector[String]]
+      var cur = Vector.newBuilder[String]
+      toks.foreach { t =>
+        if (t == conj) { out += cur.result(); cur = Vector.newBuilder[String] }
+        else cur += t
+      }
+      out += cur.result()
+      out.result()
+    }
+    if (segs.size < 2 || segs.exists(_.isEmpty))
+      Some(ArchiTree(Plain("SENT"), toks.map(tok)))
+    else {
+      def build(i: Int): ArchiTree =
+        if (i == segs.size - 1) ArchiTree(Plain("NP"), segs(i).map(tok))
+        else ArchiTree(Plain("NP"), segs(i).map(tok) :+ (Child.Node(ArchiTree(Plain("COORD"), Vector(
+          Child.Node(ArchiTree(Plain("CCONJ"), Vector(Child.Leaf(conj)))),
+          Child.Node(build(i + 1))))): Child))
+      Some(ArchiTree(Plain("SENT"), Vector(Child.Node(build(0)))))
+    }
+  }
+}
+
 /** Pattern-driven extractor: (entity name → regex) pairs, first match
   * wins per span. Env-free stand-in for model NER with the same output
   * contract (character offsets into the sentence).

@@ -504,6 +504,30 @@ object GraftQueries {
         .groupBy(col("name")).count().withColumnRenamed("count", "n_ents")
     }),
 
+    // §2.2 the full processTree restructuring surface, oracle-checked:
+    // CoordinationParser emits the nested (NP … (COORD (CCONJ the) …))
+    // shape, so fix_coord/fix_conj flatten every clean conjunction chain
+    // into one CONJ (dropping the CCONJ leaves), ins_ent/unnest_ent wrap
+    // the customer/scan tokens, and reduce + UNDEF-rename normalize the
+    // rest. Every label class in the output has closed-form counts over
+    // the token stream (see the oracleSql derivation comment), so the
+    // whole pipeline — not just the ENT tally — is checked bit-exactly.
+    "corpus_enrich_documents" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, explode, lit, split, when}
+      val lines = s.read.parquet(s"$d/documents.parquet")
+        .select(explode(split(col("text"), "\n")).as("line")).as[String]
+      val extractor = new graft.nlp.RegexEntityExtractor(
+        Seq("CUST" -> "customer", "SCAN" -> "scan"))
+      val sentences = lines.map(l => extractor.extract(l))
+      val forest = new graft.nlp.CoordinationParser("the").parseBatch(sentences)
+      Forest.toNodesDF(forest)
+        .select(when(col("nodeType") === "ENT", col("name"))
+          .when(col("name") === "ROOT", lit("ROOT"))
+          .otherwise(lit("UNDEF")).as("label"))
+        .groupBy(col("label")).count().withColumnRenamed("count", "n_nodes")
+    }),
+
     // §2.3 llm_rewrite (simplification/llm.py), oracle-checked: the full
     // protocol — token-budget batching, numbered-list prompt/parse,
     // sanitize, vocab mining + fuzzy snap, fallback-to-original — driven
@@ -851,6 +875,64 @@ object GraftQueries {
         |UNION ALL
         |SELECT 'SCAN', CAST(sum(len(regexp_extract_all(text, 'scan'))) AS BIGINT)
         |FROM documents""".stripMargin,
+
+    // Closed-form processTree output counts. Per line: segments = token
+    // runs split on 'the'; "clean" = every segment non-empty (else the
+    // parser emits the flat shape, exercising no coordination). ENT
+    // counts are the plain token tallies (entity-less lines die, but
+    // contribute 0 anyway). Node removal CASCADES (MTree.remove mirrors
+    // the reference's recursive=True): an entity-less segment vanishes,
+    // a 1-entity segment collapses to a bare ENT (in place via reduce,
+    // or hoisted to the CONJ when the entity is the segment's only
+    // token), and a ≥2-entity segment survives as one structural node.
+    // With m1/m2 = #segments holding exactly-one/two-or-more entities, a
+    // clean line keeps a ROOT iff it retains ≥2 children (m1+m2 ≥ 2) or
+    // its single survivor is structural (m2 ≥ 1), and its UNDEF count is
+    // m2 except in the m2=1, m1=0 case where that node IS the root. Flat
+    // lines: ≥2 entities → ROOT over bare ENTs; 1 → the ENT is the whole
+    // tree; 0 → dropped. Zero-count labels are filtered because Spark's
+    // groupBy cannot emit empty groups.
+    "corpus_enrich_documents" ->
+      """WITH lined AS (
+        |  SELECT doc_id, li,
+        |    list_filter(string_split(ls[li], ' '), x -> x <> '') AS toks
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)
+        |  CROSS JOIN UNNEST(range(1, len(ls) + 1)) AS r(li)),
+        |tok AS (
+        |  SELECT doc_id, li, i, toks[i] AS t,
+        |    sum(CASE WHEN toks[i] = 'the' THEN 1 ELSE 0 END) OVER
+        |        (PARTITION BY doc_id, li ORDER BY i)
+        |      - CASE WHEN toks[i] = 'the' THEN 1 ELSE 0 END AS seg
+        |  FROM lined CROSS JOIN UNNEST(range(1, len(toks) + 1)) AS r(i)),
+        |seg AS (
+        |  SELECT doc_id, li, seg,
+        |    count(*) FILTER (WHERE t IN ('customer', 'scan')) AS n_ent
+        |  FROM tok GROUP BY 1, 2, 3
+        |  HAVING count(*) FILTER (WHERE t <> 'the') > 0),
+        |line AS (
+        |  SELECT l.doc_id, l.li,
+        |    len(list_filter(l.toks, x -> x = 'the')) AS k,
+        |    len(list_filter(l.toks, x -> x = 'customer')) AS cust,
+        |    len(list_filter(l.toks, x -> x = 'scan')) AS scn,
+        |    (SELECT count(*) FROM seg s
+        |     WHERE s.doc_id = l.doc_id AND s.li = l.li) AS nsegs,
+        |    (SELECT count(*) FROM seg s
+        |     WHERE s.doc_id = l.doc_id AND s.li = l.li AND s.n_ent = 1) AS m1,
+        |    (SELECT count(*) FROM seg s
+        |     WHERE s.doc_id = l.doc_id AND s.li = l.li AND s.n_ent >= 2) AS m2
+        |  FROM lined l),
+        |cls AS (SELECT *, (k >= 1 AND nsegs = k + 1) AS clean FROM line),
+        |out AS (
+        |  SELECT 'CUST' AS label, CAST(sum(cust) AS BIGINT) AS n_nodes FROM cls
+        |  UNION ALL SELECT 'SCAN', CAST(sum(scn) AS BIGINT) FROM cls
+        |  UNION ALL SELECT 'ROOT', CAST(sum(CASE
+        |    WHEN clean AND (m1 + m2 >= 2 OR m2 >= 1) THEN 1
+        |    WHEN NOT clean AND cust + scn >= 2 THEN 1
+        |    ELSE 0 END) AS BIGINT) FROM cls
+        |  UNION ALL SELECT 'UNDEF', CAST(sum(CASE
+        |    WHEN clean AND m1 + m2 >= 2 THEN m2
+        |    ELSE 0 END) AS BIGINT) FROM cls)
+        |SELECT label, n_nodes FROM out WHERE n_nodes > 0""".stripMargin,
 
     // SF-proportional identities (verified at sf0.001/sf0.01): per tree
     // the groupified customer nodes appear 2× (standalone + in its REL),
