@@ -28,6 +28,9 @@ object Cli {
         |  load corpus <dir> [--cache DIR] [--out DIR]     BRAT .txt/.ann pairs through the NLP pipeline
         |  simplify <dir> [--db NAME] [--tau T] [--decay D] [--epochs N]
         |           [--min-support K] [--schema-only] [--metrics] [--out DIR]
+        |           [--store DIR]                        transactional per-epoch snapshots
+        |  snapshots <storeDir>                          list a forest store's history + HEAD
+        |  rollback <storeDir> <name>                    move a store's HEAD to a snapshot
         |  simplify-llm <dir> [--db NAME] [--min-support K] [--vocab-similarity S]
         |           [--refining-steps N] [--max-tokens T] [--metrics] [--out DIR]
         |                                                  LLM-protocol simplify (offline groupify client)
@@ -175,14 +178,22 @@ object Cli {
       val opts = parseOpts(rest)
       val spark = session()
       import graft.rewrite.Rewrite
+      // --store: transactional history over a ForestStore — the input is
+      // committed as epoch_0 before any rewriting, every epoch commits a
+      // snapshot, and a crash mid-epoch leaves HEAD on the last
+      // committed state (reference ZODB bucket semantics; restore with
+      // `graft.Cli rollback <store> epoch_0`)
+      val store = opts.get("store").map(new graft.model.ForestStore(spark, _))
       val cfg = Rewrite.Config(
         tau = opts.get("tau").map(_.toDouble).getOrElse(0.7),
         decay = opts.get("decay").map(_.toDouble).getOrElse(2.0),
         epochs = opts.get("epochs").map(_.toInt).getOrElse(100),
         minSupport = opts.get("min-support").map(_.toInt),
-        schemaOnly = opts.contains("schema-only"))
+        schemaOnly = opts.contains("schema-only"),
+        epochHook = store.map(s => (epoch, f) => s.commit(f"epoch_$epoch%04d", f)))
       val forest = RelationalLoader.load(spark, dir, dbConfig(opts.getOrElse("db", "customerDb")))
         .localCheckpoint(true)
+      store.foreach(_.commit("epoch_0000", forest))
       println(s"rewriting ${forest.count()} trees with tau=${cfg.tau}, decay=${cfg.decay}, " +
         s"epochs=${cfg.epochs}, minSupport=${cfg.minSupport.getOrElse("auto")}")
       val out = Rewrite.rewrite(forest, cfg)
@@ -195,6 +206,10 @@ object Cli {
         println(f"coverage=${m.coverage}%.4f")
         println(f"cluster_ami=${m.clusterAmi}%.4f")
         println(f"cluster_completeness=${m.clusterCompleteness}%.4f")
+      }
+      store.foreach { s =>
+        s.commit("simplified", out)
+        println(s"committed snapshot 'simplified' (HEAD) to ${s.root}")
       }
       opts.get("out").foreach { o =>
         graft.sinks.Jsonl.write(out, o)
@@ -319,6 +334,22 @@ object Cli {
         graft.sinks.Jsonl.write(Forest.fromTrees(spark, trees), o)
         println(s"wrote generated forest to $o")
       }
+      spark.stop()
+
+    // forest-store history surface (ZODB bucket stand-in)
+    case "snapshots" :: storeDir :: Nil =>
+      val spark = session()
+      val store = new graft.model.ForestStore(spark, storeDir)
+      val h = store.head
+      store.list.foreach(n => println(s"${if (h.contains(n)) "*" else " "} $n"))
+      if (store.list.isEmpty) println(s"no snapshots under $storeDir")
+      spark.stop()
+
+    case "rollback" :: storeDir :: name :: Nil =>
+      val spark = session()
+      val store = new graft.model.ForestStore(spark, storeDir)
+      store.rollback(name)
+      println(s"HEAD -> $name (${store.load(name).count()} trees)")
       spark.stop()
 
     // cache-clear (cli/__init__.py:467-483): drop a corpus parse cache

@@ -1,0 +1,157 @@
+package graft.model
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import java.nio.charset.StandardCharsets
+
+/** Transactional forest store over parquet snapshot directories — the
+  * Spark-first stand-in for the reference's ZODB `TreeBucket`
+  * (architxt/bucket/zodb.py:35-192: explicit transactions with abort,
+  * fork support, durable storage path). Where the reference mutates an
+  * OOBTree under a transaction manager, here every commit is an
+  * immutable parquet snapshot and the transaction protocol is the
+  * filesystem's: writes land in a staging directory and an atomic
+  * rename publishes them, so an abort (or a crash mid-write) leaves the
+  * published history — and the HEAD pointer — untouched.
+  *
+  * Layout under `root/`:
+  *   snapshots/<name>/   committed TreeRow parquet, immutable
+  *   staging/<name>/     an open transaction's writes (abort = delete)
+  *   HEAD                text file naming the current snapshot
+  *   PARENT              text file with the forked-from store root
+  *
+  * Fork (zodb.py:143-145,208-212) is a new root whose PARENT points at
+  * this store: snapshot lookup falls through the parent chain, commits
+  * stay in the fork — copy-on-write lineage with zero data copied.
+  *
+  * Scale: snapshots are whole-forest parquet writes — the same cost the
+  * rewrite loop already pays per epoch for its lineage-breaking
+  * checkpoints, but durable and addressable. On a cluster the root
+  * lives on HDFS/object storage where rename is atomic (or
+  * commit-by-marker on S3-like stores).
+  */
+final class ForestStore(spark: SparkSession, val root: String) {
+
+  private val rootPath = new Path(root)
+  private def fs: FileSystem = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def snapDir(name: String) = new Path(root, s"snapshots/$name")
+  private def stageDir(name: String) = new Path(root, s"staging/$name")
+  private def headFile = new Path(root, "HEAD")
+  private def parentFile = new Path(root, "PARENT")
+
+  private def requireValid(name: String): Unit =
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid snapshot name '$name'")
+
+  private def writeText(p: Path, s: String): Unit = {
+    // publish via tmp + atomic rename so a concurrent reader never sees
+    // a half-written pointer
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) throw new java.io.IOException(s"rename $tmp -> $p failed")
+  }
+
+  private def readText(p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+      finally in.close()
+    }
+
+  /** The store this one was forked from, if any. */
+  def parent: Option[ForestStore] = readText(parentFile).map(new ForestStore(spark, _))
+
+  /** Name of the current snapshot (this store only — a fresh fork's HEAD
+    * falls back to its parent's).
+    */
+  def head: Option[String] =
+    readText(headFile).orElse(parent.flatMap(_.head))
+
+  /** Committed snapshot names, parent-chain included, oldest store last. */
+  def list: Seq[String] = {
+    val local = Option(fs.globStatus(new Path(root, "snapshots/*")))
+      .getOrElse(Array.empty).toSeq.map(_.getPath.getName).sorted
+    local ++ parent.toSeq.flatMap(_.list.filterNot(local.contains))
+  }
+
+  private def resolve(name: String): Option[Path] =
+    if (fs.exists(snapDir(name))) Some(snapDir(name))
+    else parent.flatMap(_.resolve(name))
+
+  /** Load a committed snapshot (searching the fork's parent chain). */
+  def load(name: String): Dataset[TreeRow] = {
+    requireValid(name)
+    val p = resolve(name).getOrElse(
+      throw new NoSuchElementException(s"no snapshot '$name' under $root or its parents"))
+    import spark.implicits._
+    spark.read.parquet(p.toString).as[TreeRow]
+  }
+
+  /** Load the HEAD snapshot, if one exists. */
+  def loadHead(): Option[Dataset[TreeRow]] = head.map(load)
+
+  /** An open transaction: `write` stages the forest, `commit` publishes
+    * it atomically and moves HEAD, `abort` discards the staging — the
+    * published history is untouched either way (zodb.py transaction
+    * semantics: tests/bucket/test_zodb.py abort cases).
+    */
+  final class Tx private[ForestStore] (name: String) {
+    private var open = true
+
+    def write(forest: Dataset[TreeRow]): Tx = {
+      require(open, s"transaction '$name' already closed")
+      forest.write.mode("overwrite").parquet(stageDir(name).toString)
+      this
+    }
+
+    def commit(): Unit = {
+      require(open, s"transaction '$name' already closed")
+      require(fs.exists(stageDir(name)), s"transaction '$name' committed before write")
+      fs.mkdirs(new Path(root, "snapshots"))
+      fs.delete(snapDir(name), true)
+      if (!fs.rename(stageDir(name), snapDir(name)))
+        throw new java.io.IOException(s"publishing snapshot '$name' failed")
+      writeText(headFile, name)
+      open = false
+    }
+
+    def abort(): Unit = {
+      fs.delete(stageDir(name), true)
+      open = false
+    }
+  }
+
+  /** Begin a transaction that will publish snapshot `name` on commit. */
+  def begin(name: String): Tx = {
+    requireValid(name)
+    new Tx(name)
+  }
+
+  /** One-shot commit: stage + publish + move HEAD. */
+  def commit(name: String, forest: Dataset[TreeRow]): Unit =
+    begin(name).write(forest).commit()
+
+  /** Move HEAD back to an existing snapshot. Later snapshots stay on
+    * disk (history is immutable); subsequent commits simply advance HEAD
+    * again.
+    */
+  def rollback(name: String): Unit = {
+    requireValid(name)
+    require(resolve(name).isDefined, s"cannot roll back to unknown snapshot '$name'")
+    writeText(headFile, name)
+  }
+
+  /** Fork this store: a new root whose snapshot lookup falls through to
+    * this one, and whose commits never touch it.
+    */
+  def fork(newRoot: String): ForestStore = {
+    val f = new ForestStore(spark, newRoot)
+    fs.mkdirs(new Path(newRoot))
+    f.writeText(f.parentFile, root)
+    f
+  }
+}

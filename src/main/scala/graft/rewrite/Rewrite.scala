@@ -52,7 +52,12 @@ object Rewrite {
       // cluster the schema template instead of the instances
       // (similarity.py:230): cheaper on huge low-variety forests, may
       // differ from instance clustering
-      schemaOnly: Boolean = false)
+      schemaOnly: Boolean = false,
+      // called with (epoch, forest-after-epoch); None = zero cost. The
+      // ForestStore transaction lane hangs per-epoch snapshot commits
+      // here (the reference commits its ZODB transaction per rewrite
+      // step, tree_rewriting/__init__.py epoch loop)
+      epochHook: Option[(Int, Dataset[TreeRow]) => Unit] = None)
 
   def rewrite(forest: Dataset[TreeRow], cfg: Config = Config()): Dataset[TreeRow] = {
     val spark = forest.sparkSession
@@ -145,6 +150,9 @@ object Rewrite {
       }
 
       converged = !opChanged
+      cfg.epochHook.foreach { hook =>
+        hook(epoch, trees.map { case (id, t) => TreeRow(id, TreeJson.toJson(t)) })
+      }
       epoch += 1
     }
 

@@ -1,0 +1,87 @@
+package graft.model
+
+import graft.SparkSpec
+import graft.sources.{RelationalLoader, Testdata}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ForestStore = the parquet-snapshot stand-in for the reference's ZODB
+  * TreeBucket; the cases mirror tests/bucket/test_zodb.py — transaction
+  * abort restores the committed state, fork isolates commits from the
+  * parent, rollback moves HEAD along immutable history.
+  */
+class ForestStoreSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-store").toString + "/store"
+
+  private def canon(f: org.apache.spark.sql.Dataset[TreeRow]): Set[(Long, String)] = {
+    import f.sparkSession.implicits._
+    f.map(t => (t.treeId, t.tree)).collect().toSet
+  }
+
+  private lazy val forest = {
+    val f = RelationalLoader.load(spark, "/root/testdata/sf0.001", Testdata.customerDb)
+      .localCheckpoint(true)
+    f
+  }
+
+  test("an aborted epoch restores the pre-epoch forest byte-identically") {
+    val store = new ForestStore(spark, tmp())
+    store.commit("epoch_0000", forest)
+    val before = canon(store.loadHead().get)
+
+    // an epoch starts: its transaction stages a mutated forest, then the
+    // epoch is aborted (the reference's with-transaction: raise path,
+    // tests/bucket/test_zodb.py test_async_update_concurrent_abort)
+    val mutated = Forest.mapTrees(forest)(t => t.copy(label = graft.core.Plain("BROKEN")))
+    val tx = store.begin("epoch_0001").write(mutated)
+    tx.abort()
+
+    assert(store.head.contains("epoch_0000"), "HEAD must stay on the committed snapshot")
+    assert(store.list == Seq("epoch_0000"), "the aborted snapshot must not be published")
+    assert(canon(store.loadHead().get) == before,
+      "the restored forest must equal the pre-epoch forest row for row")
+  }
+
+  test("commit publishes atomically and moves HEAD; rollback moves it back") {
+    val store = new ForestStore(spark, tmp())
+    store.commit("epoch_0000", forest)
+    val mutated = Forest.mapTrees(forest)(t => t.copy(label = graft.core.Plain("V2")))
+    store.commit("epoch_0001", mutated)
+
+    assert(store.head.contains("epoch_0001"))
+    assert(store.list == Seq("epoch_0000", "epoch_0001"))
+    assert(canon(store.loadHead().get) == canon(mutated))
+
+    store.rollback("epoch_0000")
+    assert(store.head.contains("epoch_0000"))
+    assert(canon(store.loadHead().get) == canon(forest),
+      "rollback must restore the earlier snapshot exactly")
+    // history is immutable: the later snapshot is still loadable
+    assert(canon(store.load("epoch_0001")) == canon(mutated))
+  }
+
+  test("a fork sees the parent's history but never writes into it") {
+    val store = new ForestStore(spark, tmp())
+    store.commit("epoch_0000", forest)
+
+    val fork = store.fork(tmp())
+    assert(fork.head.contains("epoch_0000"), "a fresh fork's HEAD follows its parent")
+    assert(canon(fork.loadHead().get) == canon(forest), "fork reads parent snapshots")
+
+    val mutated = Forest.mapTrees(forest)(t => t.copy(label = graft.core.Plain("FORKED")))
+    fork.commit("epoch_0001", mutated)
+
+    assert(fork.head.contains("epoch_0001"))
+    assert(fork.list == Seq("epoch_0001", "epoch_0000"))
+    assert(store.head.contains("epoch_0000"), "the parent's HEAD is untouched")
+    assert(store.list == Seq("epoch_0000"), "the fork's commit must not leak into the parent")
+  }
+
+  test("transaction misuse is rejected") {
+    val store = new ForestStore(spark, tmp())
+    intercept[IllegalArgumentException](store.begin("bad/name"))
+    intercept[IllegalArgumentException](store.begin("empty").commit()) // commit before write
+    intercept[IllegalArgumentException](store.rollback("nowhere"))
+  }
+}
