@@ -37,8 +37,15 @@ object Bench {
       graft.util.Json.quote(k) + ":" + graft.util.Json.quote(e)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${graft.util.Json.quote(sfDir)}}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${graft.util.Json.quote(sfDir)}}"""
+    println(line)
+    // stdout tail-capture has truncated this (long) line before, losing
+    // the parsed totals — persist a copy so the full timing map is
+    // always recoverable from disk
+    val copy = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(copy), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -29,6 +29,7 @@ object Cli {
         |  simplify <dir> [--db NAME] [--tau T] [--decay D] [--epochs N]
         |           [--min-support K] [--schema-only] [--metrics] [--out DIR]
         |           [--store DIR]                        transactional per-epoch snapshots
+        |           [--metrics-log FILE]                 JSONL metric bundle (MLflow-shaped)
         |  snapshots <storeDir>                          list a forest store's history + HEAD
         |  rollback <storeDir> <name>                    move a store's HEAD to a snapshot
         |  simplify-llm <dir> [--db NAME] [--min-support K] [--vocab-similarity S]
@@ -199,13 +200,20 @@ object Cli {
       val out = Rewrite.rewrite(forest, cfg)
       showSchema(Schema.fromForest(Forest.toNodesDF(out), keepUnlabelled = false))
       // --metrics (cli/__init__.py:138,104-110): simplification quality
-      // vs the input forest
-      if (opts.contains("metrics")) {
+      // vs the input forest; --metrics-log FILE additionally records the
+      // reference's full log_to_mlflow bundle through the MetricsSink
+      // seam (JSONL locally; an MLflow-backed sink drops in)
+      if (opts.contains("metrics") || opts.contains("metrics-log")) {
         val m = new graft.metrics.Metrics(forest, cfg.tau)
         m.update(out)
         println(f"coverage=${m.coverage}%.4f")
         println(f"cluster_ami=${m.clusterAmi}%.4f")
         println(f"cluster_completeness=${m.clusterCompleteness}%.4f")
+        opts.get("metrics-log").foreach { f =>
+          graft.metrics.MetricsLog.log(m,
+            new graft.metrics.JsonlMetricsSink(f), iteration = cfg.epochs, debug = true)
+          println(s"logged metric bundle to $f")
+        }
       }
       store.foreach { s =>
         s.commit("simplified", out)
