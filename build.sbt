@@ -28,3 +28,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// GraftExtensionsSpec needs a JVM with no prior SparkContext
+// (spark.sql.extensions is a static conf), so it runs in its own forked
+// group instead of self-canceling whenever another suite's shared
+// session exists.
+Test / testGrouping := {
+  val opts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  (Test / definedTests).value
+    .groupBy(_.name == "graft.functions.GraftExtensionsSpec")
+    .map { case (isolated, tests) =>
+      Tests.Group(
+        name = if (isolated) "extensions-fresh-jvm" else "shared-session",
+        tests = tests,
+        runPolicy = Tests.SubProcess(opts))
+    }.toSeq
+}
