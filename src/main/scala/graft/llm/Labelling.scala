@@ -18,6 +18,21 @@ object Labelling {
 
   final case class Renaming(nodeType: NodeType, oldName: String, newName: String)
 
+  /** Deterministic env-free labelling client: answers every proposal
+    * prompt with the current name upper-cased — protocol-preserving
+    * stand-in (prompt parse → completion → normalize → apply) that a
+    * live endpoint replaces through the same [[LlmClient]] seam.
+    */
+  final class UppercaseLabelClient extends LlmClient {
+    override def complete(prompt: String): String =
+      prompt.linesIterator.collectFirst {
+        case l if l.startsWith("Current Name: ") =>
+          l.stripPrefix("Current Name: ")
+        case l if l.startsWith("Current Relationship Name: ") =>
+          l.stripPrefix("Current Relationship Name: ")
+      }.fold("")(_.toUpperCase)
+  }
+
   // Full vocabulary normalization (NFKC, non-alphanumerics → '_') — a
   // chatty multi-line or punctuated answer must never become a label
   private def normalizeAnswer(raw: String): String =

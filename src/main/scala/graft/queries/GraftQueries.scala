@@ -143,6 +143,46 @@ object GraftQueries {
         .toDF("name", "left_group", "right_group", "orientation")
     },
 
+    // §2.4 schema quality scores (group_overlap, group_balance_score) —
+    // integer parts-per-billion so the compare is exact (the float
+    // formulas round identically on both engines at 9 decimals)
+    "schema_quality_customer" -> { (s, d) =>
+      import s.implicits._
+      val sch = customerSchema(s, d)
+      Seq((math.round(sch.groupOverlap * 1e9),
+        math.round(sch.groupBalanceScore * 1e9),
+        sch.groups.size.toLong))
+        .toDF("overlap_ppb", "balance_ppb", "n_groups")
+    },
+
+    // §2.3 LLM labelling end-to-end (labelling/__init__.py:71-164):
+    // group + relation rename proposals under the deterministic
+    // uppercase client, applied over the forest; the per-label node
+    // counts follow the loader multiplicities (same identities as the
+    // inspector oracle) under the normalized upper-cased names.
+    "llm_label_customer" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val schema = customerSchema(s, d)
+      val client = new graft.llm.Labelling.UppercaseLabelClient
+      val gr = graft.llm.Labelling.groupLabelling(schema, client)
+      val rr = graft.llm.Labelling.relationLabelling(schema, client, gr)
+      val out = graft.llm.Labelling.applyRenaming(customerTrees(s, d), gr ++ rr)
+      Forest.toNodesDF(out)
+        .filter(col("nodeType").isin("GROUP", "REL"))
+        .groupBy(col("nodeType").as("node_type"), col("name"))
+        .count().withColumnRenamed("count", "n_nodes")
+        .filter(col("n_nodes") > 0)
+    }),
+
+    // §2.2 Tree.merge (tree.py:755-773): self-merge flattens the two
+    // ROOTs into one, so every per-type count doubles while the tree
+    // count holds — an arithmetic oracle over the loader identities.
+    "tree_merge_customer" -> ((s, d) => {
+      val merged = Forest.mapTrees(customerTrees(s, d))(t => t.merge(t))
+      ForestInspector.inspectTable(Forest.toNodesDF(merged))
+        .filter(org.apache.spark.sql.functions.col("stat").startsWith("total_"))
+    }),
+
     // §2.6 FD metrics over extracted datasets
     "fd_confidence_orders" -> ((s, d) =>
       FdMetrics.confidenceTable(ordersExtract(s, d))),
@@ -965,6 +1005,58 @@ object GraftQueries {
         |  'ENT::c_acctbal ENT::c_custkey ENT::c_mktsegment ENT::c_name'
         |UNION ALL SELECT 'REL::UndefinedGroup<->UndefinedGroup_1',
         |  'GROUP::UndefinedGroup GROUP::UndefinedGroup_1'""".stripMargin,
+
+    // overlap: the three groups' entity sets are disjoint (pinned by the
+    // productions oracle) → 0. balance: 1 − σ/μ over sizes (4,2,2) —
+    // σ/μ = √2/4 exactly; both engines round the same double at ppb.
+    "schema_quality_customer" ->
+      """SELECT CAST(0 AS BIGINT) AS overlap_ppb,
+        |  CAST(round((1 - sqrt(2.0) / 4) * 1e9) AS BIGINT) AS balance_ppb,
+        |  CAST(3 AS BIGINT) AS n_groups
+        |WHERE EXISTS (SELECT 1 FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey)""".stripMargin,
+
+    // loader multiplicities per label (same identities as the inspector
+    // oracle) under the uppercase-client renames; relation names pass
+    // through normalize ('<->' → '_')
+    "llm_label_customer" ->
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) v FROM customer),
+        |     m AS (SELECT CAST(count(*) AS BIGINT) v FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |     mr AS (SELECT CAST(count(*) AS BIGINT) v
+        |            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |            JOIN region ON n_regionkey = r_regionkey),
+        |out AS (
+        |  SELECT 'GROUP' AS node_type, 'CUSTOMER' AS name,
+        |         (SELECT v FROM c) + (SELECT v FROM m) AS n_nodes
+        |  UNION ALL SELECT 'GROUP', 'NATION', 2 * (SELECT v FROM m) + (SELECT v FROM mr)
+        |  UNION ALL SELECT 'GROUP', 'REGION', 2 * (SELECT v FROM mr)
+        |  UNION ALL SELECT 'REL', 'CUSTOMER_NATION', (SELECT v FROM m)
+        |  UNION ALL SELECT 'REL', 'NATION_REGION', (SELECT v FROM mr))
+        |SELECT node_type, name, n_nodes FROM out WHERE n_nodes > 0""".stripMargin,
+
+    // self-merge doubles every per-type count, tree count holds, and
+    // total_nodes = trees + 2·(groups + relations + entities)
+    "tree_merge_customer" ->
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) v FROM customer),
+        |     m AS (SELECT CAST(count(*) AS BIGINT) v FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |     mr AS (SELECT CAST(count(*) AS BIGINT) v
+        |            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |            JOIN region ON n_regionkey = r_regionkey),
+        |base AS (SELECT
+        |  (SELECT v FROM c) AS trees,
+        |  ((SELECT v FROM c) + (SELECT v FROM m)) * 4
+        |    + (2 * (SELECT v FROM m) + (SELECT v FROM mr)) * 2
+        |    + 2 * (SELECT v FROM mr) * 2 AS ents,
+        |  (SELECT v FROM c) + (SELECT v FROM m)
+        |    + 2 * (SELECT v FROM m) + (SELECT v FROM mr)
+        |    + 2 * (SELECT v FROM mr) AS grps,
+        |  (SELECT v FROM m) + (SELECT v FROM mr) AS rels)
+        |SELECT 'total_trees' AS stat, trees AS value FROM base
+        |UNION ALL SELECT 'total_entities', 2 * ents FROM base
+        |UNION ALL SELECT 'total_groups', 2 * grps FROM base
+        |UNION ALL SELECT 'total_relations', 2 * rels FROM base
+        |UNION ALL SELECT 'total_collections', CAST(0 AS BIGINT) FROM base
+        |UNION ALL SELECT 'total_nodes', trees + 2 * (ents + grps + rels) FROM base""".stripMargin,
 
     "inspect_counts_customer" -> inspectCountsCustomerOracle,
     // lossless round trip ⇒ identical counts
