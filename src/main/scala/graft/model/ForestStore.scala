@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 import java.nio.charset.StandardCharsets
@@ -42,16 +42,20 @@ final class ForestStore(spark: SparkSession, val root: String) {
   private def parentFile = new Path(root, "PARENT")
 
   private def requireValid(name: String): Unit =
-    require(name.matches("[A-Za-z0-9._-]+"), s"invalid snapshot name '$name'")
+    require(
+      name.matches("[A-Za-z0-9._-]+") && !name.forall(_ == '.'),
+      s"invalid snapshot name '$name'")
 
   private def writeText(p: Path, s: String): Unit = {
-    // publish via tmp + atomic rename so a concurrent reader never sees
-    // a half-written pointer
+    // publish via tmp + overwriting atomic rename so a concurrent reader
+    // never sees a half-written pointer and a crash never leaves the
+    // pointer missing (FileSystem.rename cannot overwrite, which would
+    // force a non-atomic delete-then-rename)
     val tmp = new Path(p.getParent, p.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p)) throw new java.io.IOException(s"rename $tmp -> $p failed")
+    val fc = FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
   private def readText(p: Path): Option[String] =
@@ -65,11 +69,21 @@ final class ForestStore(spark: SparkSession, val root: String) {
   /** The store this one was forked from, if any. */
   def parent: Option[ForestStore] = readText(parentFile).map(new ForestStore(spark, _))
 
-  /** Name of the current snapshot (this store only — a fresh fork's HEAD
-    * falls back to its parent's).
+  /** Name of the current snapshot. A missing HEAD file with committed
+    * local snapshots (a store written before HEAD updates were atomic,
+    * or a tampered pointer) recovers to the most recently published
+    * snapshot rather than skipping local history; only a store with no
+    * local snapshots at all (a fresh fork) falls back to its parent's.
     */
   def head: Option[String] =
-    readText(headFile).orElse(parent.flatMap(_.head))
+    readText(headFile).orElse(newestLocalSnapshot).orElse(parent.flatMap(_.head))
+
+  private def newestLocalSnapshot: Option[String] =
+    Option(fs.globStatus(new Path(root, "snapshots/*")))
+      .getOrElse(Array.empty)
+      .sortBy(s => (s.getModificationTime, s.getPath.getName))
+      .lastOption
+      .map(_.getPath.getName)
 
   /** Committed snapshot names, parent-chain included, oldest store last. */
   def list: Seq[String] = {
@@ -101,16 +115,20 @@ final class ForestStore(spark: SparkSession, val root: String) {
     */
   final class Tx private[ForestStore] (name: String) {
     private var open = true
+    private var written = false
 
     def write(forest: Dataset[TreeRow]): Tx = {
       require(open, s"transaction '$name' already closed")
       forest.write.mode("overwrite").parquet(stageDir(name).toString)
+      written = true
       this
     }
 
     def commit(): Unit = {
       require(open, s"transaction '$name' already closed")
-      require(fs.exists(stageDir(name)), s"transaction '$name' committed before write")
+      // Tx state, not a filesystem probe: a stale staging dir left by a
+      // crashed earlier run must never be published as this transaction's
+      require(written, s"transaction '$name' committed before write")
       fs.mkdirs(new Path(root, "snapshots"))
       fs.delete(snapDir(name), true)
       if (!fs.rename(stageDir(name), snapDir(name)))
@@ -125,9 +143,13 @@ final class ForestStore(spark: SparkSession, val root: String) {
     }
   }
 
-  /** Begin a transaction that will publish snapshot `name` on commit. */
+  /** Begin a transaction that will publish snapshot `name` on commit.
+    * Any staging directory left behind by a crashed earlier run is
+    * discarded here so it cannot leak into this transaction's commit.
+    */
   def begin(name: String): Tx = {
     requireValid(name)
+    fs.delete(stageDir(name), true)
     new Tx(name)
   }
 

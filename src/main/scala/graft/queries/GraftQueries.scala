@@ -793,6 +793,14 @@ object GraftQueries {
     }),
   )
 
+  // events_sessions_streaming oracle constants, derived from the
+  // operator's own named defaults (graft.streaming.EventStream) so a
+  // change to either default changes both sides together.
+  private val sessionGapUs: Long =
+    graft.streaming.EventStream.DefaultSessionGapSeconds * 1000000L
+  private val sessionWatermarkMs: Long =
+    graft.streaming.EventStream.DefaultSessionWatermarkMs
+
   val oracleSql: Map[String, String] = Map(
     "extract_customer" ->
       s"SELECT DISTINCT ${castCols(Seq("c_acctbal", "c_custkey", "c_mktsegment", "c_name"))} FROM customer",
@@ -1311,13 +1319,15 @@ object GraftQueries {
     // batch sessionize, filtered to the sessions the Append stream must
     // have emitted: closed-by-next-event (not the user's last) OR
     // closed-by-timeout (timeout ms strictly below the final watermark,
-    // which Spark computes as floor(max_us/1000) - 3_600_000 for the
-    // 1-hour delay; the timeout is set to floor((end+gap)/1000)+1)
+    // which Spark computes as floor(max_us/1000) - watermark_ms for the
+    // default delay; the timeout is set to floor((end+gap)/1000)+1).
+    // Gap/watermark are interpolated from EventStream's named defaults
+    // so the oracle cannot silently desynchronize from the operator.
     "events_sessions_streaming" ->
-      """WITH o AS (
+      s"""WITH o AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-        |           (PARTITION BY user_id ORDER BY ts, event_id) > 28800000000
+        |           (PARTITION BY user_id ORDER BY ts, event_id) > $sessionGapUs
         |         THEN 1 ELSE 0 END AS f
         |  FROM events),
         |s AS (
@@ -1337,7 +1347,7 @@ object GraftQueries {
         |SELECT user_id, start_us, end_us, n_events
         |FROM g2, m
         |WHERE session_seq < last_seq
-        |   OR (end_us + 28800000000) // 1000 + 1 < max_us // 1000 - 3600000""".stripMargin,
+        |   OR (end_us + $sessionGapUs) // 1000 + 1 < max_us // 1000 - $sessionWatermarkMs""".stripMargin,
 
     "dedup_streaming_documents" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents",

@@ -32,19 +32,33 @@ object EventTime {
           s"events column '$tsCol' has unsupported type $other")
     }
 
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Read parquet without touching session state; only when the file is
+    * genuinely TIMESTAMP(NANOS)-encoded (schema inference fails on the
+    * footer) enable `nanosAsLong` and retry. The conf must then outlive
+    * this call — the footer is re-converted when the lazy scan actually
+    * executes — so in that one case it stays set for the session instead
+    * of being a blanket side effect on every events read.
+    */
+  private def parquetWithNanosFallback(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: Exception if Option(e.getMessage).exists(_.contains("NANOS")) =>
+        spark.conf.set(NanosConf, "true")
+        spark.read.parquet(path)
+    }
+
   /** Batch read of `dir`/events.parquet with `ts` normalized. */
-  def readBatch(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalize(spark.read.parquet(s"$dir/events.parquet"))
-  }
+  def readBatch(spark: SparkSession, dir: String): DataFrame =
+    normalize(parquetWithNanosFallback(spark, s"$dir/events.parquet"))
 
   /** Streaming read of the same files. File-stream sources need an
     * explicit schema, so probe the batch reader's resolved type for `ts`
     * and derive the stream DDL from it instead of hard-coding a unit.
     */
   def readStreamEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsDdl = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType match {
+    val tsDdl = parquetWithNanosFallback(spark, s"$dir/events.parquet").schema("ts").dataType match {
       case LongType        => "BIGINT"
       case TimestampNTZType => "TIMESTAMP_NTZ"
       case _               => "TIMESTAMP"

@@ -30,6 +30,21 @@ final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
   */
 object EventStream {
 
+  /** Default session gap for [[userSessions]] — shared with the DuckDB
+    * oracle (graft.queries.GraftQueries) so the two cannot silently
+    * desynchronize if either changes.
+    */
+  val DefaultSessionGapSeconds: Long = 8 * 3600
+
+  /** Default watermark delay for [[userSessions]], milliseconds. The
+    * string form passed to `withWatermark` is derived from this one
+    * value.
+    */
+  val DefaultSessionWatermarkMs: Long = 3600 * 1000L
+
+  /** `withWatermark`-syntax rendering of [[DefaultSessionWatermarkMs]]. */
+  val DefaultSessionWatermark: String = s"$DefaultSessionWatermarkMs milliseconds"
+
   /** Windowed stats over a streaming events frame. `withWatermark` bounds
     * the state store; output mode Append emits finalized windows only.
     */
@@ -83,8 +98,8 @@ object EventStream {
     */
   def userSessions(
       stream: DataFrame,
-      gapSeconds: Long = 8 * 3600,
-      watermark: String = "1 hour",
+      gapSeconds: Long = DefaultSessionGapSeconds,
+      watermark: String = DefaultSessionWatermark,
   ): Dataset[SessionOut] = {
     val spark = stream.sparkSession
     import spark.implicits._

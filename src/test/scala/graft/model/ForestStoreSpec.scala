@@ -83,5 +83,40 @@ class ForestStoreSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](store.begin("bad/name"))
     intercept[IllegalArgumentException](store.begin("empty").commit()) // commit before write
     intercept[IllegalArgumentException](store.rollback("nowhere"))
+    // all-dot names would resolve snapshots/<name> to the store root or
+    // its parent — path escape, must be rejected like any other bad name
+    intercept[IllegalArgumentException](store.begin(".."))
+    intercept[IllegalArgumentException](store.begin("."))
+    intercept[IllegalArgumentException](store.load("..."))
+    intercept[IllegalArgumentException](store.rollback(".."))
+  }
+
+  test("a stale staging dir from a crashed run is never published by a later tx") {
+    val store = new ForestStore(spark, tmp())
+    store.commit("epoch_0000", forest)
+    // simulate a crashed writer: staging/<name> exists but THIS
+    // transaction never wrote
+    val mutated = Forest.mapTrees(forest)(t => t.copy(label = graft.core.Plain("STALE")))
+    mutated.write.mode("overwrite").parquet(store.root + "/staging/epoch_0001")
+    val tx = store.begin("epoch_0001")
+    intercept[IllegalArgumentException](tx.commit())
+    assert(store.head.contains("epoch_0000"), "HEAD must be untouched by the refused commit")
+    // and after a real write the tx publishes its own data, not the relic
+    val fresh = Forest.mapTrees(forest)(t => t.copy(label = graft.core.Plain("FRESH")))
+    store.begin("epoch_0001").write(fresh).commit()
+    assert(canon(store.load("epoch_0001")) == canon(fresh))
+  }
+
+  test("a missing HEAD file recovers to the newest committed snapshot") {
+    val store = new ForestStore(spark, tmp())
+    store.commit("epoch_0000", forest)
+    val mutated = Forest.mapTrees(forest)(t => t.copy(label = graft.core.Plain("V2")))
+    store.commit("epoch_0001", mutated)
+    // delete the pointer out from under the store (pre-atomic-rename
+    // stores, or external tampering)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(store.root, "HEAD"))
+    assert(store.head.contains("epoch_0001"),
+      "head must recover from local snapshots, not skip to a parent or None")
+    assert(canon(store.loadHead().get) == canon(mutated))
   }
 }
