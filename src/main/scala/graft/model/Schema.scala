@@ -492,19 +492,24 @@ object Schema {
     * one instance keep the last by child position; global
     * drop-duplicates.
     */
-  /** @param broadcastGroups hash-broadcast the deduplicated group-instance
-    *        keyset into the ENT join (default). The keyset is one (treeId,
-    *        nodeId) pair per logical instance — orders of magnitude smaller
-    *        than the ENT side it filters, and without the hint Catalyst
-    *        sees only an unsized aggregate and falls back to shuffling +
-    *        sorting every ENT row. Pass false when a single group's
-    *        instance count is itself too large for executor memory (then
-    *        Catalyst picks a shuffled hash/sort-merge join).
+  /** @param broadcastGroups whether to hash-broadcast the deduplicated
+    *        group-instance keyset into the ENT join. The keyset is one
+    *        (treeId, nodeId) pair per logical instance — usually orders of
+    *        magnitude smaller than the ENT side it filters, and without
+    *        the hint Catalyst sees only an unsized aggregate and falls
+    *        back to shuffling + sorting every ENT row. Default `None` =
+    *        decide from the keyset's MEASURED row count against
+    *        `spark.graft.extract.broadcastMaxGroupRows` (the count reuses
+    *        the persisted pruned projection, so it costs one cheap
+    *        aggregate, not a rescan) — a fact-table-sized root group
+    *        degrades to a shuffled join automatically instead of relying
+    *        on every call site remembering to pass a flag. `Some(x)`
+    *        forces the choice when the caller knows better.
     */
   def extractDataset(
       nodes: Dataset[NodeRow],
       groupName: String,
-      broadcastGroups: Boolean = true,
+      broadcastGroups: Option[Boolean] = None,
   ): org.apache.spark.sql.DataFrame = {
     // The extraction touches only ENT rows plus the target group's GROUP
     // rows, and only 8 of NodeRow's 11 columns — in particular none of
@@ -538,7 +543,18 @@ object Schema {
       .groupBy(col("gTree"), col("k"))
       .agg(min(col("gNode")).as("gNode"))
       .select(col("gTree"), col("gNode"))
-    val groupsDf = if (broadcastGroups) broadcast(deduped) else deduped
+      // the keyset is consumed twice when auto-deciding (count + join);
+      // persisting it keeps the dedup shuffle from running twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val doBroadcast = broadcastGroups.getOrElse {
+      val maxRows = nodes.sparkSession.conf
+        .get("spark.graft.extract.broadcastMaxGroupRows", "20000000").toLong
+      // ~32 bytes/row hashed → the default caps the build side well under
+      // a gigabyte AND under Spark's 512M-row broadcast hard limit, while
+      // staying far above any realistic dimension keyset
+      deduped.count() <= maxRows
+    }
+    val groupsDf = if (doBroadcast) broadcast(deduped) else deduped
     val ents = pruned
       .filter(col("nodeType") === "ENT")
       .select(col("treeId"), col("parentId"), col("pos"), col("name").as("entName"), col("value"))
@@ -564,6 +580,7 @@ object Schema {
       pivoted.dropDuplicates().localCheckpoint(true)
     } finally {
       joined.unpersist(blocking = false)
+      deduped.unpersist(blocking = false)
       pruned.unpersist(blocking = false)
     }
   }

@@ -52,10 +52,29 @@ object Ann {
       .select("query_id", "neighbor_id")
   }
 
+  /** How many centroids the IVF assignment/probe may express as ONE
+    * unrolled Catalyst expression before switching to the broadcast-join
+    * formulation. The unrolled argmax is codegen'd and shuffle-free, but
+    * its plan grows linearly with `nLists`: past a few hundred it blows
+    * codegen's 64KB method limit (falling back to interpreted) and
+    * eventually planning itself. Session conf
+    * `spark.graft.ann.maxUnrolledLists` overrides.
+    */
+  private val MaxUnrolledListsConf = "spark.graft.ann.maxUnrolledLists"
+  private val MaxUnrolledListsDefault = 64
+
   /** IVF index: assign every vector to its closest of `nLists` centroids
     * (k-means initialized from the lexicographically-first ids, `iters`
     * Lloyd rounds); queries probe the `nProbe` closest lists only.
     * Approximate — recall measured against bruteForceTopK in tests.
+    *
+    * Scale: at the `nLists` a 100 TB corpus needs (10³–10⁵) the argmax
+    * is computed against a BROADCAST centroids DataFrame — plan size
+    * O(1) in `nLists`, one map-side-combined aggregate (the shuffle
+    * carries one row per vector, not one per vector×centroid). Small
+    * `nLists` keeps the unrolled whole-stage-codegen expression with
+    * zero assignment shuffle. Both paths are exact argmax with the same
+    * (sim, cid) tie-break, so the output is bit-identical either way.
     */
   def ivfTopK(
       emb: DataFrame,
@@ -69,9 +88,12 @@ object Ann {
   ): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    val unrolled = nLists <= spark.conf
+      .get(MaxUnrolledListsConf, MaxUnrolledListsDefault.toString).toInt
     val corpus = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")).cache()
 
-    // deterministic init: first nLists vectors by id
+    // deterministic init: first nLists vectors by id (driver collect
+    // bounded by nLists·dim — the k-means model, not the data)
     var centroids: Array[(Int, Seq[Double])] = corpus
       .orderBy("id").limit(nLists).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
@@ -85,8 +107,25 @@ object Ann {
       greatest(scored.toIndexedSeq: _*).getField("cid")
     }
 
+    def centroidsDf(cents: Array[(Int, Seq[Double])]): DataFrame =
+      spark.createDataFrame(cents.toSeq).toDF("cid", "cv")
+
+    // (id, v, cid): closest centroid per corpus vector. The join path's
+    // crossJoin is bounded — every corpus row meets only the broadcast
+    // centroid set (the k-means K), never another corpus row — and the
+    // argmax agg combines map-side, mirroring greatest()'s larger-cid
+    // tie-break via struct ordering on (s, cid).
+    def assignCids(cents: Array[(Int, Seq[Double])]): DataFrame =
+      if (unrolled) corpus.withColumn("cid", assignExpr(cents))
+      else corpus
+        .crossJoin(broadcast(centroidsDf(cents)))
+        .withColumn("s", cosine(col("v"), col("cv")))
+        .groupBy("id")
+        .agg(max(struct(col("s"), col("cid"), col("v"))).as("m"))
+        .select(col("id"), col("m.v").as("v"), col("m.cid").as("cid"))
+
     (1 to iters).foreach { _ =>
-      val assigned = corpus.withColumn("cid", assignExpr(centroids))
+      val assigned = assignCids(centroids)
       val dim = centroids.head._2.size
       val meanCols = (0 until dim).map(i => avg(col("v").getItem(i)).as(s"d$i"))
       val means = assigned
@@ -97,19 +136,31 @@ object Ann {
       if (means.nonEmpty) centroids = means.map { case (c, v) => (c, v: Seq[Double]) }
     }
 
-    val assigned = corpus.withColumn("cid", assignExpr(centroids)).cache()
+    val assigned = assignCids(centroids).cache()
     val queries = assigned
       .filter(col("id").isInCollection(queryIds))
       .select(col("id").as("query_id"), col("v").as("va"))
 
-    // probe lists: nProbe closest centroids per query
-    val centroidStructs = centroids.map { case (cid, vec) =>
-      struct(cosine(col("va"), array(vec.map(lit): _*)).as("s"), lit(cid).as("cid"))
-    }
-    val probed = queries.withColumn(
-      "probe",
-      slice(reverse(array_sort(array(centroidStructs: _*))), 1, nProbe))
-      .select(col("query_id"), col("va"), explode(col("probe.cid")).as("cid"))
+    // probe lists: nProbe closest centroids per query, descending by
+    // (similarity, cid) in both formulations
+    val probed =
+      if (unrolled) {
+        val centroidStructs = centroids.map { case (cid, vec) =>
+          struct(cosine(col("va"), array(vec.map(lit): _*)).as("s"), lit(cid).as("cid"))
+        }
+        queries.withColumn(
+          "probe",
+          slice(reverse(array_sort(array(centroidStructs.toIndexedSeq: _*))), 1, nProbe))
+          .select(col("query_id"), col("va"), explode(col("probe.cid")).as("cid"))
+      } else {
+        val pw = Window.partitionBy("query_id").orderBy(col("s").desc, col("cid").desc)
+        queries
+          .crossJoin(broadcast(centroidsDf(centroids)))
+          .withColumn("s", cosine(col("va"), col("cv")))
+          .withColumn("prank", row_number().over(pw))
+          .filter(col("prank") <= nProbe)
+          .select(col("query_id"), col("va"), col("cid"))
+      }
 
     val scored = probed
       .join(assigned.select(col("id").as("neighbor_id"), col("v").as("vb"), col("cid")), Seq("cid"))

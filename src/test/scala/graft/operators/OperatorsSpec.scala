@@ -184,6 +184,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF broadcast-join assignment (large-nLists path) equals the unrolled expression") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(): Set[(Long, Long)] =
+      Ann.ivfTopK(emb, "vec_id", "embedding", 0L to 9L, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaExpr = run()
+    // threshold 0 forces the formulation a 10^3–10^5-list index uses:
+    // broadcast centroids DataFrame + map-side argmax agg + windowed
+    // probe ranking. Exact argmax with the same tie-break on both paths
+    // → identical output, not merely similar recall.
+    spark.conf.set("spark.graft.ann.maxUnrolledLists", "0")
+    try assert(run() == viaExpr, "join-path IVF must match the unrolled path exactly")
+    finally spark.conf.unset("spark.graft.ann.maxUnrolledLists")
+  }
+
   test("embedding-cosine LSH pairs equal brute-force cosine pairs; NaN/zero vectors excluded") {
     import spark.implicits._
     // planted structure: 0~1 near-identical, 2 scaled copy of 0 (cosine
