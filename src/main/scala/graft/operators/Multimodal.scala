@@ -9,6 +9,13 @@ import org.apache.spark.sql.types._
   * metadata struct; decode / feature-extraction / resize / frame-sample
   * run per partition in bounded batches.
   *
+  * Version pin: the batch stages consume `df.queryExecution.toRdd` —
+  * `InternalRow` without a deserialization pass, the JVM analogue of
+  * what `mapInPandas` gets via Arrow. `queryExecution`/`toRdd` are
+  * developer-API surface, not public-stable: written against Spark
+  * 4.1.x (field layout also asserted by MultimodalSpec), re-check on
+  * any Spark major upgrade.
+  *
   * The actual codecs are NOT available in this environment, so the
   * decode step is a clearly-marked deterministic STUB (`StubCodec`): it
   * fabricates dimensions/durations as pure functions of the bytes. The
