@@ -63,6 +63,41 @@ object Ann {
   private val MaxUnrolledListsConf = "spark.graft.ann.maxUnrolledLists"
   private val MaxUnrolledListsDefault = 64
 
+  private def centroidsDf(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Array[(Int, Seq[Double])]): DataFrame =
+    spark.createDataFrame(cents.toSeq).toDF("cid", "cv")
+
+  /** (id, v, cid): closest centroid per corpus vector (columns `id`,
+    * `v`). Unrolled: one codegen'd greatest() argmax, zero shuffle, plan
+    * size O(nLists). Join path: the crossJoin is bounded — every corpus
+    * row meets only the broadcast centroid set (the k-means K), never
+    * another corpus row — and the argmax aggregate combines map-side
+    * (the exchange carries one row per id), mirroring greatest()'s
+    * larger-cid tie-break via struct ordering on (s, cid).
+    * Package-private so PlanGuardrailSpec can pin the join path's
+    * physical shape directly (the public API checkpoints its result,
+    * hiding the plan).
+    */
+  private[operators] def assignToCentroids(
+      corpus: DataFrame,
+      cents: Array[(Int, Seq[Double])],
+      unrolled: Boolean): DataFrame =
+    if (unrolled) {
+      // argmax over centroid dot products, unrolled per centroid
+      val scored = cents.map { case (cid, vec) =>
+        val cArr = array(vec.map(lit): _*)
+        struct(cosine(col("v"), cArr).as("s"), lit(cid).as("cid"))
+      }
+      corpus.withColumn("cid", greatest(scored.toIndexedSeq: _*).getField("cid"))
+    } else
+      corpus
+        .crossJoin(broadcast(centroidsDf(corpus.sparkSession, cents)))
+        .withColumn("s", cosine(col("v"), col("cv")))
+        .groupBy("id")
+        .agg(max(struct(col("s"), col("cid"), col("v"))).as("m"))
+        .select(col("id"), col("m.v").as("v"), col("m.cid").as("cid"))
+
   /** IVF index: assign every vector to its closest of `nLists` centroids
     * (k-means initialized from the lexicographically-first ids, `iters`
     * Lloyd rounds); queries probe the `nProbe` closest lists only.
@@ -98,31 +133,8 @@ object Ann {
       .orderBy("id").limit(nLists).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
 
-    def assignExpr(cents: Array[(Int, Seq[Double])]): Column = {
-      // argmax over centroid dot products, unrolled per centroid
-      val scored = cents.map { case (cid, vec) =>
-        val cArr = array(vec.map(lit): _*)
-        struct(cosine(col("v"), cArr).as("s"), lit(cid).as("cid"))
-      }
-      greatest(scored.toIndexedSeq: _*).getField("cid")
-    }
-
-    def centroidsDf(cents: Array[(Int, Seq[Double])]): DataFrame =
-      spark.createDataFrame(cents.toSeq).toDF("cid", "cv")
-
-    // (id, v, cid): closest centroid per corpus vector. The join path's
-    // crossJoin is bounded — every corpus row meets only the broadcast
-    // centroid set (the k-means K), never another corpus row — and the
-    // argmax agg combines map-side, mirroring greatest()'s larger-cid
-    // tie-break via struct ordering on (s, cid).
     def assignCids(cents: Array[(Int, Seq[Double])]): DataFrame =
-      if (unrolled) corpus.withColumn("cid", assignExpr(cents))
-      else corpus
-        .crossJoin(broadcast(centroidsDf(cents)))
-        .withColumn("s", cosine(col("v"), col("cv")))
-        .groupBy("id")
-        .agg(max(struct(col("s"), col("cid"), col("v"))).as("m"))
-        .select(col("id"), col("m.v").as("v"), col("m.cid").as("cid"))
+      assignToCentroids(corpus, cents, unrolled)
 
     (1 to iters).foreach { _ =>
       val assigned = assignCids(centroids)
@@ -155,7 +167,7 @@ object Ann {
       } else {
         val pw = Window.partitionBy("query_id").orderBy(col("s").desc, col("cid").desc)
         queries
-          .crossJoin(broadcast(centroidsDf(centroids)))
+          .crossJoin(broadcast(centroidsDf(spark, centroids)))
           .withColumn("s", cosine(col("va"), col("cv")))
           .withColumn("prank", row_number().over(pw))
           .filter(col("prank") <= nProbe)

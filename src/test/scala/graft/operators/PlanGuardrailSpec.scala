@@ -48,6 +48,20 @@ class PlanGuardrailSpec extends AnyFunSuite with SparkSpec {
     assert(brute.contains("BroadcastNestedLoopJoin"), "bruteForceTopK should broadcast the query side")
   }
 
+  test("large-nLists IVF assignment broadcasts the centroids and combines map-side") {
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = embs.selectExpr(
+      "vec_id as id", "transform(embedding, x -> cast(x as double)) as v")
+    val cents = Array.tabulate(4)(i => (i, Seq.tabulate(8)(d => (i + d).toDouble)))
+    val p = plan(Ann.assignToCentroids(corpus, cents, unrolled = false))
+    // the corpus side must meet ONLY the broadcast centroid set...
+    assert(!p.contains("CartesianProduct"), "assignment plans an unbroadcast cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin"), "centroids must be the broadcast side")
+    assert(!p.contains("SortMergeJoin"), "assignment must not shuffle the corpus for the join")
+    // ...and the argmax must reduce to one row per id BEFORE the exchange
+    assert(p.contains("partial_max"), "argmax aggregate lost its map-side combine")
+  }
+
   test("column pruning reaches the parquet scan through dedup and extraction") {
     // the pair generators cache their shingle/signature frames, which
     // hides the file scan inside an InMemoryRelation — so pruning is
