@@ -38,6 +38,13 @@ final class ForestStore(spark: SparkSession, val root: String) {
 
   private def snapDir(name: String) = new Path(root, s"snapshots/$name")
   private def stageDir(name: String) = new Path(root, s"staging/$name")
+  // re-commit of an existing name parks the old snapshot here for the
+  // duration of the publish (directories cannot be overwrite-renamed),
+  // so no crash instant leaves the name without data: before the
+  // move-aside the old dir is in place, after it resolve() falls back
+  // to the aside copy, and after the publish rename the new dir is in
+  // place (the aside relic is deleted last / cleaned on the next open)
+  private def asideDir(name: String) = new Path(root, s"aside/$name")
   private def headFile = new Path(root, "HEAD")
   private def parentFile = new Path(root, "PARENT")
 
@@ -81,19 +88,56 @@ final class ForestStore(spark: SparkSession, val root: String) {
   private def newestLocalSnapshot: Option[String] =
     Option(fs.globStatus(new Path(root, "snapshots/*")))
       .getOrElse(Array.empty)
-      .sortBy(s => (s.getModificationTime, s.getPath.getName))
+      .sortWith { (a, b) =>
+        a.getModificationTime < b.getModificationTime ||
+        (a.getModificationTime == b.getModificationTime &&
+          naturalCompare(a.getPath.getName, b.getPath.getName) < 0)
+      }
       .lastOption
       .map(_.getPath.getName)
 
-  /** Committed snapshot names, parent-chain included, oldest store last. */
+  /** Numeric-aware name ordering for the modification-time tiebreak:
+    * unpadded sequences like epoch_9 / epoch_10 must recover to
+    * epoch_10, which plain lexicographic comparison gets backwards.
+    */
+  private def naturalCompare(a: String, b: String): Int = {
+    def toks(s: String): Vector[String] = {
+      val m = java.util.regex.Pattern.compile("\\d+|\\D+").matcher(s)
+      val out = Vector.newBuilder[String]
+      while (m.find()) out += m.group()
+      out.result()
+    }
+    val (ta, tb) = (toks(a), toks(b))
+    var i = 0
+    var c = 0
+    while (c == 0 && i < math.min(ta.size, tb.size)) {
+      val (x, y) = (ta(i), tb(i))
+      c =
+        if (x.head.isDigit && y.head.isDigit) BigInt(x).compare(BigInt(y))
+        else x.compare(y)
+      i += 1
+    }
+    if (c != 0) c else ta.size.compare(tb.size)
+  }
+
+  /** Committed snapshot names, parent-chain included, oldest store last.
+    * Includes names whose data is parked in aside/ by an interrupted
+    * re-commit — they are still loadable via the same fallback
+    * resolve() uses.
+    */
   def list: Seq[String] = {
-    val local = Option(fs.globStatus(new Path(root, "snapshots/*")))
-      .getOrElse(Array.empty).toSeq.map(_.getPath.getName).sorted
+    val local = (
+      Option(fs.globStatus(new Path(root, "snapshots/*"))).getOrElse(Array.empty) ++
+        Option(fs.globStatus(new Path(root, "aside/*"))).getOrElse(Array.empty)
+      ).toSeq.map(_.getPath.getName).distinct.sorted
     local ++ parent.toSeq.flatMap(_.list.filterNot(local.contains))
   }
 
   private def resolve(name: String): Option[Path] =
     if (fs.exists(snapDir(name))) Some(snapDir(name))
+    // a crash between a re-commit's move-aside and its publish rename
+    // leaves the committed data parked in aside/ — still loadable
+    else if (fs.exists(asideDir(name))) Some(asideDir(name))
     else parent.flatMap(_.resolve(name))
 
   /** Load a committed snapshot (searching the fork's parent chain). */
@@ -130,10 +174,20 @@ final class ForestStore(spark: SparkSession, val root: String) {
       // crashed earlier run must never be published as this transaction's
       require(written, s"transaction '$name' committed before write")
       fs.mkdirs(new Path(root, "snapshots"))
-      fs.delete(snapDir(name), true)
+      // re-commit of an existing name: park the old snapshot in aside/
+      // rather than deleting it, so no crash instant leaves the name
+      // dataless (delete-then-rename would). resolve() prefers the new
+      // dir the moment the publish rename lands.
+      fs.delete(asideDir(name), true)
+      if (fs.exists(snapDir(name))) {
+        fs.mkdirs(new Path(root, "aside"))
+        if (!fs.rename(snapDir(name), asideDir(name)))
+          throw new java.io.IOException(s"parking old snapshot '$name' failed")
+      }
       if (!fs.rename(stageDir(name), snapDir(name)))
         throw new java.io.IOException(s"publishing snapshot '$name' failed")
       writeText(headFile, name)
+      fs.delete(asideDir(name), true)
       open = false
     }
 

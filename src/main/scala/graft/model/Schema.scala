@@ -536,16 +536,20 @@ object Schema {
     val occurrences = pruned
       .filter(col("nodeType") === "GROUP" && col("name") === groupName)
       .select(col("treeId").as("gTree"), col("nodeId").as("gNode"), col("oid"))
-    val deduped = occurrences
+    val dedupedBase = occurrences
       .withColumn("k",
         when(col("oid").isNull || col("oid") === "",
           concat_ws(":", col("gTree"), col("gNode"))).otherwise(col("oid")))
       .groupBy(col("gTree"), col("k"))
       .agg(min(col("gNode")).as("gNode"))
       .select(col("gTree"), col("gNode"))
-      // the keyset is consumed twice when auto-deciding (count + join);
-      // persisting it keeps the dedup shuffle from running twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // auto-deciding consumes the keyset twice (count + join), so only
+    // then is it persisted to keep the dedup shuffle from running twice;
+    // a forced choice consumes it once and needs no cache
+    val deduped =
+      if (broadcastGroups.isEmpty)
+        dedupedBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else dedupedBase
     val doBroadcast = broadcastGroups.getOrElse {
       val maxRows = nodes.sparkSession.conf
         .get("spark.graft.extract.broadcastMaxGroupRows", "20000000").toLong

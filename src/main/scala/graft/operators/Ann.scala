@@ -73,11 +73,13 @@ object Ann {
     * size O(nLists). Join path: the crossJoin is bounded — every corpus
     * row meets only the broadcast centroid set (the k-means K), never
     * another corpus row — and the argmax aggregate combines map-side
-    * (the exchange carries one row per id), mirroring greatest()'s
-    * larger-cid tie-break via struct ordering on (s, cid).
-    * Package-private so PlanGuardrailSpec can pin the join path's
-    * physical shape directly (the public API checkpoints its result,
-    * hiding the plan).
+    * (the exchange carries one row per input row), mirroring
+    * greatest()'s larger-cid tie-break via struct ordering on (s, cid).
+    * The aggregate groups on a per-ROW key (not `id`), so a corpus with
+    * duplicate ids keeps every row — same multiplicity as the unrolled
+    * path and bruteForceTopK. Package-private so PlanGuardrailSpec can
+    * pin the join path's physical shape directly (the public API
+    * checkpoints its result, hiding the plan).
     */
   private[operators] def assignToCentroids(
       corpus: DataFrame,
@@ -92,9 +94,12 @@ object Ann {
       corpus.withColumn("cid", greatest(scored.toIndexedSeq: _*).getField("cid"))
     } else
       corpus
+        // per-row identity: unique within this one plan execution, which
+        // is all the grouping needs; dropped before returning
+        .withColumn("_rid", monotonically_increasing_id())
         .crossJoin(broadcast(centroidsDf(corpus.sparkSession, cents)))
         .withColumn("s", cosine(col("v"), col("cv")))
-        .groupBy("id")
+        .groupBy(col("_rid"), col("id"))
         .agg(max(struct(col("s"), col("cid"), col("v"))).as("m"))
         .select(col("id"), col("m.v").as("v"), col("m.cid").as("cid"))
 

@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
+  /** Canonical default session gap. The streaming lane
+    * ([[graft.streaming.EventStream.userSessions]]) and BOTH DuckDB
+    * oracles (batch and streaming, graft.queries.GraftQueries) derive
+    * from this one value, so changing it moves every sessionization
+    * surface together instead of silently desynchronizing them.
+    */
+  val DefaultGapSeconds: Long = 8 * 3600
+
   /** Per-session rows: (user, session_seq, n_events, start_us, end_us,
     * sum_value_cents, duration_us). `session_seq` is the user's 0-based
     * session ordinal in (time, id) order — deterministic because the
@@ -35,7 +43,7 @@ object Sessions {
     */
   def sessionize(
       events: DataFrame,
-      gapSeconds: Long = 8 * 3600,
+      gapSeconds: Long = DefaultGapSeconds,
       userCol: String = "user_id",
       tsCol: String = "ts",
       idCol: String = "event_id",

@@ -793,11 +793,11 @@ object GraftQueries {
     }),
   )
 
-  // events_sessions_streaming oracle constants, derived from the
-  // operator's own named defaults (graft.streaming.EventStream) so a
-  // change to either default changes both sides together.
+  // Sessionization oracle constants (batch events_sessions AND streaming
+  // events_sessions_streaming), derived from the operators' own named
+  // defaults so a change to either default changes both sides together.
   private val sessionGapUs: Long =
-    graft.streaming.EventStream.DefaultSessionGapSeconds * 1000000L
+    graft.operators.Sessions.DefaultGapSeconds * 1000000L
   private val sessionWatermarkMs: Long =
     graft.streaming.EventStream.DefaultSessionWatermarkMs
 
@@ -1204,10 +1204,10 @@ object GraftQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "events_sessions" ->
-      """WITH o AS (
+      s"""WITH o AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-        |           (PARTITION BY user_id ORDER BY ts, event_id) > 28800000000
+        |           (PARTITION BY user_id ORDER BY ts, event_id) > $sessionGapUs
         |         THEN 1 ELSE 0 END AS f
         |  FROM events),
         |s AS (

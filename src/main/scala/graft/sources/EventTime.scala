@@ -34,20 +34,52 @@ object EventTime {
 
   private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** Read parquet without touching session state; only when the file is
-    * genuinely TIMESTAMP(NANOS)-encoded (schema inference fails on the
-    * footer) enable `nanosAsLong` and retry. The conf must then outlive
-    * this call — the footer is re-converted when the lazy scan actually
-    * executes — so in that one case it stays set for the session instead
-    * of being a blanket side effect on every events read.
+  /** True iff the `ts` column of (the first parquet file under) `path`
+    * is annotated TIMESTAMP(NANOS) — probed from the parquet footer
+    * itself, so the decision never depends on exception-message text.
+    * Any probe failure (missing path, non-parquet, group-typed `ts`)
+    * answers false and leaves the error to the real read.
     */
-  private def parquetWithNanosFallback(spark: SparkSession, path: String): DataFrame =
+  private def tsIsNanos(spark: SparkSession, path: String): Boolean =
+    scala.util.Try {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hconf)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath.toString).filter(_.endsWith(".parquet")).min
+        else path
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), hconf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.containsField("ts") && (schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation => t.getUnit == TimeUnit.NANOS
+          case _ => false
+        })
+      } finally reader.close()
+    }.getOrElse(false)
+
+  /** Read parquet without touching session state unless the file is
+    * genuinely TIMESTAMP(NANOS)-encoded (probed from the footer), in
+    * which case `nanosAsLong` must be enabled BEFORE schema inference —
+    * and must outlive this call, because the footer is re-converted when
+    * the lazy scan actually executes. So in that one case it stays set
+    * for the session instead of being a blanket side effect on every
+    * events read. The message-text catch remains only as a second-chance
+    * net if a future encoding defeats the footer probe.
+    */
+  private def parquetWithNanosFallback(spark: SparkSession, path: String): DataFrame = {
+    if (tsIsNanos(spark, path)) spark.conf.set(NanosConf, "true")
     try spark.read.parquet(path)
     catch {
       case e: Exception if Option(e.getMessage).exists(_.contains("NANOS")) =>
         spark.conf.set(NanosConf, "true")
         spark.read.parquet(path)
     }
+  }
 
   /** Batch read of `dir`/events.parquet with `ts` normalized. */
   def readBatch(spark: SparkSession, dir: String): DataFrame =

@@ -30,11 +30,12 @@ final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
   */
 object EventStream {
 
-  /** Default session gap for [[userSessions]] — shared with the DuckDB
-    * oracle (graft.queries.GraftQueries) so the two cannot silently
-    * desynchronize if either changes.
+  /** Default session gap for [[userSessions]] — the batch operator's
+    * canonical constant ([[graft.operators.Sessions.DefaultGapSeconds]]),
+    * also interpolated into both DuckDB oracles, so batch, streaming,
+    * and oracle gaps move together.
     */
-  val DefaultSessionGapSeconds: Long = 8 * 3600
+  val DefaultSessionGapSeconds: Long = graft.operators.Sessions.DefaultGapSeconds
 
   /** Default watermark delay for [[userSessions]], milliseconds. The
     * string form passed to `withWatermark` is derived from this one

@@ -107,6 +107,42 @@ class ForestStoreSpec extends AnyFunSuite with SparkSpec {
     assert(canon(store.load("epoch_0001")) == canon(fresh))
   }
 
+  test("re-committing a name keeps it loadable at every crash instant") {
+    val store = new ForestStore(spark, tmp())
+    store.commit("epoch_0000", forest)
+    val v2 = Forest.mapTrees(forest)(t => t.copy(label = graft.core.Plain("V2")))
+    store.commit("epoch_0000", v2)
+    assert(canon(store.load("epoch_0000")) == canon(v2), "re-commit must serve the new data")
+    // the aside relic is cleaned up after a completed publish
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(store.root, "aside/epoch_0000")))
+
+    // simulate the worst crash instant: old snapshot parked in aside/,
+    // publish rename never happened
+    val fs = java.nio.file.Paths.get(store.root)
+    java.nio.file.Files.createDirectories(fs.resolve("aside"))
+    java.nio.file.Files.move(
+      fs.resolve("snapshots/epoch_0000"), fs.resolve("aside/epoch_0000"))
+    assert(canon(store.load("epoch_0000")) == canon(v2),
+      "a crashed re-commit must leave the name loadable from aside/")
+    assert(store.list.contains("epoch_0000"), "aside-parked names must still be listed")
+  }
+
+  test("HEAD recovery orders unpadded numeric names naturally on mtime ties") {
+    val store = new ForestStore(spark, tmp())
+    store.commit("epoch_9", forest)
+    val v10 = Forest.mapTrees(forest)(t => t.copy(label = graft.core.Plain("V10")))
+    store.commit("epoch_10", v10)
+    // force an mtime tie (coarse-granularity filesystems do this for
+    // real): lexicographic would then pick epoch_9 > epoch_10
+    val base = java.nio.file.Paths.get(store.root, "snapshots")
+    val t0 = java.nio.file.attribute.FileTime.fromMillis(1000000000000L)
+    java.nio.file.Files.setLastModifiedTime(base.resolve("epoch_9"), t0)
+    java.nio.file.Files.setLastModifiedTime(base.resolve("epoch_10"), t0)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(store.root, "HEAD"))
+    assert(store.head.contains("epoch_10"),
+      "recovery must pick epoch_10 over epoch_9 under a numeric-aware tiebreak")
+  }
+
   test("a missing HEAD file recovers to the newest committed snapshot") {
     val store = new ForestStore(spark, tmp())
     store.commit("epoch_0000", forest)

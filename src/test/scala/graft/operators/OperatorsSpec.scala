@@ -199,6 +199,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     finally spark.conf.unset("spark.graft.ann.maxUnrolledLists")
   }
 
+  test("IVF join-path assignment preserves rows with duplicate ids") {
+    import spark.implicits._
+    // two rows share id=7 with different vectors (unioned shards) — the
+    // aggregate must key per ROW, not per id, or one vector vanishes
+    val corpus = Seq(
+      (7L, Seq(1.0, 0.0)), (7L, Seq(0.0, 1.0)), (8L, Seq(1.0, 1.0)),
+    ).toDF("id", "v")
+    val cents = Array((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+    graft.functions.GraftFunctions.register(spark)
+    def got(unrolled: Boolean): Seq[(Long, Int)] =
+      Ann.assignToCentroids(corpus, cents, unrolled)
+        .select("id", "cid").collect().map(r => (r.getLong(0), r.getInt(1)))
+        .toSeq.sorted
+    val viaJoin = got(unrolled = false)
+    assert(viaJoin.size == 3, s"join path dropped a duplicate-id row: $viaJoin")
+    assert(viaJoin == got(unrolled = true), "paths disagree on a duplicate-id corpus")
+  }
+
   test("embedding-cosine LSH pairs equal brute-force cosine pairs; NaN/zero vectors excluded") {
     import spark.implicits._
     // planted structure: 0~1 near-identical, 2 scaled copy of 0 (cosine
