@@ -43,7 +43,10 @@ final class ForestStore(spark: SparkSession, val root: String) {
   // so no crash instant leaves the name without data: before the
   // move-aside the old dir is in place, after it resolve() falls back
   // to the aside copy, and after the publish rename the new dir is in
-  // place (the aside relic is deleted last / cleaned on the next open)
+  // place. The relic is deleted after the publish completes; one left
+  // by a crash in that last instant is swept by the next begin() (only
+  // when its primary exists — an aside WITHOUT a primary is the sole
+  // committed copy and is preserved)
   private def asideDir(name: String) = new Path(root, s"aside/$name")
   private def headFile = new Path(root, "HEAD")
   private def parentFile = new Path(root, "PARENT")
@@ -85,9 +88,15 @@ final class ForestStore(spark: SparkSession, val root: String) {
   def head: Option[String] =
     readText(headFile).orElse(newestLocalSnapshot).orElse(parent.flatMap(_.head))
 
-  private def newestLocalSnapshot: Option[String] =
-    Option(fs.globStatus(new Path(root, "snapshots/*")))
-      .getOrElse(Array.empty)
+  private def newestLocalSnapshot: Option[String] = {
+    // aside/ entries count too: after a crashed re-commit the only copy
+    // of a name can live there (resolve() serves it), and skipping it
+    // would recover HEAD to an older snapshot or a fork parent's
+    val snaps = Option(fs.globStatus(new Path(root, "snapshots/*"))).getOrElse(Array.empty)
+    val snapNames = snaps.map(_.getPath.getName).toSet
+    val asides = Option(fs.globStatus(new Path(root, "aside/*"))).getOrElse(Array.empty)
+      .filterNot(s => snapNames.contains(s.getPath.getName))
+    (snaps ++ asides)
       .sortWith { (a, b) =>
         a.getModificationTime < b.getModificationTime ||
         (a.getModificationTime == b.getModificationTime &&
@@ -95,6 +104,7 @@ final class ForestStore(spark: SparkSession, val root: String) {
       }
       .lastOption
       .map(_.getPath.getName)
+  }
 
   /** Numeric-aware name ordering for the modification-time tiebreak:
     * unpadded sequences like epoch_9 / epoch_10 must recover to
@@ -177,9 +187,13 @@ final class ForestStore(spark: SparkSession, val root: String) {
       // re-commit of an existing name: park the old snapshot in aside/
       // rather than deleting it, so no crash instant leaves the name
       // dataless (delete-then-rename would). resolve() prefers the new
-      // dir the moment the publish rename lands.
-      fs.delete(asideDir(name), true)
+      // dir the moment the publish rename lands. A stale aside relic is
+      // deleted ONLY when a primary snapshot exists to replace it — if
+      // snapshots/<name> is absent, the aside copy is the sole committed
+      // data (a previously crashed re-commit) and must survive until
+      // this publish lands.
       if (fs.exists(snapDir(name))) {
+        fs.delete(asideDir(name), true)
         fs.mkdirs(new Path(root, "aside"))
         if (!fs.rename(snapDir(name), asideDir(name)))
           throw new java.io.IOException(s"parking old snapshot '$name' failed")
@@ -199,11 +213,18 @@ final class ForestStore(spark: SparkSession, val root: String) {
 
   /** Begin a transaction that will publish snapshot `name` on commit.
     * Any staging directory left behind by a crashed earlier run is
-    * discarded here so it cannot leak into this transaction's commit.
+    * discarded here so it cannot leak into this transaction's commit,
+    * and aside/ relics whose primary snapshot exists (a crash in a
+    * completed publish's final cleanup instant) are swept so they don't
+    * accumulate one full snapshot copy per name.
     */
   def begin(name: String): Tx = {
     requireValid(name)
     fs.delete(stageDir(name), true)
+    Option(fs.globStatus(new Path(root, "aside/*"))).getOrElse(Array.empty)
+      .map(_.getPath)
+      .filter(p => fs.exists(snapDir(p.getName)))
+      .foreach(p => fs.delete(p, true))
     new Tx(name)
   }
 

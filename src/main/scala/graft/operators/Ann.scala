@@ -53,33 +53,35 @@ object Ann {
   }
 
   /** How many centroids the IVF assignment/probe may express as ONE
-    * unrolled Catalyst expression before switching to the broadcast-join
-    * formulation. The unrolled argmax is codegen'd and shuffle-free, but
-    * its plan grows linearly with `nLists`: past a few hundred it blows
-    * codegen's 64KB method limit (falling back to interpreted) and
-    * eventually planning itself. Session conf
+    * unrolled Catalyst expression before switching to the
+    * single-literal `array_max(transform(…))` formulation. The unrolled
+    * argmax is codegen'd, but its plan grows linearly with `nLists`:
+    * past a few hundred it blows codegen's 64KB method limit (falling
+    * back to interpreted) and eventually planning itself. Session conf
     * `spark.graft.ann.maxUnrolledLists` overrides.
     */
   private val MaxUnrolledListsConf = "spark.graft.ann.maxUnrolledLists"
   private val MaxUnrolledListsDefault = 64
 
-  private def centroidsDf(
-      spark: org.apache.spark.sql.SparkSession,
-      cents: Array[(Int, Seq[Double])]): DataFrame =
-    spark.createDataFrame(cents.toSeq).toDF("cid", "cv")
+  /** The centroid set as ONE literal column: array<struct<cid,cv>> in a
+    * single `typedLit` — a constant-size plan node carrying the data,
+    * not an O(nLists) expression tree.
+    */
+  private def centroidsLit(cents: Array[(Int, Seq[Double])]): Column =
+    typedLit(cents.toSeq).cast("array<struct<cid:int,cv:array<double>>>")
 
   /** (id, v, cid): closest centroid per corpus vector (columns `id`,
-    * `v`). Unrolled: one codegen'd greatest() argmax, zero shuffle, plan
-    * size O(nLists). Join path: the crossJoin is bounded — every corpus
-    * row meets only the broadcast centroid set (the k-means K), never
-    * another corpus row — and the argmax aggregate combines map-side
-    * (the exchange carries one row per input row), mirroring
-    * greatest()'s larger-cid tie-break via struct ordering on (s, cid).
-    * The aggregate groups on a per-ROW key (not `id`), so a corpus with
-    * duplicate ids keeps every row — same multiplicity as the unrolled
-    * path and bruteForceTopK. Package-private so PlanGuardrailSpec can
-    * pin the join path's physical shape directly (the public API
-    * checkpoints its result, hiding the plan).
+    * `v`). Unrolled: one codegen'd greatest() argmax, plan size
+    * O(nLists). Large path: the same argmax as
+    * `array_max(transform(centroidsLit, …))` — struct ordering on
+    * (s, cid) IS greatest()'s larger-cid tie-break — with the centroid
+    * set embedded as a single literal, so plan size is O(1) in nLists.
+    * Both paths are per-row map-side expressions: zero shuffle, no join,
+    * no row-identity key, deterministic under task retry, and a corpus
+    * with duplicate ids keeps every row with identical multiplicity.
+    * Package-private so PlanGuardrailSpec can pin the large path's
+    * physical shape directly (the public API checkpoints its result,
+    * hiding the plan).
     */
   private[operators] def assignToCentroids(
       corpus: DataFrame,
@@ -93,15 +95,12 @@ object Ann {
       }
       corpus.withColumn("cid", greatest(scored.toIndexedSeq: _*).getField("cid"))
     } else
-      corpus
-        // per-row identity: unique within this one plan execution, which
-        // is all the grouping needs; dropped before returning
-        .withColumn("_rid", monotonically_increasing_id())
-        .crossJoin(broadcast(centroidsDf(corpus.sparkSession, cents)))
-        .withColumn("s", cosine(col("v"), col("cv")))
-        .groupBy(col("_rid"), col("id"))
-        .agg(max(struct(col("s"), col("cid"), col("v"))).as("m"))
-        .select(col("id"), col("m.v").as("v"), col("m.cid").as("cid"))
+      corpus.withColumn(
+        "cid",
+        array_max(transform(
+          centroidsLit(cents),
+          c => struct(cosine(col("v"), c.getField("cv")).as("s"), c.getField("cid").as("cid"))))
+          .getField("cid"))
 
   /** IVF index: assign every vector to its closest of `nLists` centroids
     * (k-means initialized from the lexicographically-first ids, `iters`
@@ -109,12 +108,13 @@ object Ann {
     * Approximate — recall measured against bruteForceTopK in tests.
     *
     * Scale: at the `nLists` a 100 TB corpus needs (10³–10⁵) the argmax
-    * is computed against a BROADCAST centroids DataFrame — plan size
-    * O(1) in `nLists`, one map-side-combined aggregate (the shuffle
-    * carries one row per vector, not one per vector×centroid). Small
-    * `nLists` keeps the unrolled whole-stage-codegen expression with
-    * zero assignment shuffle. Both paths are exact argmax with the same
-    * (sim, cid) tie-break, so the output is bit-identical either way.
+    * runs as `array_max(transform(…))` over the centroid set embedded in
+    * ONE literal — plan size O(1) in `nLists`, still a pure per-row
+    * map-side expression: no join, no shuffle, nothing non-deterministic
+    * under task retry. Small `nLists` keeps the unrolled
+    * whole-stage-codegen expression. Both paths are exact argmax with
+    * the same (sim, cid) tie-break, so the output is bit-identical
+    * either way.
     */
   def ivfTopK(
       emb: DataFrame,
@@ -159,25 +159,21 @@ object Ann {
       .select(col("id").as("query_id"), col("v").as("va"))
 
     // probe lists: nProbe closest centroids per query, descending by
-    // (similarity, cid) in both formulations
-    val probed =
-      if (unrolled) {
-        val centroidStructs = centroids.map { case (cid, vec) =>
+    // (similarity, cid). Same sort/slice in both formulations; only the
+    // scored-centroid array's construction differs (unrolled structs vs
+    // transform over the single centroid literal).
+    val scoredCentroids =
+      if (unrolled)
+        array(centroids.toIndexedSeq.map { case (cid, vec) =>
           struct(cosine(col("va"), array(vec.map(lit): _*)).as("s"), lit(cid).as("cid"))
-        }
-        queries.withColumn(
-          "probe",
-          slice(reverse(array_sort(array(centroidStructs.toIndexedSeq: _*))), 1, nProbe))
-          .select(col("query_id"), col("va"), explode(col("probe.cid")).as("cid"))
-      } else {
-        val pw = Window.partitionBy("query_id").orderBy(col("s").desc, col("cid").desc)
-        queries
-          .crossJoin(broadcast(centroidsDf(spark, centroids)))
-          .withColumn("s", cosine(col("va"), col("cv")))
-          .withColumn("prank", row_number().over(pw))
-          .filter(col("prank") <= nProbe)
-          .select(col("query_id"), col("va"), col("cid"))
-      }
+        }: _*)
+      else
+        transform(
+          centroidsLit(centroids),
+          c => struct(cosine(col("va"), c.getField("cv")).as("s"), c.getField("cid").as("cid")))
+    val probed = queries
+      .withColumn("probe", slice(reverse(array_sort(scoredCentroids)), 1, nProbe))
+      .select(col("query_id"), col("va"), explode(col("probe.cid")).as("cid"))
 
     val scored = probed
       .join(assigned.select(col("id").as("neighbor_id"), col("v").as("vb"), col("cid")), Seq("cid"))

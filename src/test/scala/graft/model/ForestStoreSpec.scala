@@ -125,6 +125,30 @@ class ForestStoreSpec extends AnyFunSuite with SparkSpec {
     assert(canon(store.load("epoch_0000")) == canon(v2),
       "a crashed re-commit must leave the name loadable from aside/")
     assert(store.list.contains("epoch_0000"), "aside-parked names must still be listed")
+
+    // an orphan aside (no primary) is the sole committed copy — it must
+    // survive begin()'s relic sweep...
+    store.begin("unrelated").abort()
+    assert(canon(store.load("epoch_0000")) == canon(v2),
+      "begin()'s sweep must never delete an aside without a primary")
+    // ...and HEAD recovery must see it
+    java.nio.file.Files.deleteIfExists(fs.resolve("HEAD"))
+    assert(store.head.contains("epoch_0000"),
+      "HEAD recovery must consider aside-only snapshots")
+
+    // recovering by re-committing the name from the crashed state works
+    // and cleans the aside up
+    val v3 = Forest.mapTrees(forest)(t => t.copy(label = graft.core.Plain("V3")))
+    store.commit("epoch_0000", v3)
+    assert(canon(store.load("epoch_0000")) == canon(v3))
+    assert(!java.nio.file.Files.exists(fs.resolve("aside/epoch_0000")))
+
+    // a relic WITH a primary (crash in the publish's final cleanup
+    // instant) is swept by the next begin()
+    java.nio.file.Files.createDirectories(fs.resolve("aside/epoch_0000"))
+    store.begin("sweep_trigger").abort()
+    assert(!java.nio.file.Files.exists(fs.resolve("aside/epoch_0000")),
+      "begin() must sweep aside relics whose primary snapshot exists")
   }
 
   test("HEAD recovery orders unpadded numeric names naturally on mtime ties") {

@@ -48,18 +48,19 @@ class PlanGuardrailSpec extends AnyFunSuite with SparkSpec {
     assert(brute.contains("BroadcastNestedLoopJoin"), "bruteForceTopK should broadcast the query side")
   }
 
-  test("large-nLists IVF assignment broadcasts the centroids and combines map-side") {
+  test("large-nLists IVF assignment is a pure per-row expression: no join, no shuffle") {
     graft.functions.GraftFunctions.register(spark)
     val corpus = embs.selectExpr(
       "vec_id as id", "transform(embedding, x -> cast(x as double)) as v")
     val cents = Array.tabulate(4)(i => (i, Seq.tabulate(8)(d => (i + d).toDouble)))
     val p = plan(Ann.assignToCentroids(corpus, cents, unrolled = false))
-    // the corpus side must meet ONLY the broadcast centroid set...
-    assert(!p.contains("CartesianProduct"), "assignment plans an unbroadcast cartesian")
-    assert(p.contains("BroadcastNestedLoopJoin"), "centroids must be the broadcast side")
-    assert(!p.contains("SortMergeJoin"), "assignment must not shuffle the corpus for the join")
-    // ...and the argmax must reduce to one row per id BEFORE the exchange
-    assert(p.contains("partial_max"), "argmax aggregate lost its map-side combine")
+    // the centroid set is embedded in one literal; assignment must stay
+    // a map-side projection — a join or exchange here means the
+    // formulation regressed to something with retry/scale hazards
+    assert(!p.contains("Join"), s"assignment must not join: $p")
+    assert(!p.contains("CartesianProduct"), "assignment plans a cartesian")
+    assert(!p.contains("Exchange"), s"assignment must not shuffle: $p")
+    assert(!p.contains("HashAggregate"), "assignment must not aggregate")
   }
 
   test("column pruning reaches the parquet scan through dedup and extraction") {
