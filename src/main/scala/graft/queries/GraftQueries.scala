@@ -245,6 +245,9 @@ object GraftQueries {
       TextAnalysis.langId(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     "quality_score_documents" -> ((s, d) =>
       TextAnalysis.qualityScore(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
+    "quality_classifier_documents" -> ((s, d) =>
+      graft.operators.QualityClassifier.score(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     "fingerprint_documents" -> ((s, d) =>
       TextAnalysis.fingerprint(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     "token_count_documents" -> ((s, d) =>
@@ -1130,6 +1133,20 @@ object GraftQueries {
         |  (CASE WHEN length(trim(text)) = 0 THEN 0
         |        ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END) < 10 AS is_short
         |FROM documents""".stripMargin,
+
+    // hashed-bag-of-words linear scorer, integer milli-weights: the
+    // bucket/weight arithmetic is interpolated from QualityClassifier's
+    // own constants so model and oracle cannot desynchronize
+    "quality_classifier_documents" -> {
+      import graft.operators.QualityClassifier.{Dim, Mix}
+      s"""SELECT doc_id, n_tokens, sum_milliweight, sum_milliweight > 0 AS is_quality
+         |FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(list_sum(list_transform(toks, t ->
+         |    ((${duckHash("t")} % $Dim) * $Mix) % 2001 - 1000)), 0) AS BIGINT) AS sum_milliweight
+         |  FROM (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |    FROM documents))""".stripMargin
+    },
 
     "quality_score_documents" ->
       """SELECT doc_id, CAST(

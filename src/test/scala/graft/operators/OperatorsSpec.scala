@@ -217,6 +217,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(viaJoin == got(unrolled = true), "paths disagree on a duplicate-id corpus")
   }
 
+  test("quality classifier: linear, deterministic, bounded; empty docs fail") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha"),        // doubled token → exactly double its weight
+      (3L, "alpha"),
+      (4L, ""),                   // token-free → (0, 0, false)
+      (5L, "   "),
+      (6L, "alpha  beta"),        // double space must not hash an empty token
+    ).toDF("doc_id", "text")
+    val out = QualityClassifier.score(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+
+    val (n1, s1, _) = out(1L)
+    assert(n1 == 3 && math.abs(s1) <= 3000, "3 tokens, each milli-weight within ±1000")
+    assert(out(2L)._2 == 2 * out(3L)._2, "the model must be linear in token counts")
+    assert(out(4L) == ((0L, 0L, false)) && out(5L) == ((0L, 0L, false)),
+      "token-free documents score 0 and are not quality")
+    assert(out(6L)._1 == 2, "consecutive separators must not produce empty-token features")
+    // deterministic: a second evaluation is bit-identical
+    val again = QualityClassifier.score(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(again == out)
+  }
+
   test("embedding-cosine LSH pairs equal brute-force cosine pairs; NaN/zero vectors excluded") {
     import spark.implicits._
     // planted structure: 0~1 near-identical, 2 scaled copy of 0 (cosine

@@ -63,6 +63,15 @@ class PlanGuardrailSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("HashAggregate"), "assignment must not aggregate")
   }
 
+  test("quality classifier stays a scan-level projection") {
+    val p = plan(QualityClassifier.score(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), s"classifier scoring must not shuffle: $p")
+    assert(!p.contains("Join"), "classifier scoring must not join")
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("struct<doc_id:bigint,text:string>")),
+      s"classifier scan reads more than its two columns: $scans")
+  }
+
   test("column pruning reaches the parquet scan through dedup and extraction") {
     // the pair generators cache their shingle/signature frames, which
     // hides the file scan inside an InMemoryRelation — so pruning is
