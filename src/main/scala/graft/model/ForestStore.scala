@@ -44,9 +44,9 @@ final class ForestStore(spark: SparkSession, val root: String) {
   // move-aside the old dir is in place, after it resolve() falls back
   // to the aside copy, and after the publish rename the new dir is in
   // place. The relic is deleted after the publish completes; one left
-  // by a crash in that last instant is swept by the next begin() (only
-  // when its primary exists — an aside WITHOUT a primary is the sole
-  // committed copy and is preserved)
+  // by a crash in that last instant is shadowed by its primary (harmless
+  // beyond disk) until `sweepAside()` reclaims it — never implicitly,
+  // see that method's race note
   private def asideDir(name: String) = new Path(root, s"aside/$name")
   private def headFile = new Path(root, "HEAD")
   private def parentFile = new Path(root, "PARENT")
@@ -213,20 +213,29 @@ final class ForestStore(spark: SparkSession, val root: String) {
 
   /** Begin a transaction that will publish snapshot `name` on commit.
     * Any staging directory left behind by a crashed earlier run is
-    * discarded here so it cannot leak into this transaction's commit,
-    * and aside/ relics whose primary snapshot exists (a crash in a
-    * completed publish's final cleanup instant) are swept so they don't
-    * accumulate one full snapshot copy per name.
+    * discarded here so it cannot leak into this transaction's commit.
     */
   def begin(name: String): Tx = {
     requireValid(name)
     fs.delete(stageDir(name), true)
+    new Tx(name)
+  }
+
+  /** Explicit maintenance: delete aside/ relics whose primary snapshot
+    * exists (left by a crash in a completed publish's final cleanup
+    * instant). Shadowed relics are harmless — resolve() always prefers
+    * the primary — they just cost disk; this reclaims it. NOT run
+    * implicitly by begin()/commit(): an exists-then-delete sweep racing
+    * another writer's in-flight re-commit of the same name could
+    * destroy that name's only copy (the primary check and the delete
+    * are not atomic), so call this from a single-writer maintenance
+    * context only.
+    */
+  def sweepAside(): Unit =
     Option(fs.globStatus(new Path(root, "aside/*"))).getOrElse(Array.empty)
       .map(_.getPath)
       .filter(p => fs.exists(snapDir(p.getName)))
       .foreach(p => fs.delete(p, true))
-    new Tx(name)
-  }
 
   /** One-shot commit: stage + publish + move HEAD. */
   def commit(name: String, forest: Dataset[TreeRow]): Unit =

@@ -37,6 +37,12 @@ object QualityClassifier {
   /** Knuth multiplicative constant mixing bucket ids into pseudo-weights. */
   val Mix = 2654435761L
 
+  /** Default mean-milli-weight threshold for `is_quality` — shared with
+    * the DuckDB oracle (interpolated there) so model and oracle move
+    * together.
+    */
+  val DefaultThresholdMilli = 0L
+
   /** Deterministic per-bucket milli-weight in [-1000, 1000] — the stand-in
     * weight vector (see class doc for the trained-model swap).
     * `bucket` is non-negative, so `%` is a true mod on both engines.
@@ -55,9 +61,12 @@ object QualityClassifier {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      thresholdMilli: Long = 0L,
+      thresholdMilli: Long = DefaultThresholdMilli,
   ): DataFrame = {
-    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    // NULL text scores like empty text ((0, 0, false)) instead of
+    // propagating NULL through every column — the same coalesce the
+    // oracle applies, so the two cannot diverge on null documents
+    val toks = filter(split(coalesce(col(textCol), lit("")), " "), t => t =!= "")
     df.select(
         col(idCol).as("doc_id"),
         toks.as("toks"))

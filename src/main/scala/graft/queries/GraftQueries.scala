@@ -1138,13 +1138,14 @@ object GraftQueries {
     // bucket/weight arithmetic is interpolated from QualityClassifier's
     // own constants so model and oracle cannot desynchronize
     "quality_classifier_documents" -> {
-      import graft.operators.QualityClassifier.{Dim, Mix}
-      s"""SELECT doc_id, n_tokens, sum_milliweight, sum_milliweight > 0 AS is_quality
+      import graft.operators.QualityClassifier.{DefaultThresholdMilli, Dim, Mix}
+      s"""SELECT doc_id, n_tokens, sum_milliweight,
+         |  sum_milliweight > $DefaultThresholdMilli * n_tokens AS is_quality
          |FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
          |  CAST(coalesce(list_sum(list_transform(toks, t ->
          |    ((${duckHash("t")} % $Dim) * $Mix) % 2001 - 1000)), 0) AS BIGINT) AS sum_milliweight
          |  FROM (SELECT doc_id,
-         |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |    list_filter(string_split(coalesce(text, ''), ' '), t -> t <> '') AS toks
          |    FROM documents))""".stripMargin
     },
 

@@ -127,10 +127,10 @@ class ForestStoreSpec extends AnyFunSuite with SparkSpec {
     assert(store.list.contains("epoch_0000"), "aside-parked names must still be listed")
 
     // an orphan aside (no primary) is the sole committed copy — it must
-    // survive begin()'s relic sweep...
-    store.begin("unrelated").abort()
+    // survive the explicit relic sweep...
+    store.sweepAside()
     assert(canon(store.load("epoch_0000")) == canon(v2),
-      "begin()'s sweep must never delete an aside without a primary")
+      "sweepAside must never delete an aside without a primary")
     // ...and HEAD recovery must see it
     java.nio.file.Files.deleteIfExists(fs.resolve("HEAD"))
     assert(store.head.contains("epoch_0000"),
@@ -144,11 +144,11 @@ class ForestStoreSpec extends AnyFunSuite with SparkSpec {
     assert(!java.nio.file.Files.exists(fs.resolve("aside/epoch_0000")))
 
     // a relic WITH a primary (crash in the publish's final cleanup
-    // instant) is swept by the next begin()
+    // instant) is reclaimed by the explicit maintenance sweep
     java.nio.file.Files.createDirectories(fs.resolve("aside/epoch_0000"))
-    store.begin("sweep_trigger").abort()
+    store.sweepAside()
     assert(!java.nio.file.Files.exists(fs.resolve("aside/epoch_0000")),
-      "begin() must sweep aside relics whose primary snapshot exists")
+      "sweepAside must reclaim aside relics whose primary snapshot exists")
   }
 
   test("HEAD recovery orders unpadded numeric names naturally on mtime ties") {

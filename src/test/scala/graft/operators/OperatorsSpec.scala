@@ -184,25 +184,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
-  test("IVF broadcast-join assignment (large-nLists path) equals the unrolled expression") {
+  test("IVF literal-array assignment (large-nLists path) equals the unrolled expression") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def run(): Set[(Long, Long)] =
       Ann.ivfTopK(emb, "vec_id", "embedding", 0L to 9L, 5)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val viaExpr = run()
     // threshold 0 forces the formulation a 10^3–10^5-list index uses:
-    // broadcast centroids DataFrame + map-side argmax agg + windowed
-    // probe ranking. Exact argmax with the same tie-break on both paths
-    // → identical output, not merely similar recall.
+    // the centroid set in ONE typedLit and the argmax/probe as
+    // array_max/array_sort over transform(...). Exact argmax with the
+    // same (s, cid) tie-break on both paths → identical output, not
+    // merely similar recall.
     spark.conf.set("spark.graft.ann.maxUnrolledLists", "0")
-    try assert(run() == viaExpr, "join-path IVF must match the unrolled path exactly")
+    try assert(run() == viaExpr, "literal-path IVF must match the unrolled path exactly")
     finally spark.conf.unset("spark.graft.ann.maxUnrolledLists")
   }
 
-  test("IVF join-path assignment preserves rows with duplicate ids") {
+  test("IVF literal-path assignment preserves rows with duplicate ids") {
     import spark.implicits._
-    // two rows share id=7 with different vectors (unioned shards) — the
-    // aggregate must key per ROW, not per id, or one vector vanishes
+    // two rows share id=7 with different vectors (unioned shards) —
+    // assignment is per-row, so both must survive with their own cid
     val corpus = Seq(
       (7L, Seq(1.0, 0.0)), (7L, Seq(0.0, 1.0)), (8L, Seq(1.0, 1.0)),
     ).toDF("id", "v")
@@ -212,9 +213,9 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       Ann.assignToCentroids(corpus, cents, unrolled)
         .select("id", "cid").collect().map(r => (r.getLong(0), r.getInt(1)))
         .toSeq.sorted
-    val viaJoin = got(unrolled = false)
-    assert(viaJoin.size == 3, s"join path dropped a duplicate-id row: $viaJoin")
-    assert(viaJoin == got(unrolled = true), "paths disagree on a duplicate-id corpus")
+    val viaLit = got(unrolled = false)
+    assert(viaLit.size == 3, s"literal path dropped a duplicate-id row: $viaLit")
+    assert(viaLit == got(unrolled = true), "paths disagree on a duplicate-id corpus")
   }
 
   test("quality classifier: linear, deterministic, bounded; empty docs fail") {
@@ -226,6 +227,7 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       (4L, ""),                   // token-free → (0, 0, false)
       (5L, "   "),
       (6L, "alpha  beta"),        // double space must not hash an empty token
+      (7L, null),                 // NULL text scores like empty, not NULL
     ).toDF("doc_id", "text")
     val out = QualityClassifier.score(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
@@ -233,8 +235,9 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val (n1, s1, _) = out(1L)
     assert(n1 == 3 && math.abs(s1) <= 3000, "3 tokens, each milli-weight within ±1000")
     assert(out(2L)._2 == 2 * out(3L)._2, "the model must be linear in token counts")
-    assert(out(4L) == ((0L, 0L, false)) && out(5L) == ((0L, 0L, false)),
-      "token-free documents score 0 and are not quality")
+    assert(out(4L) == ((0L, 0L, false)) && out(5L) == ((0L, 0L, false))
+        && out(7L) == ((0L, 0L, false)),
+      "token-free and NULL documents score 0 and are not quality")
     assert(out(6L)._1 == 2, "consecutive separators must not produce empty-token features")
     // deterministic: a second evaluation is bit-identical
     val again = QualityClassifier.score(docs, "doc_id", "text")
