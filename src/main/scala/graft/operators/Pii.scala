@@ -24,15 +24,46 @@ import org.apache.spark.sql.functions._
   */
 object Pii {
 
+  /** The phone regex, assembled from shape branches (doc on the
+    * `Patterns` entry below). Separators are enumerated rather than
+    * backreferenced to stay inside the RE2-compatible subset.
+    */
+  val PhonePattern: String = {
+    val seps = Seq(" ", "\\.", "/", "-")
+    val fourPlusGroups = seps.map(s => s"[0-9]{2,4}($s[0-9]{2,4}){3,}")
+    val threeGroups = seps.flatMap(s => Seq(
+      s"[0-9]{3}$s[0-9]{2,4}$s[0-9]{2,4}", // first group of exactly 3
+      s"[0-9]{2,4}$s[0-9]{3,4}$s[0-9]{2,4}", // middle group of >= 3
+      s"[0-9]{2,4}$s[0-9]{2,4}$s[0-9]{3}")) // last group of exactly 3
+    "\\+[0-9][0-9 ()./-]{6,}[0-9]" +
+      "|\\([0-9]{2,4}\\)[ ./-]?[0-9]{2,4}([ ./-][0-9]{2,4})*" +
+      (fourPlusGroups ++ threeGroups).mkString("|\\b(?:", "|", ")\\b")
+  }
+
   /** (category, regex, replacement) in redaction order. */
   val Patterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"),
-    // a phone needs shape — a leading + or ≥ 2 separator-delimited digit
-    // groups — so bare digit runs fall through to the number category.
-    // (Heuristic: date-like strings `2024-01-01` also fit the shape and
-    // are redacted as phones; acceptable for a masking lane.)
-    ("phone", "\\+[0-9][0-9 ()./-]{6,}[0-9]|\\(?[0-9]{2,4}\\)?([ ./-][0-9]{2,4}){2,}", "[PHONE]"),
+    // a phone needs shape — a leading +, a parenthesized area code, or
+    // separator-delimited digit groups — so bare digit runs fall through
+    // to the number category. Date shapes are excluded by construction
+    // (still RE2-subset, no lookaround or backreferences): the un-parened
+    // branches require ONE consistent separator (enumerated per separator,
+    // since a backreference is off-dialect), which stops a date from
+    // bridging into adjacent numbers (`2024-01-01 12:30` mixes `-` and
+    // ` `, so no single branch spans it), and the three-group branches
+    // each require a group size no calendar date has (first group of
+    // exactly 3 digits, a middle group of ≥3, or a trailing group of
+    // exactly 3) — so 4-2-2 / 2-2-4 / 2-2-2 runs like `2024-01-01`,
+    // `01/02/2024`, or `24.01.01` never match, while ≥4-group numbers
+    // (`01 23 45 67 89`) and 3-3-4 / x-34x-x shapes (`555-123-4567`,
+    // `040-1234-5678`) do. Branch order is load-bearing under
+    // leftmost-first semantics (Java and RE2 agree): ≥4-group branches
+    // precede 3-group ones so a long number is consumed whole, never
+    // half-eaten. Residual imprecision: a 3-group number shaped exactly
+    // like a date (e.g. 4-2-2) is left unredacted — the precision side
+    // of the trade.
+    ("phone", PhonePattern, "[PHONE]"),
     ("number", "\\b[0-9]{7,}\\b", "[NUMBER]"))
 
   /** Per-document counts per category, honoring the redaction order:

@@ -48,6 +48,24 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(red == "write to [EMAIL] please")
   }
 
+  test("pii: date-shaped digit runs are not redacted as phones") {
+    val df = docs(
+      1L -> "released 2024-01-01 and revised 01/02/2024 then 24.01.01 done",
+      2L -> "call 555-123-4567 or 040-1234-5678 or 01 23 45 67 89 now",
+      3L -> "meeting 2024-01-01 12:30 call (040) 123-4567")
+    val red = Pii.redact(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // all three date shapes (Y-M-D, D/M/Y, short) survive untouched
+    assert(red(1L) == "released 2024-01-01 and revised 01/02/2024 then 24.01.01 done")
+    // 3-3-4, x-4-x, and >=4-group phones still mask
+    assert(red(2L) == "call [PHONE] or [PHONE] or [PHONE] now")
+    // a date next to a parenthesized phone: only the phone masks
+    assert(red(3L) == "meeting 2024-01-01 12:30 call [PHONE]")
+    val st = Pii.stats(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(st == Map(1L -> 0L, 2L -> 3L, 3L -> 1L))
+  }
+
   test("decontaminate: doc sharing a benchmark n-gram is flagged, others survive") {
     val corpus = docs(
       1L -> "alpha beta gamma delta epsilon zeta",   // contains the benchmark 3-gram
