@@ -113,6 +113,34 @@ object GraftQueries {
     extracted(s, d, "ordersDb", "orders")(
       Schema.extractDataset(RelationalLoader.loadNodes(s, d, Testdata.ordersDb), "orders"))
 
+  /** The fully deterministic generator forest behind the two synthetic
+    * rewrite lanes: a medical-record schema instance (3 groups, 2
+    * relations) wrapped in ROOT/S noise — every leaf is "data", so the
+    * rewrite fixpoint must recover exactly the generating schema.
+    */
+  private def syntheticMedForest(s: SparkSession): Dataset[graft.model.TreeRow] = {
+    import graft.core._
+    import graft.model.{Group => SGroup, Relation => SRelation, RelationOrientation => SRO}
+    val schema = Schema.fromDescription(
+      groups = Set(
+        SGroup("SOSY", Set("SOSY", "ANATOMIE", "SUBSTANCE")),
+        SGroup("TREATMENT", Set("SUBSTANCE", "DOSAGE", "ADMINISTRATION", "FREQUENCY")),
+        SGroup("EXAM", Set("DIAGNOSTIC_PROCEDURE", "ANATOMIE"))),
+      relations = Set(
+        SRelation("PRESCRIPTION", "SOSY", "TREATMENT", SRO.Both),
+        SRelation("EXAM_RESULT", "EXAM", "SOSY", SRO.Both)),
+      collections = false)
+    val noised = graft.rewrite.Generator.genInstance(schema, size = 10, generateCollections = false)
+      .map(tr => ArchiTree(Plain("ROOT"),
+        Vector(Child.Node(ArchiTree(Plain("S"), Vector(Child.Node(tr)))))))
+    Forest.fromTrees(s, noised)
+  }
+
+  /** Sorted (lhs, rhs) production pairs of the schema a forest induces. */
+  private def schemaProductions(forest: Dataset[graft.model.TreeRow]): Seq[(String, String)] =
+    Schema.fromForest(Forest.toNodesDF(forest), keepUnlabelled = false)
+      .productions.map(p => (p.lhs, p.rhs.mkString(" "))).sorted
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 extract_datasets. The customer/orders forests run the full
     // metamodel path (loader → node view → oid dedup → pivot); the two
@@ -629,25 +657,53 @@ object GraftQueries {
     // schema's productions, deterministic for a fixed generator input.
     "rewrite_fixpoint_synthetic" -> ((s, d) => {
       import s.implicits._
+      import graft.rewrite.Rewrite
+      val out = Rewrite.rewrite(syntheticMedForest(s),
+        Rewrite.Config(tau = 0.85, epochs = 4, minSupport = Some(2)))
+      schemaProductions(out).toDF("lhs", "rhs")
+    }),
+
+    // §2.3 natural convergence: the loop runs under the reference's
+    // DEFAULT cap (epochs=100, tree_rewriting/__init__.py:56) and must
+    // exit on its own stop condition — an epoch in which no operation
+    // fires (:153-155) — not on the cap. The forest is hand-staged so
+    // the op early-exit genuinely iterates (one op fires per epoch for
+    // several epochs: sibling-collection merge, then group<->collection
+    // relation formation, then the induced same-label relation merge …)
+    // with the cluster-dependent ops neutralized by an unreachable
+    // minSupport, making the whole trajectory closed-form. Stability is
+    // asserted by a second full rewrite over the converged forest: it
+    // must report immediate convergence (epochs_to_converge=1) and
+    // reproduce the productions exactly. Both facts ride the pinned
+    // golden as constant columns.
+    "rewrite_converge_synthetic" -> ((s, d) => {
+      import s.implicits._
       import graft.core._
-      import graft.model.{Group => SGroup, Relation => SRelation, RelationOrientation => SRO}
-      import graft.rewrite.{Generator, Rewrite}
-      val schema = Schema.fromDescription(
-        groups = Set(
-          SGroup("SOSY", Set("SOSY", "ANATOMIE", "SUBSTANCE")),
-          SGroup("TREATMENT", Set("SUBSTANCE", "DOSAGE", "ADMINISTRATION", "FREQUENCY")),
-          SGroup("EXAM", Set("DIAGNOSTIC_PROCEDURE", "ANATOMIE"))),
-        relations = Set(
-          SRelation("PRESCRIPTION", "SOSY", "TREATMENT", SRO.Both),
-          SRelation("EXAM_RESULT", "EXAM", "SOSY", SRO.Both)),
-        collections = false)
-      val noised = Generator.genInstance(schema, size = 10, generateCollections = false)
-        .map(tr => ArchiTree(Plain("ROOT"),
-          Vector(Child.Node(ArchiTree(Plain("S"), Vector(Child.Node(tr)))))))
-      val forest = Forest.fromTrees(s, noised)
-      val out = Rewrite.rewrite(forest, Rewrite.Config(tau = 0.85, epochs = 4, minSupport = Some(2)))
-      Schema.fromForest(Forest.toNodesDF(out), keepUnlabelled = false)
-        .productions.map(p => (p.lhs, p.rhs.mkString(" "))).sorted.toDF("lhs", "rhs")
+      import graft.rewrite.Rewrite
+      def ent(name: String, v: String) =
+        ArchiTree(Typed(NodeType.Ent, name), Vector(Child.Leaf(v)))
+      def grp(name: String, ents: (String, String)*) = ArchiTree(
+        Typed(NodeType.Group, name),
+        ents.toVector.map(e => Child.Node(ent(e._1, e._2))))
+      val staged = (0 until 6).map { i =>
+        ArchiTree(Plain("ROOT"), Vector(Child.Node(
+          ArchiTree(Plain("X"), Vector(
+            Child.Node(grp("B", "eb1" -> s"b$i", "eb2" -> s"c$i")),
+            Child.Node(ArchiTree(Plain("Y"), Vector(
+              Child.Node(grp("A", "ea1" -> s"p$i", "ea2" -> s"q$i")),
+              Child.Node(grp("A", "ea1" -> s"r$i", "ea2" -> s"s$i"))))))))))
+      }
+      val cfg = Rewrite.Config(tau = 0.85, minSupport = Some(Int.MaxValue))
+      val first = Rewrite.rewriteWithStats(Forest.fromTrees(s, staged), cfg)
+      val again = Rewrite.rewriteWithStats(first.forest, cfg)
+      val prods = schemaProductions(first.forest)
+      val stable = again.epochsToConverge.contains(1) &&
+        schemaProductions(again.forest) == prods
+      prods.toDF("lhs", "rhs")
+        .withColumn("epochs_to_converge",
+          org.apache.spark.sql.functions.lit(first.epochsToConverge
+            .getOrElse(sys.error("rewrite hit the epoch cap without converging")).toLong))
+        .withColumn("stable_fixpoint", org.apache.spark.sql.functions.lit(stable))
     }),
 
     // §2.4 extract_valid_trees: filter the forest to schema-valid
@@ -881,6 +937,19 @@ object GraftQueries {
         |UNION ALL SELECT 'GROUP::TREATMENT', 'ENT::ADMINISTRATION ENT::DOSAGE ENT::FREQUENCY ENT::SUBSTANCE'
         |UNION ALL SELECT 'REL::EXAM<->SOSY', 'GROUP::EXAM GROUP::SOSY'
         |UNION ALL SELECT 'REL::SOSY<->TREATMENT', 'GROUP::SOSY GROUP::TREATMENT'""".stripMargin,
+
+    // Pinned golden for the natural-convergence lane: the staged forest
+    // converges in epoch 4 (three op-firing passes — collection merge,
+    // relation formation, same-label relation merge — then one silent
+    // pass, the reference's stop condition), and a second rewrite over
+    // the result converges immediately with identical productions
+    // (stable_fixpoint covers both).
+    "rewrite_converge_synthetic" ->
+      """SELECT 'COLL::A' AS lhs, 'REL::A<->B' AS rhs,
+        |  CAST(4 AS BIGINT) AS epochs_to_converge, true AS stable_fixpoint
+        |UNION ALL SELECT 'GROUP::A', 'ENT::ea1 ENT::ea2', 4, true
+        |UNION ALL SELECT 'GROUP::B', 'ENT::eb1 ENT::eb2', 4, true
+        |UNION ALL SELECT 'REL::A<->B', 'GROUP::A GROUP::B', 4, true""".stripMargin,
 
     // Pinned golden (verified identical across independent runs): the
     // fixpoint collapses the stripped forest to one group of the joined

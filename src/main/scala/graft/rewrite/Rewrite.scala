@@ -59,7 +59,19 @@ object Rewrite {
       // step, tree_rewriting/__init__.py epoch loop)
       epochHook: Option[(Int, Dataset[TreeRow]) => Unit] = None)
 
-  def rewrite(forest: Dataset[TreeRow], cfg: Config = Config()): Dataset[TreeRow] = {
+  /** Convergence telemetry for one `rewrite` run: `epochsToConverge` is
+    * the epoch number of the first pass in which NO operation fired (the
+    * natural fixpoint — the reference's stop condition,
+    * tree_rewriting/__init__.py:153-155), or None when the loop was cut
+    * off by the `epochs` cap while still changing. An empty forest is
+    * trivially its own fixpoint: Some(0).
+    */
+  final case class RewriteResult(forest: Dataset[TreeRow], epochsToConverge: Option[Int])
+
+  def rewrite(forest: Dataset[TreeRow], cfg: Config = Config()): Dataset[TreeRow] =
+    rewriteWithStats(forest, cfg).forest
+
+  def rewriteWithStats(forest: Dataset[TreeRow], cfg: Config = Config()): RewriteResult = {
     val spark = forest.sparkSession
     import spark.implicits._
     implicit val kryoEnc: org.apache.spark.sql.Encoder[(Long, ArchiTree)] =
@@ -74,7 +86,7 @@ object Rewrite {
     var trees: Dataset[(Long, ArchiTree)] =
       checkpointTrees(Forest.trees(forest))
     val total = trees.count()
-    if (total == 0) return forest
+    if (total == 0) return RewriteResult(forest, Some(0))
     val minSupport = cfg.minSupport.getOrElse(math.max((total / 10).toInt, 2))
 
     // epoch counts like the reference: `trange(1, epoch)`
@@ -170,7 +182,9 @@ object Rewrite {
     if (cfg.simplifyNames) current = timed("simplifyNames") { simplifyNames(current) }
     val out = timed("final ckpt") { Forest.checkpoint(current) }
     releasePrevOp()
-    out
+    // the loop exits with `epoch` one past the last pass run; when that
+    // last pass fired nothing, it IS the natural fixpoint epoch
+    RewriteResult(out, if (converged) Some(epoch - 1) else None)
   }
 
   /** Per-epoch lineage break for the Kryo tree dataset. */

@@ -209,6 +209,26 @@ class RewriteSpec extends AnyFunSuite with SparkSpec {
     assert(schema.groups.nonEmpty)
   }
 
+  test("rewriteWithStats reports natural convergence, cap cutoff, and empty fixpoint") {
+    // same-label sibling groups under an untyped node: FindCollections
+    // fires in epoch 1, nothing fires in epoch 2 → natural fixpoint at 2
+    val working = Forest.fromTrees(spark, Seq(
+      t("(ROOT (X (GROUP::A (ENT::a 1) (ENT::b 2)) (GROUP::A (ENT::a 3) (ENT::b 4))))")))
+    val cfg = Rewrite.Config(tau = 0.85, minSupport = Some(Int.MaxValue))
+    val natural = Rewrite.rewriteWithStats(working, cfg)
+    assert(natural.epochsToConverge.contains(2),
+      "one op-firing pass then one silent pass = fixpoint at epoch 2")
+
+    // the cap cuts the loop after its single (changing) pass → None
+    val capped = Rewrite.rewriteWithStats(working, cfg.copy(epochs = 2))
+    assert(capped.epochsToConverge.isEmpty,
+      "a cap hit while the forest is still changing must not read as convergence")
+
+    // an empty forest is trivially its own fixpoint
+    val empty = Rewrite.rewriteWithStats(Forest.fromTrees(spark, Seq.empty), cfg)
+    assert(empty.epochsToConverge.contains(0))
+  }
+
   test("simplifyNames canonicalizes suffixed group names and rel/coll labels") {
     val forest = Forest.fromTrees(spark, Seq(
       t("(ROOT (REL::x (GROUP::Terr_1_5_2 (ENT::a 1)) (GROUP::Other_3 (ENT::b 2))))"),
