@@ -652,6 +652,56 @@ object GraftQueries {
           org.apache.spark.sql.functions.col("count").as("n_clusters"))
     }),
 
+    // §2 rows 34–35: the similarity metrics under a cross-engine oracle.
+    // A fixed six-item candidate set (literal entity-label sets with one
+    // ancestor level each, single-character labels) runs the REAL
+    // feature path — Similarity.treeFeatures over hand-built trees —
+    // then every unordered pair is scored in executors with the
+    // decay-weighted ancestor similarity (metric=jaccard, decay=2) and
+    // the raw sequence-jaro on the level-0 sets, and thresholded into
+    // the tau-graph edge set (reference similarity.py:44-77,92-168).
+    // DuckDB recomputes all of it independently: jaccard via
+    // list_intersect/list_distinct, the decay formula with the same
+    // short-circuits (disjoint level-0 sets → 0 BEFORE the typed-label
+    // check; equal typed labels → 1), and sequence-jaro via
+    // jaro_winkler_similarity on the sorted label concatenation (label
+    // sequences over single-char labels ARE strings, and DuckDB's
+    // winkler constants — 0.7 boost threshold, p=0.1, prefix ≤ 4 —
+    // match SeqMetrics.jaro). Scores compare at integer ppb. The
+    // levenshtein ratio (2·LCS/(m+n), indel-only) stays doctest-covered:
+    // DuckDB's levenshtein is substitution-cost-1, which cannot recover
+    // an LCS.
+    "similarity_tau_edges" -> ((s, d) => {
+      import s.implicits._
+      import graft.core._
+      import graft.similarity.{SeqMetrics, Similarity}
+      def ent(l: String) = Child.Node(ArchiTree(Typed(NodeType.Ent, l), Vector(Child.Leaf("v"))))
+      val specs: Seq[(Label, Seq[String], Seq[String])] = Seq(
+        (Plain("A0"), Seq("a", "b", "c"), Seq("x")),
+        (Plain("A1"), Seq("a", "b", "d"), Seq("x")),
+        (Plain("A2"), Seq("a", "b", "c"), Seq("y")),
+        (Plain("A3"), Seq("p", "q"), Seq("z")),
+        (Typed(NodeType.Group, "SAME"), Seq("m", "n"), Seq("w")),
+        (Typed(NodeType.Group, "SAME"), Seq("m", "o"), Seq("v")))
+      val feats = specs.zipWithIndex.map { case ((lab, inner, extra), i) =>
+        val tree = ArchiTree(Plain("ROOT"),
+          Child.Node(ArchiTree(lab, inner.map(ent).toVector)) +: extra.map(ent).toVector)
+        Similarity.treeFeatures(tree, s"t$i")
+          .collectFirst { case (k, f) if k == s"t$i/0" => f }.get
+      }
+      val featB = s.sparkContext.broadcast(feats.toIndexedSeq)
+      val pairs = for { i <- feats.indices; j <- feats.indices if i < j }
+        yield (i.toLong, j.toLong)
+      val tau = 0.8
+      s.createDataset(pairs).map { case (i, j) =>
+        val x = featB.value(i.toInt)
+        val y = featB.value(j.toInt)
+        val sim = Similarity.similarity(x, y, SeqMetrics.jaccard)
+        val jaro = SeqMetrics.jaro(x.self.entLabels, y.self.entLabels)
+        (i, j, math.round(sim * 1e9), math.round(jaro * 1e9), sim >= tau)
+      }.toDF("left_id", "right_id", "sim_ppb", "jaro_l0_ppb", "is_edge")
+    }),
+
     // §2.3 full rewrite fixpoint on generator synthetics (rows-only:
     // approximate clustering has no SQL oracle); output = the resulting
     // schema's productions, deterministic for a fixed generator input.
@@ -937,6 +987,45 @@ object GraftQueries {
         |UNION ALL SELECT 'GROUP::TREATMENT', 'ENT::ADMINISTRATION ENT::DOSAGE ENT::FREQUENCY ENT::SUBSTANCE'
         |UNION ALL SELECT 'REL::EXAM<->SOSY', 'GROUP::EXAM GROUP::SOSY'
         |UNION ALL SELECT 'REL::SOSY<->TREATMENT', 'GROUP::SOSY GROUP::TREATMENT'""".stripMargin,
+
+    // Independent recomputation of the similarity metrics: same literal
+    // feature set, jaccard + decay formula + short-circuit order in SQL,
+    // sequence-jaro via the string jaro-winkler over sorted single-char
+    // labels. Constant shapes (1.0·jac₀ + 0.5·jac₁)/1.5 mirror the
+    // Scala loop's evaluation order so the doubles agree bit-for-bit
+    // before the ppb rounding.
+    "similarity_tau_edges" ->
+      """WITH items(id, typed, lab, l0, l1) AS (VALUES
+        |  (0, false, 'A0', ['a','b','c'], ['a','b','c','x']),
+        |  (1, false, 'A1', ['a','b','d'], ['a','b','d','x']),
+        |  (2, false, 'A2', ['a','b','c'], ['a','b','c','y']),
+        |  (3, false, 'A3', ['p','q'], ['p','q','z']),
+        |  (4, true, 'SAME', ['m','n'], ['m','n','w']),
+        |  (5, true, 'SAME', ['m','o'], ['m','o','v'])),
+        |pairs AS (
+        |  SELECT x.id AS li, y.id AS ri, x.typed AS xt, y.typed AS yt,
+        |         x.lab AS xl, y.lab AS yl,
+        |         x.l0 AS xl0, y.l0 AS yl0, x.l1 AS xl1, y.l1 AS yl1
+        |  FROM items x JOIN items y ON x.id < y.id),
+        |sims AS (
+        |  SELECT li, ri,
+        |    CASE
+        |      WHEN len(list_intersect(xl0, yl0)) = 0 THEN 0.0
+        |      WHEN xt AND yt AND xl = yl THEN 1.0
+        |      ELSE (1.0 * (CAST(len(list_intersect(xl0, yl0)) AS DOUBLE)
+        |                   / len(list_distinct(xl0 || yl0)))
+        |          + 0.5 * (CAST(len(list_intersect(xl1, yl1)) AS DOUBLE)
+        |                   / len(list_distinct(xl1 || yl1)))) / 1.5
+        |    END AS sim,
+        |    jaro_winkler_similarity(
+        |      array_to_string(list_sort(xl0), ''),
+        |      array_to_string(list_sort(yl0), '')) AS jaro
+        |  FROM pairs)
+        |SELECT CAST(li AS BIGINT) AS left_id, CAST(ri AS BIGINT) AS right_id,
+        |  CAST(round(sim * 1e9) AS BIGINT) AS sim_ppb,
+        |  CAST(round(jaro * 1e9) AS BIGINT) AS jaro_l0_ppb,
+        |  sim >= 0.8 AS is_edge
+        |FROM sims""".stripMargin,
 
     // Pinned golden for the natural-convergence lane: the staged forest
     // converges in epoch 4 (three op-firing passes — collection merge,
