@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Build a k-times scaled copy of a testdata sf directory for the
+scaling canary (BASELINE.md "sf-scaling" section).
+
+Usage: python3 tools/make_sfscale.py [srcDir] [dstDir] [k]
+Defaults: /root/testdata/sf0.1  target/sfscale  10
+
+Scaling model (deliberately NOT naive concatenation):
+
+- documents: k copies; copy i>0 re-keys doc_id (+ i*1_000_000, which is
+  0 mod 20 so the decontamination holdout split replicates exactly) and
+  suffixes EVERY word with the copy index. Cross-copy shingles then
+  never match, so the corpus's within-copy duplicate structure is
+  replicated k times — the dedup workload grows k-fold like a real
+  bigger crawl, instead of every document gaining k exact clones
+  (which would be a pathological all-pairs blob, not a scale test).
+  n_chars is recomputed from the rewritten text.
+- orders: k copies re-keying o_orderkey; the customer/nation/region
+  dimensions stay fixed — facts grow, dimensions don't, as in a real
+  warehouse.
+- every other table is byte-copied unchanged.
+"""
+import os
+import shutil
+import sys
+
+import duckdb
+
+COPY_TABLES = ["region", "nation", "customer", "supplier", "part",
+               "lineitem", "events", "embeddings"]
+OFFSET = 1_000_000
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "target/sfscale"
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+
+    con.sql(f"""
+      COPY (
+        SELECT doc_id + i * {OFFSET} AS doc_id,
+               CASE WHEN i = 0 THEN text
+                    ELSE array_to_string(
+                           list_transform(string_split(text, ' '),
+                                          w -> w || '~' || i::VARCHAR), ' ')
+               END AS text,
+               lang, source,
+               length(CASE WHEN i = 0 THEN text
+                    ELSE array_to_string(
+                           list_transform(string_split(text, ' '),
+                                          w -> w || '~' || i::VARCHAR), ' ')
+               END) AS n_chars
+        FROM '{src}/documents.parquet'
+        CROSS JOIN (SELECT unnest(range({k})) AS i)
+        ORDER BY doc_id
+      ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+    """)
+
+    con.sql(f"""
+      COPY (
+        SELECT o_orderkey + i * {OFFSET} AS o_orderkey,
+               o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM '{src}/orders.parquet'
+        CROSS JOIN (SELECT unnest(range({k})) AS i)
+        ORDER BY o_orderkey
+      ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+    """)
+
+    for t in COPY_TABLES:
+        shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+    docs = con.sql(f"SELECT count(*), count(DISTINCT doc_id) FROM '{dst}/documents.parquet'").fetchone()
+    orders = con.sql(f"SELECT count(*), count(DISTINCT o_orderkey) FROM '{dst}/orders.parquet'").fetchone()
+    print(f"documents: {docs[0]} rows ({docs[1]} distinct ids)")
+    print(f"orders:    {orders[0]} rows ({orders[1]} distinct ids)")
+
+
+if __name__ == "__main__":
+    main()
