@@ -652,6 +652,56 @@ object GraftQueries {
           org.apache.spark.sql.functions.col("count").as("n_clusters"))
     }),
 
+    // §2 row 4: the BRAT corpus loader under a cross-engine oracle — the
+    // last unit-only operator. Each document is turned into a
+    // deterministic (txt, .ann) BRAT pair: every 7th word separator
+    // becomes a sentence break, every 5th word an entity (types cycling
+    // pers/freq/moment, real character offsets), consecutive entities a
+    // relation (types alternating likes/incertain_rel). The REAL
+    // pipeline then runs end-to-end: parseAnn → convertExample with a
+    // FREQ→FREQUENCE rename + FREQUENCE deny-filter (so dropped
+    // entities also kill their relations), ascii-fold + sentence split,
+    // offset re-anchoring, same-sentence relation assignment, and
+    // empty-sentence pruning. The oracle never parses anything: with
+    // entities pinned to word index 5j and sentences to 7-word spans,
+    // sentence membership is floor(5j/7) and every output count is
+    // closed-form integer arithmetic over j — if the parser or the
+    // offset re-anchoring drifts by one character, the counts diverge.
+    "read_brat_documents" -> ((s, d) => {
+      import s.implicits._
+      import graft.nlp.Brat
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+        .as[(Long, String)]
+      docs.map { case (id, raw) =>
+        val text = raw.trim.replaceAll(" +", " ") // both engines normalize identically
+        val words = text.split(" ", -1)
+        val starts = words.scanLeft(0)((acc, w) => acc + w.length + 1)
+        val txt = words.zipWithIndex.map { case (w, i) =>
+          val sep = if (i == words.length - 1) "" else if ((i + 1) % 7 == 0) "\n" else " "
+          w + sep
+        }.mkString
+        val nEnt = (words.length + 4) / 5
+        val entLines = (0 until nEnt).map { j =>
+          val w = 5 * j
+          val tpe = Seq("pers", "freq", "moment")(j % 3)
+          s"T${j + 1}\t$tpe ${starts(w)} ${starts(w) + words(w).length}\t${words(w)}"
+        }
+        val relLines = (0 until nEnt - 1).map { j =>
+          val tpe = if (j % 2 == 0) "likes" else "incertain_rel"
+          s"R${j + 1}\t$tpe Arg1:T${j + 1} Arg2:T${j + 2}"
+        }
+        val (es, rs) = Brat.parseAnn((entLines ++ relLines).mkString("\n"))
+        val sentences = Brat.convertExample(Brat.Example(txt, es, rs),
+          entitiesFilter = Set("FREQUENCE"),
+          entitiesMapping = Map("FREQ" -> "FREQUENCE"))
+        (id, sentences.size.toLong,
+          sentences.map(_.entities.size.toLong).sum,
+          sentences.map(_.rels.size.toLong).sum)
+      }.toDF("doc_id", "n_sentences", "n_entities", "n_relations")
+    }),
+
     // §2 rows 34–35: the similarity metrics under a cross-engine oracle.
     // A fixed six-item candidate set (literal entity-label sets with one
     // ancestor level each, single-character labels) runs the REAL
@@ -987,6 +1037,35 @@ object GraftQueries {
         |UNION ALL SELECT 'GROUP::TREATMENT', 'ENT::ADMINISTRATION ENT::DOSAGE ENT::FREQUENCY ENT::SUBSTANCE'
         |UNION ALL SELECT 'REL::EXAM<->SOSY', 'GROUP::EXAM GROUP::SOSY'
         |UNION ALL SELECT 'REL::SOSY<->TREATMENT', 'GROUP::SOSY GROUP::TREATMENT'""".stripMargin,
+
+    // Closed-form integer arithmetic over entity index j (entities at
+    // word 5j, sentences of 7 words → sentence = 5j // 7): kept entity
+    // ⟺ j % 3 ≠ 1 (freq dropped after the rename); kept relation ⟺
+    // j % 6 = 2 (even j keeps "likes", and both endpoints must dodge
+    // the freq slot) with both endpoints in one sentence; annotated
+    // sentences = distinct sentence values over kept entities. No
+    // parsing, no offsets — the Spark side's real parser must land on
+    // these numbers.
+    "read_brat_documents" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    (len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) + 4) // 5 AS n_ent
+        |  FROM documents),
+        |js AS (
+        |  SELECT doc_id, n_ent, unnest(range(n_ent)) AS j FROM docs),
+        |kept AS (
+        |  SELECT doc_id, j, (5 * j) // 7 AS sent FROM js WHERE j % 3 <> 1),
+        |rels AS (
+        |  SELECT doc_id FROM js
+        |  WHERE j % 6 = 2 AND j + 1 < n_ent AND (5 * j) // 7 = (5 * j + 5) // 7)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_sent, 0) AS BIGINT) AS n_sentences,
+        |  CAST(coalesce(s.n_ent_kept, 0) AS BIGINT) AS n_entities,
+        |  CAST(coalesce(r.n_rel, 0) AS BIGINT) AS n_relations
+        |FROM docs d
+        |LEFT JOIN (SELECT doc_id, count(DISTINCT sent) AS n_sent, count(*) AS n_ent_kept
+        |           FROM kept GROUP BY 1) s USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, count(*) AS n_rel FROM rels GROUP BY 1) r USING (doc_id)""".stripMargin,
 
     // Independent recomputation of the similarity metrics: same literal
     // feature set, jaccard + decay formula + short-circuit order in SQL,
