@@ -139,25 +139,36 @@ object Rewrite {
       result.assignments.unpersist()
 
       // 4. operations with early exit at the first op that changed
-      // anything (tree_rewriting/__init__.py:203-218). The changing op's
-      // persisted output BACKS the forest into the next epoch — the
-      // checkpoint at the next reduceAll breaks the (one-step) lineage,
-      // so no second full-forest materialization happens here.
+      // anything (tree_rewriting/__init__.py:203-218). Each op is TRIED
+      // with a boolean-only pass first — a filter over the cached input
+      // that computes the op and keeps only its changed flag, writing
+      // nothing to executor storage — and only the op that actually
+      // fires is materialized. A non-firing trial previously persisted
+      // the entire (unchanged) transformed forest just to count flags;
+      // the convergence epoch alone ran seven of those full-forest cache
+      // writes. The firing op pays one extra compute pass, a net win
+      // because at most one op fires per epoch while up to seven miss.
+      // The firing op's persisted output BACKS the forest into the next
+      // epoch — the checkpoint at the next reduceAll breaks the
+      // (one-step) lineage, so no second full-forest materialization
+      // happens here.
       var opChanged = false
       val it = cfg.operations.iterator
       while (it.hasNext && !opChanged) {
         val op = it.next()
         timed(s"op:${op.name}") {
-          val mapped = trees.map { case (id, tree) =>
-            val (t, ch) = op.fn(tree, modelB.value, minSupport, id.toString)
-            ((id, t), ch)
-          }.persist(StorageLevel.MEMORY_AND_DISK)
-          val changed = mapped.filter(_._2).count()
+          val changed = trees.filter { case (id, tree) =>
+            op.fn(tree, modelB.value, minSupport, id.toString)._2
+          }.count()
           if (changed > 0) {
             opChanged = true
-            trees = mapped.map(_._1)
+            val mapped = trees.map { case (id, tree) =>
+              (id, op.fn(tree, modelB.value, minSupport, id.toString)._1)
+            }.persist(StorageLevel.MEMORY_AND_DISK)
+            mapped.count()
+            trees = mapped
             releasePrevOp = () => { mapped.unpersist(); () }
-          } else mapped.unpersist()
+          }
         }
       }
 
