@@ -847,6 +847,17 @@ object GraftQueries {
     // sized offset join), then chunk = prefix div budget. The output is
     // partitioning-independent, so the single-window SQL oracle checks
     // the distributed path exactly.
+    // Sliding-window chunking (the long-document counterpart of budget
+    // packing): overlapping maxLen=64/stride=48 token windows per
+    // document, emitted by a codegen'd scan-level projection — no
+    // shuffle, no UDF. Chunk count, spans, and window text are all
+    // closed-form over the whitespace token list, so the SQL oracle
+    // recomputes every output column including the chunk text itself.
+    "chunk_documents" -> ((s, d) =>
+      graft.operators.Chunking.slidingWindows(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+        maxLen = 64, stride = 48)),
+
     "pack_sequences_documents" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = s.read.parquet(s"$d/documents.parquet")
@@ -1538,6 +1549,23 @@ object GraftQueries {
         |SELECT stratum, n_docs, n_tokens,
         |  CAST(10000 * (SELECT min(n_tokens) FROM s) // n_tokens AS BIGINT) AS keep_bp
         |FROM s""".stripMargin,
+
+    // window starts at multiples of the stride; count is
+    // ceil(max(n - maxLen, 0) / stride) + 1; list slicing rebuilds the
+    // exact chunk text
+    "chunk_documents" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |base AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    ((greatest(len(toks) - 64, 0) + 47) // 48 + 1) AS n_chunks
+        |  FROM docs)
+        |SELECT doc_id,
+        |  CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 48 AS BIGINT) AS start_token,
+        |  CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+        |FROM base CROSS JOIN UNNEST(range(n_chunks)) AS r(i)""".stripMargin,
 
     "pack_sequences_documents" ->
       """WITH t AS (

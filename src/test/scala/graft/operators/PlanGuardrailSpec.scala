@@ -72,6 +72,15 @@ class PlanGuardrailSpec extends AnyFunSuite with SparkSpec {
       s"classifier scan reads more than its two columns: $scans")
   }
 
+  test("sliding-window chunking stays a scan-level projection") {
+    val p = plan(Chunking.slidingWindows(docs, "doc_id", "text", maxLen = 64, stride = 48))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle: $p")
+    assert(!p.contains("Join"), "chunking must not join")
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("struct<doc_id:bigint,text:string>")),
+      s"chunking scan reads more than its two columns: $scans")
+  }
+
   test("column pruning reaches the parquet scan through dedup and extraction") {
     // the pair generators cache their shingle/signature frames, which
     // hides the file scan inside an InMemoryRelation — so pruning is
