@@ -38,22 +38,27 @@ final class Metrics(
     decay: Double = 2.0,
     metricName: String = "jaro") {
 
+  @inline private def timed[A](label: String)(body: => A): A =
+    graft.util.Spark.timed("metrics-profile", label)(body)
+
   private def snapshot(forest: Dataset[TreeRow]): Snapshot = {
     import forest.sparkSession.implicits._
     // one JSON parse feeds the nodes view, the oid set, the label
     // counts, and the entity clustering (four consumers)
     val trees = Forest.trees(forest)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val oids = trees.flatMap { case (treeId, tree) =>
+    val oids = timed("oids") { trees.flatMap { case (treeId, tree) =>
       tree.positionedSubtrees.collect {
         case (path, t) if t.hasType(NodeType.Ent) =>
           if (t.oid.nonEmpty) t.oid else s"$treeId/${path.mkString(".")}"
       }
-    }.distinct().localCheckpoint(true)
-    val labels = trees.flatMap { case (_, tree) =>
+    }.distinct().localCheckpoint(true) }
+    val labels = timed("labelCounts") { trees.flatMap { case (_, tree) =>
       tree.subtrees.map(_.label.render)
-    }.groupByKey(identity).count().collect().toMap
-    val clustering = TreeClusterer.entityLabelsFromTrees(trees, tau, metricName, decay)
+    }.groupByKey(identity).count().collect().toMap }
+    val clustering = timed("entityLabels") {
+      TreeClusterer.entityLabelsFromTrees(trees, tau, metricName, decay)
+    }
     trees.unpersist()
     new Snapshot(() => Schema.fromForest(Forest.toNodesDF(forest)), oids, labels, clustering)
   }
@@ -71,7 +76,7 @@ final class Metrics(
   /** Jaccard of entity oid sets (metrics.py:226-238), as a distributed
     * join: |A∩B| / |A∪B|, 1.0 when both are empty.
     */
-  def coverage: Double = {
+  def coverage: Double = timed("coverage") {
     val a = origin.entityOids.toDF("oid")
     val b = currentSnapshot.entityOids.toDF("oid")
     val union = a.union(b).distinct().count()
@@ -87,7 +92,7 @@ final class Metrics(
     * names). Matched cells come back grouped; only the table reaches the
     * driver.
     */
-  private def contingencyTable: Map[(String, String), Long] = {
+  private def contingencyTable: Map[(String, String), Long] = timed("contingency") {
     val a = origin.clustering.toDF("oid", "a")
     val b = currentSnapshot.clustering.toDF("oid", "b")
     val j = a.join(b, Seq("oid"), "full_outer")

@@ -139,40 +139,47 @@ object Rewrite {
       result.assignments.unpersist()
 
       // 4. operations with early exit at the first op that changed
-      // anything (tree_rewriting/__init__.py:203-218). Each op is TRIED
-      // with a boolean-only pass first — a filter over the cached input
-      // that computes the op and keeps only its changed flag, writing
-      // nothing to executor storage — and only the op that actually
-      // fires is materialized. A non-firing trial previously persisted
-      // the entire (unchanged) transformed forest just to count flags;
-      // the convergence epoch alone ran seven of those full-forest cache
-      // writes. The firing op pays one extra compute pass, a net win
-      // because at most one op fires per epoch while up to seven miss.
-      // The firing op's persisted output BACKS the forest into the next
-      // epoch — the checkpoint at the next reduceAll breaks the
-      // (one-step) lineage, so no second full-forest materialization
-      // happens here.
-      var opChanged = false
-      val it = cfg.operations.iterator
-      while (it.hasNext && !opChanged) {
-        val op = it.next()
-        timed(s"op:${op.name}") {
-          val changed = trees.filter { case (id, tree) =>
-            op.fn(tree, modelB.value, minSupport, id.toString)._2
-          }.count()
-          if (changed > 0) {
-            opChanged = true
-            val mapped = trees.map { case (id, tree) =>
-              (id, op.fn(tree, modelB.value, minSupport, id.toString)._1)
-            }.persist(StorageLevel.MEMORY_AND_DISK)
-            mapped.count()
-            trees = mapped
-            releasePrevOp = () => { mapped.unpersist(); () }
+      // anything (tree_rewriting/__init__.py:203-218). Trials never
+      // mutate the forest, so every op's changed flag is computable on
+      // the SAME epoch input — ONE fused pass counts all of them at
+      // once, where sequential boolean trials paid a full re-read of
+      // the cached Kryo forest per op (the convergence epoch alone ran
+      // seven; per-pass deserialization of the forest, not the op
+      // arithmetic, dominated). Flags for ops after the first firing
+      // one are computed and discarded — the early-exit SEMANTICS are
+      // unchanged because only the first positive index is applied.
+      // Only the firing op is then materialized; its persisted output
+      // BACKS the forest into the next epoch — the checkpoint at the
+      // next reduceAll breaks the (one-step) lineage, so no second
+      // full-forest materialization happens here.
+      val opsArr = cfg.operations.toArray
+      val counts: Array[Long] = timed("opTrials") {
+        trees.mapPartitions { it =>
+          val c = new Array[Long](opsArr.length)
+          it.foreach { case (id, tree) =>
+            var i = 0
+            while (i < c.length) {
+              if (opsArr(i).fn(tree, modelB.value, minSupport, id.toString)._2) c(i) += 1
+              i += 1
+            }
           }
+          Iterator.single(c)
+        }.reduce { (a, b) => Array.tabulate(a.length)(i => a(i) + b(i)) }
+      }
+      val firing = counts.indexWhere(_ > 0)
+      if (firing >= 0) {
+        val op = opsArr(firing)
+        timed(s"op:${op.name}") {
+          val mapped = trees.map { case (id, tree) =>
+            (id, op.fn(tree, modelB.value, minSupport, id.toString)._1)
+          }.persist(StorageLevel.MEMORY_AND_DISK)
+          mapped.count()
+          trees = mapped
+          releasePrevOp = () => { mapped.unpersist(); () }
         }
       }
 
-      converged = !opChanged
+      converged = firing < 0
       cfg.epochHook.foreach { hook =>
         hook(epoch, trees.map { case (id, t) => TreeRow(id, TreeJson.toJson(t)) })
       }

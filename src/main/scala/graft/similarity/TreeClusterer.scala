@@ -230,7 +230,10 @@ object TreeClusterer {
     val spark = candsIn.sparkSession
     import spark.implicits._
 
-    val cands = candsIn.persist(StorageLevel.MEMORY_AND_DISK)
+    // both member paths scan the candidate extraction exactly once (the
+    // instance path materializes it straight into the persisted withFeat
+    // frame), so caching it here would only duplicate that storage
+    val cands = candsIn
 
     val (membersDf, releaseIntermediates) =
       if (schemaOnly)
@@ -238,10 +241,15 @@ object TreeClusterer {
           minClusterSize), () => ())
       else instanceMembers(cands, tau, decay, metricName, maxHeight)
 
-    // one persisted scan feeds every downstream stat — the members frame
-    // is the expensive join chain (expansion × cands), so materialize it
-    // exactly once
-    val members = membersDf.persist(StorageLevel.MEMORY_AND_DISK)
+    // schema-only members scan the raw candidate extraction (no cache
+    // underneath), so re-deriving them per downstream job would re-walk
+    // every tree — persist. The instance path needs no cache here: its
+    // members frame is the persisted withFeat scan plus rep-sized
+    // broadcast joins, re-derivable per job for less than one full-width
+    // cache write per fit (the distributed tau-graph variant persists
+    // inside instanceMembers, where the recompute would be real work)
+    val members =
+      if (schemaOnly) membersDf.persist(StorageLevel.MEMORY_AND_DISK) else membersDf
 
     // component stats for deterministic naming, ONE aggregation at the
     // (comp, labelName, labelTyped) grain — bounded by comps × labels —
@@ -290,15 +298,17 @@ object TreeClusterer {
       // materialize the returned assignments BEFORE the backing frames
       // are released — afterwards a recompute would rebuild the chain
       timed("assignments") { assignments.count() }
-      members.unpersist()
+      if (schemaOnly) members.unpersist()
       Map.empty
     } else {
+      // lazy projection of the (cached-or-cheap) members frame — the
+      // three model jobs below each re-derive it rather than paying a
+      // third full-width materialization per fit
       val memberRows = withCluster
         .select(col("cluster"), col("prob"), col("node").as("key"),
           struct(col("node").as("key"), col("treeId"), col("height"), col("depth"),
             col("labelName"), col("labelTyped"), col("levels")).as("cand"))
         .as[MemberRow]
-        .persist(StorageLevel.MEMORY_AND_DISK)
 
       val statRows = timed("statRows") { memberRows.groupBy("cluster")
         .agg(
@@ -325,8 +335,7 @@ object TreeClusterer {
       // materialize the returned assignments BEFORE the backing frames are
       // released — afterwards a recompute would rebuild the whole chain
       timed("assignments") { assignments.count() }
-      memberRows.unpersist()
-      members.unpersist()
+      if (schemaOnly) members.unpersist()
 
       val featsByCluster = featRows.groupBy(_._1).map { case (n, fs) => n -> fs.map(_._2).toSet }
       val membersByCluster = topRows.groupBy(_.cluster)
@@ -341,7 +350,6 @@ object TreeClusterer {
       }.toMap
     }
 
-    cands.unpersist()
     releaseIntermediates()
     Result(assignments, new ClusterModel(summaries, tau, decay, metricName))
   }
@@ -462,31 +470,44 @@ object TreeClusterer {
     val repKeys = withFeat.groupBy("feat")
       .agg(min(col("key")).as("key"), count(lit(1)).as("mult"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val reps = repKeys
-      .join(withFeat.drop("feat"), "key")
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // --- tau-graph: adaptive local/distributed (see LocalTauGraphMaxRepsKey) ---
     val repCount = timed("collapse+count") { repKeys.count() }
+    val small = repCount <= localTauGraphMaxReps(spark)
+    // the rep-sized frames (repKeys, labels, incident) are bounded by
+    // schema variety when the local path fired; hint the broadcast so
+    // the expansion below is map-side instead of shuffling the full
+    // candidate set once per join
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val reps = hinted(repKeys)
+      .join(withFeat.drop("feat"), "key")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val (labels, incident, releaseGraph) =
-      if (repCount <= localTauGraphMaxReps(spark))
+      if (small)
         timed("localTauGraph") { localTauGraph(reps, tau, decay, metricName, maxHeight) }
       else
         distributedTauGraph(reps, tau, decay, metricName, maxHeight)
 
     // --- expand representatives back to every original subtree ---
-    val expansion = withFeat
-      .select(col("key").as("origKey"), col("feat"))
-      .join(repKeys.select(col("feat"), col("key").as("node")), "feat")
-      .select("origKey", "node")
-    val membersDf = labels
-      .join(incident, "node")
-      .join(expansion, "node")
-      .drop("node")
-      .join(cands.withColumnRenamed("key", "origKey"), "origKey")
-      .withColumnRenamed("origKey", "node")
+    // withFeat already carries every candidate column, so the expansion
+    // joins the ONE full-size frame against three rep-sized ones — no
+    // re-join of the full candidate set against itself by key
+    val joined = withFeat
+      .join(hinted(repKeys.select(col("feat"), col("key").as("rep"))), "feat")
+      .join(hinted(labels.withColumnRenamed("node", "rep")), "rep")
+      .join(hinted(incident.withColumnRenamed("node", "rep")), "rep")
+      .drop("rep", "feat")
+      .withColumnRenamed("key", "node")
+    // local path: the chain above is the cached withFeat scan plus three
+    // broadcast joins — cheaper to re-derive per downstream job than to
+    // write a second full-width cache. Distributed path: labels/incident
+    // re-derivation would re-run the CC rounds and edge aggregations, so
+    // materialize once here.
+    val membersDf =
+      if (small) joined else joined.persist(StorageLevel.MEMORY_AND_DISK)
 
     (membersDf, () => {
+      if (!small) membersDf.unpersist()
       withFeat.unpersist()
       repKeys.unpersist()
       reps.unpersist()
