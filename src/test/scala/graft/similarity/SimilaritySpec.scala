@@ -255,4 +255,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(avgE - de) < 1e-9 && math.abs(avgD - dd) < 1e-9)
     }
   }
+
+  test("local-path member expansion broadcasts every rep-sized frame") {
+    // Plan guardrail for the fit join chain: the representative set is
+    // bounded by schema variety when the local tau-graph fired, so the
+    // expansion back to every original subtree must be the ONE cached
+    // candidate scan plus broadcast joins. A SortMergeJoin here means a
+    // full-size shuffle of the candidate set per fit — the regression
+    // that made nameStats the top fit cost before the chain was
+    // restructured. The two allowed exchanges are the repKeys groupBy
+    // (partial/final pair), the only place the candidate set may shuffle.
+    def tree(p: String, f: String, a: String) =
+      SExpr.parse(s"(S (X (ENT::person $p) (ENT::fruit $f)) (Y (ENT::person $p) (ENT::animal $a)))")
+    val forest = Forest.fromTrees(spark,
+      Seq(tree("Alice", "apple", "rabbit"), tree("Bob", "banana", "dog"), tree("Carol", "cherry", "cat")))
+    val result = TreeClusterer.fit(forest, tau = 0.7, metricName = "jaccard")
+    val p = result.assignments.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("SortMergeJoin"),
+      s"member expansion shuffles the candidate set through a sort-merge join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "member expansion plans an unbounded join")
+    assert(p.contains("BroadcastHashJoin"), "member expansion lost its broadcast joins")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"member expansion plans $exchanges exchanges, expected <=2:\n$p")
+    result.assignments.unpersist()
+  }
 }
