@@ -352,4 +352,56 @@ object Dedup {
       .select(col("node").as(idCol))
     df.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** Corpus-level LINE deduplication (the C4/RefinedWeb preprocessing
+    * step): a non-blank line occurring at least `minOccurrences` times
+    * across the WHOLE corpus — boilerplate headers, cookie banners,
+    * license blurbs — is removed from every document containing it;
+    * blank lines are document structure and always survive. Occurrences
+    * count per appearance, so a line repeated inside one document counts
+    * toward its own removal.
+    *
+    * Returns one row per input document: the cleaned text with the
+    * original line order preserved, plus total/removed line counts.
+    *
+    * Scale design: one exploded (id, pos, line) pass; global frequencies
+    * are a map-side-combined groupBy on the line itself (the shuffle key
+    * Spark hashes anyway — a separate 64-bit fingerprint would save no
+    * bytes but add a collision mode that silently deletes unique lines);
+    * the duplicate set joins back by line key; reconstruction is one
+    * aggregation per document sorting its surviving (pos, line) pairs
+    * locally. No step is driver-side or all-pairs; the heaviest shuffle
+    * is corpus-text-sized, the same order as reading the input.
+    */
+  def lineDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minOccurrences: Int = 2,
+  ): DataFrame = {
+    require(minOccurrences >= 2, "minOccurrences below 2 would delete every non-blank line")
+    // re-derived (not cached) by both branches: a pruned scan plus a
+    // codegen'd split is cheaper than materializing corpus-sized text
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val blank = trim(col("line")) === ""
+    val dupLines = lines
+      .filter(!blank)
+      .groupBy("line").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minOccurrences)
+      .select("line")
+    val flagged = lines
+      .join(dupLines.withColumn("dup", lit(true)), Seq("line"), "left")
+      .withColumn("removed", col("dup").isNotNull && !blank)
+    flagged
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("lines_total"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("lines_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("removed"), struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("clean_text"))
+  }
 }

@@ -241,6 +241,25 @@ object GraftQueries {
     // Training-data pipeline operators over documents/embeddings/events
     "dedup_exact_documents" -> ((s, d) =>
       Dedup.exact(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
+    // C4-style corpus-level line dedup: every non-blank line occurring
+    // >= 2 times across the corpus is removed from every document, line
+    // order preserved. The driver corpus is single-line, so the query
+    // builds a deterministic multi-line view — a license line shared by
+    // every document (removed everywhere), a cookie line in even docs
+    // (removed from those), and the doc's own text and 30-char prefix
+    // (corpus-unique, kept) — and the md5 of the reconstructed text pins
+    // the order-preserving rebuild bit-exactly against the SQL oracle.
+    "dedup_lines_documents" -> ((s, d) => {
+      val paged = s.read.parquet(s"$d/documents.parquet").selectExpr(
+        "doc_id",
+        """concat_ws(chr(10), text,
+          |  'LICENSE: corpus-wide boilerplate',
+          |  CASE WHEN doc_id % 2 = 0 THEN 'COOKIE: accept our cookies' END,
+          |  substring(text, 1, 30)) AS text""".stripMargin)
+      val out = Dedup.lineDedup(paged, "doc_id", "text")
+      out.selectExpr("doc_id", "lines_total", "lines_removed",
+        "md5(cast(clean_text AS binary)) AS clean_md5")
+    }),
     "dedup_ngram_documents" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", n = 3, threshold = 0.8)),
@@ -1350,6 +1369,37 @@ object GraftQueries {
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS content_hash,
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // zipped unnests align positionally in DuckDB, giving each line its
+    // 1-based position for the order-preserving string_agg rebuild; the
+    // paged CTE mirrors the query's deterministic multi-line view
+    "dedup_lines_documents" ->
+      """WITH paged AS (
+        |  SELECT doc_id,
+        |         concat_ws(chr(10), text,
+        |           'LICENSE: corpus-wide boilerplate',
+        |           CASE WHEN doc_id % 2 = 0 THEN 'COOKIE: accept our cookies' END,
+        |           substr(text, 1, 30)) AS text
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, chr(10))) AS line,
+        |         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM paged
+        |), dup AS (
+        |  SELECT line, true AS is_dup FROM l
+        |  WHERE trim(line) <> '' GROUP BY line HAVING count(*) >= 2
+        |), flags AS (
+        |  SELECT l.doc_id, l.pos, l.line,
+        |         (coalesce(dup.is_dup, false) AND trim(l.line) <> '') AS removed
+        |  FROM l LEFT JOIN dup ON l.line = dup.line
+        |)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS lines_total,
+        |       CAST(count(*) FILTER (WHERE removed) AS BIGINT) AS lines_removed,
+        |       md5(coalesce(string_agg(CASE WHEN NOT removed THEN line END,
+        |                               chr(10) ORDER BY pos), '')) AS clean_md5
+        |FROM flags GROUP BY doc_id""".stripMargin,
 
     "dedup_ngram_documents" -> ngramJaccardOracle,
     "dedup_resolve_documents" -> dedupResolveOracle,

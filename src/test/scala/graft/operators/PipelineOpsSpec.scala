@@ -112,4 +112,34 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     val sampled = Sampling.stratified(df, "lang", "doc_id", fracs)
     assert(sampled.count() <= df.count())
   }
+
+  test("line dedup: corpus-frequent lines removed, blanks and order preserved") {
+    // "shared" appears 3× corpus-wide (twice inside doc 1 — within-doc
+    // repetition counts toward removal); "  " is blank and must survive
+    // even though it also repeats; every other line is corpus-unique
+    val df = docs(
+      1L -> "keep one\nshared\n  \nshared\nkeep two",
+      2L -> "shared\nkeep three",
+      3L -> "  \nonly line")
+    val out = Dedup.lineDedup(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("lines_total"), r.getAs[Long]("lines_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((5L, 2L, "keep one\n  \nkeep two")))
+    assert(out(2L) == ((2L, 1L, "keep three")))
+    assert(out(3L) == ((2L, 0L, "  \nonly line")))
+  }
+
+  test("line dedup: a document of only duplicated lines cleans to empty") {
+    val df = docs(1L -> "dup", 2L -> "dup", 3L -> "dup\ndup")
+    val out = Dedup.lineDedup(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("lines_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((1L, "")))
+    assert(out(3L) == ((2L, "")))
+    // below the default threshold nothing is removed
+    val none = Dedup.lineDedup(docs(1L -> "solo a", 2L -> "solo b"), "doc_id", "text")
+      .collect()
+    assert(none.forall(_.getAs[Long]("lines_removed") == 0L))
+  }
 }
