@@ -370,6 +370,27 @@ object GraftQueries {
       Ann.ivfTopK(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0L to 9L,
         k = 5, nLists = 16, nProbe = 16)),
+    // Bucketed-sink lane: both join sides are written bucketed+sorted on
+    // the order key (the shuffle pre-paid once at write time), then the
+    // recurring fact-dim join and its rollup run over the co-located
+    // tables — the plan-level zero-Exchange guarantee is pinned in
+    // BucketedStoreSpec; this lane pins the RESULTS against the plain
+    // relational oracle end-to-end through the write/catalog/read path.
+    "bucketed_join_orders" -> ((s, d) => {
+      import graft.sinks.BucketedStore
+      val base = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      BucketedStore.write(
+        s.read.parquet(s"$d/orders.parquet").select("o_orderkey", "o_totalprice"),
+        "graft_bs_orders", s"$base/orders", "o_orderkey", 8)
+      BucketedStore.write(
+        s.read.parquet(s"$d/lineitem.parquet")
+          .selectExpr("l_orderkey AS o_orderkey", "l_quantity"),
+        "graft_bs_lineitem", s"$base/lineitem", "o_orderkey", 8)
+      BucketedStore.read(s, "graft_bs_orders")
+        .join(BucketedStore.read(s, "graft_bs_lineitem"), "o_orderkey")
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity").as("sum_qty"))
+    }),
     // §2.7 export_sql: the customer group table after cast-on-export,
     // minus the (sha1) oid PK the oracle cannot recompute
     "export_sql_customer" -> ((s, d) => {
@@ -1344,6 +1365,11 @@ object GraftQueries {
 
     "export_sql_customer" ->
       "SELECT DISTINCT c_acctbal, CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment, c_name FROM customer",
+
+    "bucketed_join_orders" ->
+      """SELECT o.o_orderkey, o.o_totalprice, CAST(sum(l.l_quantity) AS DOUBLE) AS sum_qty
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderkey, o.o_totalprice""".stripMargin,
 
     "read_document_props" ->
       "SELECT DISTINCT CAST(props::JSON->>'k' AS VARCHAR) AS k FROM events",
