@@ -6,6 +6,21 @@ import org.apache.spark.sql.functions._
 /** Distributed graph utilities shared by the loaders and the clusterer. */
 object Graph {
 
+  /** Above this many nodes OR edges the component computation runs
+    * distributed; at or below it, one collect + driver union-find
+    * replaces the ~10 jobs plus iterative pointer-jumping rounds that
+    * are pure scheduler latency on a provably-small graph. Same
+    * adaptive philosophy as the clusterer's local tau-graph cutover:
+    * near-dup resolution and test-scale property graphs have graphs
+    * bounded by PAIRED items (a small fraction of any corpus), while
+    * corpus-scale loads blow past the threshold and keep the unbounded
+    * path. Tune — or set 0 to force the distributed path — via the
+    * session conf. The default bounds driver memory at a few MB.
+    */
+  val LocalCcMaxRowsKey = "spark.graft.graph.localCCMaxRows"
+  private def localCcMaxRows(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(LocalCcMaxRowsKey).map(_.toLong).getOrElse(100000L)
+
   /** Undirected connected components. `nodes` has one column `node`;
     * `edges` has `src`/`dst` (one row per undirected edge, either
     * orientation). Returns `(node, comp)` where `comp` is the minimum
@@ -20,6 +35,64 @@ object Graph {
     * rather than returning split components.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 60): DataFrame = {
+    val spark = nodes.sparkSession
+    val threshold = localCcMaxRows(spark)
+    if (threshold <= 0) return distributedComponents(nodes, edges, maxIter)
+    // both frames may carry expensive lineage (near-dup pair joins), so
+    // cache before the size probe: the probe materializes the cache and
+    // whichever path runs reads it instead of recomputing
+    val n = nodes.select(col("node")).persist()
+    val e = edges.select(col("src"), col("dst")).persist()
+    if (n.count() <= threshold && e.count() <= threshold) localComponents(n, e)
+    else {
+      // by return time the labels are localCheckpointed and bidir has
+      // its own cache, so the probe caches can be released
+      val out = distributedComponents(n, e, maxIter)
+      n.unpersist()
+      e.unpersist()
+      out
+    }
+  }
+
+  /** Driver-side union-find for a provably-small graph. Node ordering
+    * comes from Spark's own sort (collected ascending), so the minimum
+    * INDEX of a component is the same node the distributed min-label
+    * propagation elects — identical output, one job.
+    */
+  private def localComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    val nodeRows = nodes.orderBy(col("node")).collect().map(_.get(0))
+    val idx: Map[Any, Int] = nodeRows.zipWithIndex.toMap
+    val parent = Array.tabulate(nodeRows.length)(identity)
+    def find(i: Int): Int = {
+      var r = i
+      while (parent(r) != r) r = parent(r)
+      var c = i
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.collect().foreach { row =>
+      (idx.get(row.get(0)), idx.get(row.get(1))) match {
+        case (Some(a), Some(b)) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        case _ => () // endpoint outside `nodes`: same as the join drop distributed
+      }
+    }
+    nodes.unpersist()
+    edges.unpersist()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      nodes.schema.fields.head,
+      nodes.schema.fields.head.copy(name = "comp")))
+    val out = nodeRows.indices.map { i =>
+      org.apache.spark.sql.Row(nodeRows(i), nodeRows(find(i)))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(out).asJava), schema)
+  }
+
+  private def distributedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()

@@ -26,4 +26,32 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(comp.length == n)
     assert(comp.forall(_._2 == "n0000"))
   }
+
+  test("property: local and distributed component paths agree on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2026)
+    for (round <- 1 to 5) {
+      val n = 20 + rnd.nextInt(60)
+      val ids = (0 until n).map(i => f"v$i%03d")
+      val edges = Seq.fill(rnd.nextInt(2 * n))((ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+        .filter { case (a, b) => a != b }
+      def run(): Map[String, String] =
+        Graph.connectedComponents(ids.toDF("node"), edges.toDF("src", "dst"))
+          .as[(String, String)].collect().toMap
+      val local = run()
+      spark.conf.set(Graph.LocalCcMaxRowsKey, "0") // force distributed
+      val dist =
+        try run()
+        finally spark.conf.unset(Graph.LocalCcMaxRowsKey)
+      assert(local == dist, s"round $round: CC paths diverge (n=$n, e=${edges.size})")
+    }
+  }
+
+  test("local path ignores edge endpoints outside the node set, like the join drop") {
+    import spark.implicits._
+    val nodes = Seq("a", "b").toDF("node")
+    val edges = Seq(("a", "ghost"), ("ghost", "b")).toDF("src", "dst")
+    val comp = Graph.connectedComponents(nodes, edges).as[(String, String)].collect().toMap
+    assert(comp == Map("a" -> "a", "b" -> "b"))
+  }
 }
