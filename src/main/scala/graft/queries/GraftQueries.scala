@@ -873,6 +873,28 @@ object GraftQueries {
       Events.hourlyStats(graft.sources.EventTime.readBatch(s, d)).drop("approx_users")
     }),
 
+    // Temporal as-of join (feature lookup): each purchase event joined
+    // to the user's most recent view at or before it. Union-and-sweep
+    // formulation — one hash exchange + window pass, no join operator
+    // (plan pinned in AsofJoinSpec); the oracle is DuckDB's native
+    // `ASOF LEFT JOIN` with identical backward-inclusive semantics
+    // ((user_id, ts) is collision-free in this corpus, so the
+    // operator's greatest-right-id tie-break never has to fire).
+    "asof_join_events" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = graft.sources.EventTime.readBatch(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "ts", "user_id")
+      graft.operators.AsofJoin
+        .backward(purchases, views, "user_id", "ts", "event_id", Seq("event_id"))
+        .selectExpr(
+          "event_id AS purchase_id", "user_id",
+          "right_event_id AS last_view_id",
+          "unix_micros(ts) - right_us AS view_gap_us")
+    }),
+
     // Training-pipeline sessionization: gap-split each user's event run
     // (8 h gap ≈ 4.8k sessions over 10k events at sf0.01) into
     // per-session stats. Window-function lane: lag → boundary flag →
@@ -1544,6 +1566,19 @@ object GraftQueries {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN: greatest v.ts <= p.ts per key,
+    // left-outer nulls — exactly the operator's backward-inclusive
+    // contract ((user_id, ts) collision-free here, so neither engine's
+    // tie rule is exercised)
+    "asof_join_events" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       v.event_id AS last_view_id,
+        |       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS view_gap_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
 
     "events_sessions" ->
       s"""WITH o AS (
