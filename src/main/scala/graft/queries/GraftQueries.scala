@@ -895,6 +895,29 @@ object GraftQueries {
           "unix_micros(ts) - right_us AS view_gap_us")
     }),
 
+    // Interval containment (incident attribution): how many views the
+    // user made in the 5 minutes up to each error. Bucketized range
+    // join — intervals exploded onto fixed time buckets, points bucket
+    // once, hash equi-join on (user, bucket) + exact filter — so the
+    // plan is never the BroadcastNestedLoopJoin a raw inequality join
+    // produces (pinned in RangeJoinSpec); empty windows survive with 0.
+    "range_join_events" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val ev = graft.sources.EventTime.readBatch(s, d)
+      val windowUs = 300L * 1000000L
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          expr("unix_micros(ts)").as("end_us"))
+        .withColumn("start_us", col("end_us") - windowUs)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          expr("unix_micros(ts)").as("view_us"))
+      graft.operators.RangeJoin
+        .countPointsInIntervals(errors, views, "user_id", "error_id",
+          "start_us", "end_us", "view_us", "view_id", bucketUs = windowUs)
+        .selectExpr("error_id", "user_id", "n_points AS n_views")
+    }),
+
     // Training-pipeline sessionization: gap-split each user's event run
     // (8 h gap ≈ 4.8k sessions over 10k events at sf0.01) into
     // per-session stats. Window-function lane: lag → boundary flag →
@@ -1579,6 +1602,20 @@ object GraftQueries {
         |       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS view_gap_us
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    // plain inequality left join + count — DuckDB's optimizer is free
+    // to pick any strategy; only the contained set matters
+    "range_join_events" ->
+      """WITH e AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS end_us
+        |           FROM events WHERE event_type = 'error'),
+        |     v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS view_us
+        |           FROM events WHERE event_type = 'view')
+        |SELECT e.error_id, e.user_id,
+        |       CAST(count(v.view_id) AS BIGINT) AS n_views
+        |FROM e LEFT JOIN v
+        |  ON e.user_id = v.user_id
+        | AND v.view_us BETWEEN e.end_us - 300000000 AND e.end_us
+        |GROUP BY 1, 2""".stripMargin,
 
     "events_sessions" ->
       s"""WITH o AS (
