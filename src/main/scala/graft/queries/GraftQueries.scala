@@ -950,6 +950,17 @@ object GraftQueries {
         docs, "doc_id", graft.operators.TextAnalysis.tokenCountExpr(col("text")), budget = 1000L)
     }),
 
+    // Corpus length profile (cutoff calibration): exact nearest-rank
+    // length percentiles per language. Integer-only rank arithmetic
+    // ((n·p+99) div 100) over one window sort per language — the value
+    // at a rank is tie-stable, so the result is bit-reproducible by any
+    // SQL engine (no interpolation, no floating point).
+    "quantiles_documents" -> ((s, d) =>
+      graft.operators.Stats.nearestRankQuantiles(
+          s.read.parquet(s"$d/documents.parquet"), "lang", "n_chars", Seq(50, 90, 99))
+        .selectExpr("lang", "n_rows AS n_docs", "min_value AS min_chars",
+          "max_value AS max_chars", "p50", "p90", "p99")),
+
     // Deterministic stratified sampling (corpus rebalancing): keep 40%
     // of the dominant language, 90% of zh, 75% of everything else —
     // membership is a pure function of (lang, doc_id) via the portable
@@ -1602,6 +1613,20 @@ object GraftQueries {
         |       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS view_gap_us
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    // same nearest-rank definition, same integer rank arithmetic
+    "quantiles_documents" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |       max(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN n_chars END) AS p50,
+        |       max(CASE WHEN rn = (cnt * 90 + 99) // 100 THEN n_chars END) AS p90,
+        |       max(CASE WHEN rn = (cnt * 99 + 99) // 100 THEN n_chars END) AS p99
+        |FROM r GROUP BY lang""".stripMargin,
 
     // plain inequality left join + count — DuckDB's optimizer is free
     // to pick any strategy; only the contained set matters
