@@ -950,6 +950,34 @@ object GraftQueries {
         docs, "doc_id", graft.operators.TextAnalysis.tokenCountExpr(col("text")), budget = 1000L)
     }),
 
+    // Snapshot maintenance (CDC refresh between crawls): a synthetic
+    // changeset — status-R updates for keys ≡0 (mod 7), deletes for
+    // keys ≡0 (mod 13) (deletes win on overlap by construction: the
+    // update set excludes them), status-N inserts re-keyed +1e9 from
+    // keys ≡0 (mod 11) — merged into the orders snapshot. The full
+    // next-snapshot table is the result, so the oracle re-derives every
+    // surviving row, not just counts.
+    "upsert_orders" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val orders = s.read.parquet(s"$d/orders.parquet")
+      val updates = orders
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_orderstatus", lit("R"))
+        .withColumn("deleted", lit(false))
+      val deletes = orders.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("deleted", lit(true))
+      val inserts = orders.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("deleted", lit(false))
+      graft.operators.Upsert.merge(
+          orders, updates.unionByName(deletes).unionByName(inserts),
+          Seq("o_orderkey"), Some("deleted"))
+        // timestamp→string on both sides (the Spark/DuckDB cast contract
+        // at the top of this file), native types elsewhere
+        .withColumn("o_orderdate", col("o_orderdate").cast("string"))
+    }),
+
     // Corpus length profile (cutoff calibration): exact nearest-rank
     // length percentiles per language. Integer-only rank arithmetic
     // ((n·p+99) div 100) over one window sort per language — the value
@@ -1613,6 +1641,29 @@ object GraftQueries {
         |       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS view_gap_us
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    // next snapshot = (target minus changed keys) ∪ surviving changes
+    "upsert_orders" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, false AS deleted
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, true
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice,
+        |         o_orderdate, o_orderpriority, false
+        |  FROM orders WHERE o_orderkey % 11 = 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
+        |FROM changes WHERE NOT deleted""".stripMargin,
 
     // same nearest-rank definition, same integer rank arithmetic
     "quantiles_documents" ->
