@@ -156,6 +156,30 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(topK)
 
+  /** Corpus heavy hitters: the `topK` most frequent word n-grams —
+    * the boilerplate detector behind template/SEO-spam filters and the
+    * phrase statistics a dedup threshold is tuned against. Same
+    * single-space tokenization as [[vocabulary]]; grams are formed by a
+    * codegen'd higher-order array expression (no UDF), counted with a
+    * map-side-combined aggregation on the gram key, and the final
+    * (count desc, gram asc) top-k plans as TakeOrderedAndProject — no
+    * global sort, nothing driver-side beyond the k winners. Documents
+    * shorter than n tokens contribute nothing.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, topK: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = filter(split(trim(col(textCol)), " "), t => length(t) > 0)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))
+    ).otherwise(array())
+    df.select(explode(grams).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(topK)
+  }
+
   /** BPE-style pre-tokenization pattern (GPT-2 family, minus the
     * RE2-unsupported lookahead): a token is an optionally-space-prefixed
     * letter run, digit run, or punctuation run, or a whitespace run.

@@ -303,6 +303,12 @@ object GraftQueries {
       TextAnalysis.repetitionStats(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     "vocabulary_documents" -> ((s, d) =>
       TextAnalysis.vocabulary(s.read.parquet(s"$d/documents.parquet"), "text", topK = 100)),
+    // Corpus heavy hitters (boilerplate/template detection): top word
+    // bigrams, counted with a map-side-combined aggregation; the
+    // (count desc, gram asc) top-k plans as TakeOrderedAndProject — no
+    // global sort, k rows to the driver.
+    "top_ngrams_documents" -> ((s, d) =>
+      TextAnalysis.topNgrams(s.read.parquet(s"$d/documents.parquet"), "text", n = 2, topK = 50)),
     // PII redaction round trip (the masking stage of a pretraining
     // pipeline). The synthetic corpus carries no PII, so the query
     // injects a deterministic email/IP/phone/account quartet derived
@@ -1728,6 +1734,21 @@ object GraftQueries {
         |GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC
         |LIMIT 100""".stripMargin,
+
+    // same single-space tokenization; bigrams via positionally-aligned
+    // zipped unnests over the filtered token list
+    "top_ngrams_documents" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(trim(text), ' '), t -> length(t) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |                               i -> t[i] || ' ' || t[i + 1])) AS ngram
+        |  FROM toks WHERE len(t) >= 2)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM grams GROUP BY ngram
+        |ORDER BY n_occurrences DESC, ngram ASC
+        |LIMIT 50""".stripMargin,
 
     // the same injection + the same patterns as the Spark side, staged
     // through one CTE per category so counts honor the redaction order

@@ -153,6 +153,25 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("topNgrams: bigram counts across docs, tie-break, short docs contribute nothing") {
+    val df = docs(1L -> "to be or not to be", 2L -> "to be", 3L -> "be", 4L -> "  ")
+    val out = TextAnalysis.topNgrams(df, "text", n = 2, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "to be" 3× (twice in doc 1, once in doc 2); "be or"/"not to"/"or not"
+    // tie at 1 -> ascending gram order; doc 3 (< n tokens) and the
+    // all-whitespace doc 4 contribute nothing
+    assert(out == Seq(("to be", 3L), ("be or", 1L), ("not to", 1L)))
+  }
+
+  test("topNgrams at n=1 matches vocabulary") {
+    val df = docs(1L -> "b a  b c a b", 2L -> "c a d")
+    val uni = TextAnalysis.topNgrams(df, "text", n = 1, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val voc = TextAnalysis.vocabulary(df, "text", topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(uni == voc)
+  }
+
   test("fingerprint: identical docs share it, different ones don't") {
     val df = docs(1L -> "a b c d e f g h", 2L -> "a b c d e f g h", 3L -> "t u v w x y z q")
     val fp = TextAnalysis.fingerprint(df, "doc_id", "text").collect()
