@@ -87,7 +87,11 @@ object Ann {
       corpus: DataFrame,
       cents: Array[(Int, Seq[Double])],
       unrolled: Boolean): DataFrame =
-    if (unrolled) {
+    if (cents.length == 1)
+      // degenerate but legal (k=1 = "one global cluster"): greatest()
+      // needs two arguments, and no argmax is needed anyway
+      corpus.withColumn("cid", lit(cents.head._1))
+    else if (unrolled) {
       // argmax over centroid dot products, unrolled per centroid
       val scored = cents.map { case (cid, vec) =>
         val cArr = array(vec.map(lit): _*)
@@ -101,6 +105,39 @@ object Ann {
           centroidsLit(cents),
           c => struct(cosine(col("v"), c.getField("cv")).as("s"), c.getField("cid").as("cid"))))
           .getField("cid"))
+
+  /** Deterministic Lloyd iteration over an (`id`, `v`) corpus: init =
+    * the first `k` vectors by id (driver collect bounded by k·dim — the
+    * k-means model, not the data), then `iters` assign/recompute-mean
+    * rounds. A cluster that loses all members drops out (its cid simply
+    * stops appearing), matching the per-cid mean recomputation. Shared
+    * by the IVF index and semantic dedup so both train the identical
+    * model for identical inputs.
+    */
+  private[operators] def lloydCentroids(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int,
+      unrolled: Boolean): Array[(Int, Seq[Double])] = {
+    var centroids: Array[(Int, Seq[Double])] = corpus
+      .orderBy("id").limit(k).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    (1 to iters).foreach { _ =>
+      val assigned = assignToCentroids(corpus, centroids, unrolled)
+      val dim = centroids.head._2.size
+      val meanCols = (0 until dim).map(i => avg(col("v").getItem(i)).as(s"d$i"))
+      val means = assigned
+        .groupBy("cid")
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), (0 until dim).map(i => r.getDouble(i + 1))))
+      if (means.nonEmpty) centroids = means.map { case (c, v) => (c, v: Seq[Double]) }
+    }
+    centroids
+  }
+
+  private[operators] def maxUnrolled(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get(MaxUnrolledListsConf, MaxUnrolledListsDefault.toString).toInt
 
   /** IVF index: assign every vector to its closest of `nLists` centroids
     * (k-means initialized from the lexicographically-first ids, `iters`
@@ -131,29 +168,8 @@ object Ann {
     val unrolled = nLists <= spark.conf
       .get(MaxUnrolledListsConf, MaxUnrolledListsDefault.toString).toInt
     val corpus = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")).cache()
-
-    // deterministic init: first nLists vectors by id (driver collect
-    // bounded by nLists·dim — the k-means model, not the data)
-    var centroids: Array[(Int, Seq[Double])] = corpus
-      .orderBy("id").limit(nLists).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
-
-    def assignCids(cents: Array[(Int, Seq[Double])]): DataFrame =
-      assignToCentroids(corpus, cents, unrolled)
-
-    (1 to iters).foreach { _ =>
-      val assigned = assignCids(centroids)
-      val dim = centroids.head._2.size
-      val meanCols = (0 until dim).map(i => avg(col("v").getItem(i)).as(s"d$i"))
-      val means = assigned
-        .groupBy("cid")
-        .agg(meanCols.head, meanCols.tail: _*)
-        .collect()
-        .map(r => (r.getInt(0), (0 until dim).map(i => r.getDouble(i + 1))))
-      if (means.nonEmpty) centroids = means.map { case (c, v) => (c, v: Seq[Double]) }
-    }
-
-    val assigned = assignCids(centroids).cache()
+    val centroids = lloydCentroids(corpus, nLists, iters, unrolled)
+    val assigned = assignToCentroids(corpus, centroids, unrolled).cache()
     val queries = assigned
       .filter(col("id").isInCollection(queryIds))
       .select(col("id").as("query_id"), col("v").as("va"))

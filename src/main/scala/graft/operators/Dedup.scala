@@ -294,6 +294,71 @@ object Dedup {
     out
   }
 
+  /** SemDeDup-style semantic deduplication: k-means-cluster the
+    * embedding space (the deterministic shared Lloyd model,
+    * [[Ann.lloydCentroids]]), then within each cluster drop every
+    * vector that has a smaller-id neighbor at cosine ≥ `threshold`.
+    * Output is the full verdict table — (vec_id, cid, kept) for every
+    * input row — so downstream keeps `kept` and the whole model
+    * (assignment AND pruning) is checkable.
+    *
+    * Scale: centroid assignment is a per-row map-side expression (plan
+    * size O(1) in k above the unrolled threshold — same machinery as
+    * the IVF index); the only quadratic step is the within-cluster
+    * pair join, bounded by cluster size — SemDeDup's own design knob:
+    * pick k so clusters stay small (the paper uses ~10⁴–10⁵ clusters
+    * at web scale, keeping clusters in the thousands). The pair join
+    * is a hash equi-join on cid, never an all-pairs blob.
+    *
+    * Greedy min-id pruning (not connected components): a vector
+    * survives iff no SMALLER-id same-cluster neighbor is within
+    * threshold. Deterministic, one join; transitive chains keep their
+    * local minima (use [[resolvePairs]] on the pair output when
+    * global-component semantics are wanted).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 16,
+      iters: Int = 2,
+      threshold: Double = 0.9,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val unrolled = k <= Ann.maxUnrolled(spark)
+    val corpus = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), transform(col(vecCol), _.cast("double")).as("v"))
+      .cache()
+    val centroids = Ann.lloydCentroids(corpus, k, iters, unrolled)
+    val assigned = Ann.assignToCentroids(corpus, centroids, unrolled).cache()
+
+    // same NaN guard as embeddingCosinePairs: a zero-norm vector's
+    // cosine is NaN, which Spark orders above every double
+    val sim = Ann.cosine(col("v"), col("ov"))
+    val dropped = assigned
+      .join(
+        assigned.select(col("id").as("oid"), col("v").as("ov"), col("cid")),
+        Seq("cid"))
+      .filter(col("oid") < col("id"))
+      .filter(!isnan(sim) && sim >= threshold)
+      .select(col("id"))
+      .distinct()
+      .withColumn("graft_dropped", lit(true))
+
+    val out = assigned
+      .join(dropped, Seq("id"), "left")
+      .select(
+        col("id").as("vec_id"),
+        col("cid"),
+        col("graft_dropped").isNull.as("kept"))
+      .localCheckpoint(true)
+    assigned.unpersist()
+    corpus.unpersist()
+    out
+  }
+
   /** Near-duplicate pairs by SimHash hamming distance ≤ maxDistance
     * (≤ 3 with the default 4 chunks, by pigeonhole). Banded on 15-bit
     * chunks: only pairs agreeing on at least one chunk are compared.

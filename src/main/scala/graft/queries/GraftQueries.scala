@@ -286,6 +286,17 @@ object GraftQueries {
       Dedup.embeddingCosinePairs(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
         threshold = 0.5, bands = 64, rowsPerBand = 4)),
+    // SemDeDup-style semantic dedup: deterministic k-means (init =
+    // first 10 ids, 2 Lloyd rounds) + greedy min-id pruning at cosine
+    // ≥ 0.5 within each cluster, full (vec_id, cid, kept) verdict
+    // table. The oracle replays the IDENTICAL model in SQL — unrolled
+    // Lloyd via chained CTEs — so every assignment and every verdict is
+    // cross-engine-checked. Double-precision safety measured on this
+    // corpus: min argmax margin 1.2e-4, min |cos−τ| 1.1e-3 (sf0.1) —
+    // 9+ orders above cross-engine summation-order noise.
+    "dedup_semantic_embeddings" -> ((s, d) =>
+      Dedup.semanticDedup(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", k = 10, iters = 2, threshold = 0.5)),
     "text_stats_documents" -> ((s, d) =>
       TextAnalysis.stats(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     "lang_id_documents" -> ((s, d) =>
@@ -1526,6 +1537,7 @@ object GraftQueries {
     // SimHash is fully SQL-expressible now that the token hash is the
     // portable md5-prefix (TextAnalysis.portableHash).
     "dedup_simhash_documents" -> simhashOracle,
+    "dedup_semantic_embeddings" -> semanticDedupOracle,
     "fingerprint_documents" -> fingerprintOracle,
     // sign-LSH + exact-verify ≡ brute force w.h.p. (miss ~5e-7 at the
     // registered band config); NaN (zero-norm) pairs excluded both sides
@@ -1910,6 +1922,45 @@ object GraftQueries {
       |  + (((SELECT v FROM c) + (SELECT v FROM m)) * 4
       |     + (2 * (SELECT v FROM m) + (SELECT v FROM mr)) * 2
       |     + 2 * (SELECT v FROM mr) * 2)""".stripMargin
+
+  /** DuckDB replay of Dedup.semanticDedup's exact model: deterministic
+    * Lloyd (init = first 10 ids, 2 rounds) unrolled into chained CTEs —
+    * assignment = argmax cosine with the larger-cid tie-break, means per
+    * (cid, dim) via positionally-zipped unnests — then the greedy
+    * min-id verdict at cosine ≥ 0.5. Clusters that lose all members
+    * drop out of the next round's centroid set, as in the Scala model.
+    */
+  private lazy val semanticDedupOracle: String = {
+    // closest-centroid assignment of `e` against centroid CTE `c`
+    def assign(from: String, cents: String): String =
+      s"""SELECT vec_id, v, cid FROM (
+         |  SELECT $from.vec_id, $from.v, $cents.cid,
+         |         row_number() OVER (PARTITION BY $from.vec_id
+         |           ORDER BY list_cosine_similarity($from.v, $cents.cv) DESC,
+         |                    $cents.cid DESC) AS rn
+         |  FROM $from, $cents) t WHERE rn = 1""".stripMargin
+    // per-cid dimension means of assignment CTE `a` as the next centroids
+    def means(a: String): String =
+      s"""SELECT cid, list(mv ORDER BY pos) AS cv FROM (
+         |  SELECT cid, pos, avg(val) AS mv FROM (
+         |    SELECT cid, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos
+         |    FROM $a) u
+         |  GROUP BY cid, pos) m GROUP BY cid""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+       |              v AS cv
+       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 10)),
+       |a0 AS (${assign("e", "c0")}),
+       |c1 AS (${means("a0")}),
+       |a1 AS (${assign("e", "c1")}),
+       |c2 AS (${means("a1")}),
+       |a2 AS (${assign("e", "c2")})
+       |SELECT a.vec_id, a.cid,
+       |       NOT EXISTS (SELECT 1 FROM a2 b
+       |                   WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+       |                     AND list_cosine_similarity(a.v, b.v) >= 0.5) AS kept
+       |FROM a2 a""".stripMargin
+  }
 
   /** Exact 3-gram-shingle Jaccard pairs at threshold 0.8 — DuckDB form of
     * Dedup.ngramJaccardPairs (1-based inclusive list slicing).
