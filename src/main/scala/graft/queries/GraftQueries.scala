@@ -935,6 +935,18 @@ object GraftQueries {
         .selectExpr("error_id", "user_id", "n_points AS n_views")
     }),
 
+    // Per-key top-k (per-user highlights): each user's 3 highest-value
+    // purchases. One hash exchange + per-key sort, never a global sort;
+    // the unique event_id tie-break makes every rank deterministic.
+    "top_events_per_user" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.operators.Stats.topKPerKey(
+        graft.sources.EventTime.readBatch(s, d)
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "value"),
+        "user_id", "value", "event_id", k = 3)
+    }),
+
     // Training-pipeline sessionization: gap-split each user's event run
     // (8 h gap ≈ 4.8k sessions over 10k events at sf0.01) into
     // per-session stats. Window-function lane: lag → boundary flag →
@@ -959,6 +971,15 @@ object GraftQueries {
       graft.operators.Chunking.slidingWindows(
         s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
         maxLen = 64, stride = 48)),
+
+    // Curriculum ordering: global contiguous rank over (length, id) via
+    // the two-phase parallel scan — never the single-task global window
+    // (plan pinned in RankingSpec); output is partitioning-independent,
+    // so the one-window SQL oracle checks the distributed path exactly.
+    "curriculum_rank_documents" -> ((s, d) =>
+      graft.operators.Ranking.globalRank(
+          s.read.parquet(s"$d/documents.parquet"), "doc_id", "n_chars")
+        .selectExpr("id AS doc_id", "ord AS n_chars", "rank")),
 
     "pack_sequences_documents" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -1043,6 +1064,31 @@ object GraftQueries {
     // vocabulary). The update stream's count is monotone and set union
     // commutative, so max-per-user is batching-independent and equals
     // the batch COUNT(DISTINCT) — the oracle.
+    // §2.8 stream-static enrichment: every streaming purchase joined to
+    // a batch-derived per-user profile. The dimension is broadcast, so
+    // each micro-batch plans a BroadcastHashJoin — no stream shuffle,
+    // no state store (pinned in EventStreamSpec); Append emits each
+    // enriched row exactly once, so the batch join SQL is the oracle.
+    "events_enriched_streaming" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+      import org.apache.spark.sql.streaming.Trigger
+      val profile = graft.sources.EventTime.readBatch(s, d)
+        .groupBy("user_id")
+        .agg(
+          sum(expr("cast(round(value * 100) as bigint)")).as("lifetime_cents"),
+          count(lit(1)).as("n_user_events"))
+      val stream = graft.sources.EventTime.readStreamEvents(s, d)
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id")
+      val q = graft.streaming.EventStream.enrichWithDim(stream, profile, Seq("user_id"))
+        .writeStream.format("memory").queryName("events_enriched_sink")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_enriched_sink")
+    }),
+
     "events_user_types_streaming" -> ((s, d) => {
       import org.apache.spark.sql.functions.max
       import org.apache.spark.sql.streaming.Trigger
@@ -1660,6 +1706,11 @@ object GraftQueries {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
 
+    "curriculum_rank_documents" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank
+        |FROM documents""".stripMargin,
+
     // next snapshot = (target minus changed keys) ∪ surviving changes
     "upsert_orders" ->
       """WITH changes AS (
@@ -1696,6 +1747,14 @@ object GraftQueries {
         |       max(CASE WHEN rn = (cnt * 90 + 99) // 100 THEN n_chars END) AS p90,
         |       max(CASE WHEN rn = (cnt * 99 + 99) // 100 THEN n_chars END) AS p99
         |FROM r GROUP BY lang""".stripMargin,
+
+    "top_events_per_user" ->
+      """SELECT event_id, user_id, value, CAST(rn AS INT) AS rank FROM (
+        |  SELECT event_id, user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase') t
+        |WHERE rn <= 3""".stripMargin,
 
     // plain inequality left join + count — DuckDB's optimizer is free
     // to pick any strategy; only the contained set matters
@@ -1855,6 +1914,16 @@ object GraftQueries {
     "events_user_types_streaming" ->
       """SELECT user_id, CAST(count(DISTINCT event_type) AS INT) AS n_types
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "events_enriched_streaming" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS lifetime_cents,
+        |         CAST(count(*) AS BIGINT) AS n_user_events
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, p.lifetime_cents, p.n_user_events
+        |FROM events e JOIN p USING (user_id)
+        |WHERE e.event_type = 'purchase'""".stripMargin,
 
     // batch sessionize, filtered to the sessions the Append stream must
     // have emitted: closed-by-next-event (not the user's last) OR

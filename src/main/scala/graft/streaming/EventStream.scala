@@ -60,6 +60,19 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
 
+  /** Stream-static enrichment join: attach a (small) static dimension —
+    * a user profile, a source registry, a quality-score lookup — to
+    * every streaming row. The static side is explicitly `broadcast()`:
+    * each micro-batch then plans a BroadcastHashJoin, so the stream
+    * never shuffles and the state store holds NOTHING (unlike a
+    * stream-stream join, there is no buffering — the dimension is
+    * re-resolvable every batch). Inner join: rows without a dimension
+    * match drop, the usual enrichment contract; pass a pre-completed
+    * dimension (e.g. with a default row) for left-ish semantics.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, keyCols: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keyCols)
+
   /** Per-user distinct-event-type profile via explicit keyed state
     * (`KeyValueGroupedDataset.mapGroupsWithState`) — the custom-state
     * lane that windowed aggregations can't express. The state per user

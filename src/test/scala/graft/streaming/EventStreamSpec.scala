@@ -39,6 +39,36 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment equals the batch join and broadcasts the dimension") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "purchase", 1.0, "{}"),
+      (2L, "2024-01-01 10:05:00", 2L, "purchase", 2.0, "{}"),
+      (3L, "2024-01-01 10:10:00", 9L, "purchase", 3.0, "{}")) // no profile row → drops
+      .map { case (id, ts, u, t, v, p) => (id, Timestamp.valueOf(ts), u, t, v, p) }
+    val dir = java.nio.file.Files.createTempDirectory("events-enrich")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir.resolve("src").toString)
+
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = EventStream.readEvents(spark, dir.resolve("src").toString)
+      .select("event_id", "user_id")
+    val enriched = EventStream.enrichWithDim(stream, dim, Seq("user_id"))
+    val query = enriched.writeStream
+      .format("memory").queryName("enrich_stream_test")
+      .outputMode("append")
+      .start()
+    try {
+      query.processAllAvailable()
+      val got = spark.sql("SELECT event_id, user_id, tier FROM enrich_stream_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == Set((1L, 1L, "gold"), (2L, 2L, "basic")))
+      // unlike a stream-stream join, the enrichment must buffer nothing
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "stream-static join must keep no state")
+    } finally query.stop()
+  }
+
   test("streaming exact dedup keeps first occurrence per content hash") {
     import spark.implicits._
     val rows = Seq(
