@@ -27,7 +27,7 @@ import sys
 import duckdb
 
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part",
-               "lineitem", "events", "embeddings"]
+               "lineitem", "embeddings"]
 OFFSET = 1_000_000
 
 
@@ -69,13 +69,31 @@ def main() -> None:
       ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
     """)
 
+    # events: k copies as DISJOINT user populations (user_id and
+    # event_id both re-keyed) with identical per-user temporal
+    # structure — the session/as-of/range-join workload replicates
+    # k-fold exactly, as a k× product with k× the users would
+    con.sql(f"""
+      COPY (
+        SELECT event_id + i * {OFFSET} AS event_id,
+               ts,
+               user_id + i * {OFFSET} AS user_id,
+               event_type, value, props
+        FROM '{src}/events.parquet'
+        CROSS JOIN (SELECT unnest(range({k})) AS i)
+        ORDER BY event_id
+      ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+    """)
+
     for t in COPY_TABLES:
         shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
 
     docs = con.sql(f"SELECT count(*), count(DISTINCT doc_id) FROM '{dst}/documents.parquet'").fetchone()
     orders = con.sql(f"SELECT count(*), count(DISTINCT o_orderkey) FROM '{dst}/orders.parquet'").fetchone()
+    events = con.sql(f"SELECT count(*), count(DISTINCT event_id), count(DISTINCT user_id) FROM '{dst}/events.parquet'").fetchone()
     print(f"documents: {docs[0]} rows ({docs[1]} distinct ids)")
     print(f"orders:    {orders[0]} rows ({orders[1]} distinct ids)")
+    print(f"events:    {events[0]} rows ({events[1]} distinct ids, {events[2]} users)")
 
 
 if __name__ == "__main__":
