@@ -417,6 +417,22 @@ object GraftQueries {
         .groupBy("o_orderkey", "o_totalprice")
         .agg(org.apache.spark.sql.functions.sum("l_quantity").as("sum_qty"))
     }),
+    // Partitioned-sink lane: the corpus written Hive-partitioned by
+    // language, then read back filtered to one language — the filter
+    // prunes to that language's directories at planning time (the plan
+    // pin lives in PartitionedStoreSpec); this lane pins the RESULTS
+    // through the write/catalog/read/prune path end-to-end.
+    "partitioned_read_documents" -> ((s, d) => {
+      import graft.sinks.PartitionedStore
+      val base = java.nio.file.Files.createTempDirectory("graft_partitioned").toString
+      PartitionedStore.write(
+        s.read.parquet(s"$d/documents.parquet"),
+        "graft_ps_documents", s"$base/documents", Seq("lang"), sortCols = Seq("doc_id"))
+      PartitionedStore.read(s, "graft_ps_documents")
+        .filter(org.apache.spark.sql.functions.col("lang") === "zh")
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     // §2.7 export_sql: the customer group table after cast-on-export,
     // minus the (sha1) oid PK the oracle cannot recompute
     "export_sql_customer" -> ((s, d) => {
@@ -1714,6 +1730,9 @@ object GraftQueries {
         |       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS view_gap_us
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    "partitioned_read_documents" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'zh'",
 
     "curriculum_rank_documents" ->
       """SELECT doc_id, n_chars,
