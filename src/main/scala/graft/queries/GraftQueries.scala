@@ -1114,6 +1114,29 @@ object GraftQueries {
       s.table("events_enriched_sink")
     }),
 
+    // §2.8 stream-stream interval join: purchases × views within the 5
+    // minutes before, per user, as a streaming operator — both sides
+    // watermarked, the time-bounded condition lets state evict (bounded
+    // by rate×window, never stream length). Inner join ⇒ each pair
+    // emits exactly once ⇒ the batch inequality join is the oracle.
+    "events_attribution_streaming" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.streaming.Trigger
+      def side(t: String) = graft.sources.EventTime.readStreamEvents(s, d)
+        .filter(col("event_type") === t)
+        .select("event_id", "ts", "user_id")
+      val q = graft.streaming.EventStream
+        .intervalJoin(side("purchase"), side("view"), "user_id", windowSeconds = 300L)
+        .selectExpr("l.event_id AS purchase_id", "l.user_id AS user_id",
+          "r.event_id AS view_id")
+        .writeStream.format("memory").queryName("events_attribution_sink")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_attribution_sink")
+    }),
+
     "events_user_types_streaming" -> ((s, d) => {
       import org.apache.spark.sql.functions.max
       import org.apache.spark.sql.streaming.Trigger
@@ -1942,6 +1965,14 @@ object GraftQueries {
     "events_user_types_streaming" ->
       """SELECT user_id, CAST(count(DISTINCT event_type) AS INT) AS n_types
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "events_attribution_streaming" ->
+      """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |       v.event_id AS view_id
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND v.ts BETWEEN p.ts - INTERVAL 300 SECOND AND p.ts
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'""".stripMargin,
 
     "events_enriched_streaming" ->
       """WITH p AS (

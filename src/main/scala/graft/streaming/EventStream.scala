@@ -73,6 +73,36 @@ object EventStream {
   def enrichWithDim(stream: DataFrame, dim: DataFrame, keyCols: Seq[String]): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), keyCols)
 
+  /** Stream-stream interval join: pair two event streams on a key when
+    * the right event lands inside a bounded window before the left one
+    * ("the view within N minutes before each purchase") — attribution
+    * as a streaming operator. BOTH sides carry watermarks and the join
+    * condition bounds right-ts to [left-ts − window, left-ts], so
+    * Spark's state store can evict each side as the watermark passes —
+    * state is bounded by (rate × window), never the stream length. An
+    * UNBOUNDED condition would force both sides to buffer forever;
+    * this operator makes the bound part of the signature.
+    *
+    * Inner join: every matched pair emits exactly once, so the result
+    * set equals the batch inequality join for any micro-batching —
+    * which is what the oracle lane checks.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      windowSeconds: Long,
+      watermark: String = "1 hour",
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val l = left.withWatermark("ts", watermark).as("l")
+    val r = right.withWatermark("ts", watermark).as("r")
+    l.join(r,
+      expr(s"""l.$keyCol = r.$keyCol AND
+              |r.ts BETWEEN l.ts - INTERVAL $windowSeconds SECONDS AND l.ts
+              |""".stripMargin))
+  }
+
   /** Per-user distinct-event-type profile via explicit keyed state
     * (`KeyValueGroupedDataset.mapGroupsWithState`) — the custom-state
     * lane that windowed aggregations can't express. The state per user

@@ -69,6 +69,37 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join pairs within the window, inclusive edges, keyed") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0, "{}"),
+      (2L, "2024-01-01 10:04:00", 1L, "purchase", 0.0, "{}"), // view 1 within 5 min
+      (3L, "2024-01-01 10:04:00", 1L, "view", 0.0, "{}"), // same instant as purchase 2 → matches
+      (4L, "2024-01-01 11:00:00", 1L, "purchase", 0.0, "{}"), // nothing within 5 min
+      (5L, "2024-01-01 10:03:00", 2L, "view", 0.0, "{}")) // other user
+      .map { case (id, ts, u, t, v, p) => (id, Timestamp.valueOf(ts), u, t, v, p) }
+    val dir = java.nio.file.Files.createTempDirectory("events-ssjoin")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir.resolve("src").toString)
+
+    def side(t: String) = EventStream.readEvents(spark, dir.resolve("src").toString)
+      .filter(org.apache.spark.sql.functions.col("event_type") === t)
+      .select("event_id", "ts", "user_id")
+    val joined = EventStream
+      .intervalJoin(side("purchase"), side("view"), "user_id", windowSeconds = 300L)
+      .selectExpr("l.event_id AS purchase_id", "r.event_id AS view_id")
+    val query = joined.writeStream
+      .format("memory").queryName("ssjoin_stream_test")
+      .outputMode("append")
+      .start()
+    try {
+      query.processAllAvailable()
+      val got = spark.sql("SELECT purchase_id, view_id FROM ssjoin_stream_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((2L, 1L), (2L, 3L)))
+    } finally query.stop()
+  }
+
   test("streaming exact dedup keeps first occurrence per content hash") {
     import spark.implicits._
     val rows = Seq(
