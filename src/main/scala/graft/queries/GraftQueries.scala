@@ -915,6 +915,33 @@ object GraftQueries {
       Events.hourlyStats(graft.sources.EventTime.readBatch(s, d)).drop("approx_users")
     }),
 
+    // Sketch surface gate (same contract shape as the IVF recall gate):
+    // HyperLogLog++ distinct-user estimates cannot match an exact count
+    // row-for-row by design, so the lane RETURNS the accuracy gate —
+    // the mergeable sketch (map-side partial, no distinct shuffle of
+    // raw values) must land within 5 % of the exact count, overall and
+    // for every event type — and the oracle pins the gate true.
+    "approx_users_events" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ev = graft.sources.EventTime.readBatch(s, d)
+      val perType = ev.groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"),
+          countDistinct(col("user_id")).as("exact"))
+        .withColumn("ok",
+          col("exact") > 0 &&
+            abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.05)
+      val overall = ev.agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"),
+          countDistinct(col("user_id")).as("exact"))
+        .select((col("exact") > 0 &&
+          abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.05).as("ok"))
+      val allOk = perType.agg(min(col("ok")).as("a")).head.getBoolean(0) &&
+        overall.head.getBoolean(0)
+      Seq(allOk).toDF("within_5pct")
+    }),
+
     // Temporal as-of join (feature lookup): each purchase event joined
     // to the user's most recent view at or before it. Union-and-sweep
     // formulation — one hash exchange + window pass, no join operator
@@ -1740,6 +1767,8 @@ object GraftQueries {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "approx_users_events" -> "SELECT true AS within_5pct",
 
     // DuckDB's native ASOF LEFT JOIN: greatest v.ts <= p.ts per key,
     // left-outer nulls — exactly the operator's backward-inclusive
