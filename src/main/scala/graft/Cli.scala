@@ -40,6 +40,13 @@ object Cli {
         |  export sql|cypher <dir> [--db NAME] [--out DIR]
         |  generate [--size N] [--out DIR]                 synthetic instance from the demo schema
         |  cache-clear <dir>                               remove a corpus parse cache
+        |  pipeline profile|dedup|sample|pack|rank|quantiles <docs.parquet>
+        |           [--id C] [--text C] [--out DIR]
+        |           [--method exact|lines|ngram|minhash|simhash]   (dedup)
+        |           [--fraction F] [--split NAME]                  (sample)
+        |           [--budget N]                                   (pack)
+        |           [--by C] [--group C] [--value C]               (rank/quantiles)
+        |                                                  training-data corpus operators
         |""".stripMargin)
     sys.exit(2)
   }
@@ -85,6 +92,22 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = args.toList match {
+    // corpus-pipeline lane: the training-data operators over a plain
+    // documents parquet (doc_id, text[, lang, …]) — the surface a data
+    // engineer drives without touching the metamodel
+    case "pipeline" :: op :: path :: rest =>
+      val opts = parseOpts(rest)
+      val spark = session()
+      val docs = spark.read.parquet(path)
+      val out = pipelineFrame(op, docs, opts)
+      opts.get("out") match {
+        case Some(o) =>
+          out.write.mode("overwrite").parquet(o)
+          println(s"wrote ${spark.read.parquet(o).count()} rows to $o")
+        case None => out.show(20, truncate = false)
+      }
+      spark.stop()
+
     case "inspect" :: dir :: rest =>
       val opts = parseOpts(rest)
       val spark = session()
@@ -372,6 +395,58 @@ object Cli {
       spark.stop()
 
     case _ => usage()
+  }
+
+  /** The `pipeline` subcommand's frame builder, factored out so the
+    * dispatch is unit-testable against the shared test session (main
+    * owns session lifecycle; this owns semantics). Operators taking an
+    * id/text column default to doc_id/text, overridable via --id/--text.
+    */
+  private[graft] def pipelineFrame(
+      op: String,
+      docs: org.apache.spark.sql.DataFrame,
+      opts: Map[String, String],
+  ): org.apache.spark.sql.DataFrame = {
+    import graft.operators._
+    val id = opts.getOrElse("id", "doc_id")
+    val text = opts.getOrElse("text", "text")
+    op match {
+      case "profile" =>
+        TextAnalysis.stats(docs, id, text)
+          .join(TextAnalysis.langId(docs, id, text), "doc_id")
+          .join(TextAnalysis.qualityScore(docs, id, text), "doc_id")
+      case "dedup" =>
+        opts.getOrElse("method", "exact") match {
+          case "exact" => Dedup.exact(docs, id, text)
+          case "lines" => Dedup.lineDedup(docs, id, text)
+          case "ngram" =>
+            Dedup.resolvePairs(docs, id, Dedup.ngramJaccardPairs(docs, id, text))
+          case "minhash" =>
+            Dedup.resolvePairs(docs, id, Dedup.minHashLshPairs(docs, id, text))
+          case "simhash" =>
+            Dedup.resolvePairs(docs, id, Dedup.simHashPairs(docs, id, text))
+          case other =>
+            throw new IllegalArgumentException(
+              s"unknown dedup method $other (exact|lines|ngram|minhash|simhash)")
+        }
+      case "sample" =>
+        Sampling.deterministic(docs, id,
+          fraction = opts.getOrElse("fraction", "0.1").toDouble,
+          splitName = opts.getOrElse("split", ""))
+      case "pack" =>
+        Packing.packByTokenBudget(docs, id,
+          TextAnalysis.tokenCountExpr(org.apache.spark.sql.functions.col(text)),
+          budget = opts.getOrElse("budget", "4096").toLong)
+      case "rank" =>
+        Ranking.globalRank(docs, id, opts.getOrElse("by", "n_chars"))
+      case "quantiles" =>
+        Stats.nearestRankQuantiles(docs,
+          opts.getOrElse("group", "lang"), opts.getOrElse("value", "n_chars"),
+          Seq(50, 90, 99))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown pipeline op $other (profile|dedup|sample|pack|rank|quantiles)")
+    }
   }
 
   /** Shared tail for the load lanes: count, sample, optional JSONL out. */

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `pipeline` subcommand's dispatch — semantics only (main owns the
+  * session lifecycle and is exercised by the spark-shell drive).
+  */
+class CliPipelineSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs() = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog again", "en"), // exact dup of 1
+      (3L, "completely different text with many unique words here", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+  }
+
+  test("dedup dispatches by method and resolves survivors") {
+    val exact = Cli.pipelineFrame("dedup", docs(), Map.empty)
+    assert(exact.count() == 2) // one row per distinct content
+    val ngram = Cli.pipelineFrame("dedup", docs(), Map("method" -> "ngram"))
+    assert(ngram.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("profile joins stats, language, and quality per document") {
+    val p = Cli.pipelineFrame("profile", docs(), Map.empty)
+    assert(p.count() == 3)
+    val cols = p.columns.toSet
+    assert(cols.contains("doc_id") && cols.exists(_.contains("lang")) &&
+      Seq("n_tokens", "n_chars").forall(c => cols.exists(_.startsWith(c.take(4)))))
+  }
+
+  test("rank, pack, sample, and quantiles dispatch with defaults and overrides") {
+    assert(Cli.pipelineFrame("rank", docs(), Map.empty).count() == 3)
+    assert(Cli.pipelineFrame("pack", docs(), Map("budget" -> "5")).count() == 3)
+    val s = Cli.pipelineFrame("sample", docs(), Map("fraction" -> "1.0"))
+    assert(s.count() == 3)
+    val q = Cli.pipelineFrame("quantiles", docs(), Map.empty)
+    assert(q.count() == 1 && q.columns.contains("p99"))
+  }
+
+  test("unknown ops and methods fail loudly") {
+    intercept[IllegalArgumentException](Cli.pipelineFrame("nope", docs(), Map.empty))
+    intercept[IllegalArgumentException](
+      Cli.pipelineFrame("dedup", docs(), Map("method" -> "nope")))
+  }
+}
