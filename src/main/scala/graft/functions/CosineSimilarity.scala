@@ -97,9 +97,12 @@ object GraftFunctions {
     * the expression by name. On a cluster deployment the same builder is
     * injected via `SparkSessionExtensions` ([[GraftExtensions]]) instead.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", UnicodeNormalize.builder, "built-in")
+  }
 
   /** Cosine similarity column over two array<double> columns. The
     * session the plan runs on must have called [[register]].

@@ -12,10 +12,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[GraftFunctions.register]] as a fallback for ad-hoc sessions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(
       (
         FunctionIdentifier("graft_cosine"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
         GraftFunctions.cosineBuilder))
+    extensions.injectFunction(
+      (
+        FunctionIdentifier("graft_nfc"),
+        new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_nfc"),
+        UnicodeNormalize.builder))
+  }
 }

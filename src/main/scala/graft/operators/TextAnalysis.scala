@@ -156,6 +156,23 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(topK)
 
+  /** Unicode NFC canonicalization — run BEFORE hashing/dedup/tokenizing
+    * so `e + U+0301` and precomposed `é` stop being distinct documents.
+    * A codegen'd native expression ([[graft.functions.UnicodeNormalize]])
+    * whose fast path is a read-only `isNormalized` scan: already-clean
+    * rows (the overwhelming majority of a real corpus) allocate nothing.
+    * Output: (doc_id, norm_text, changed).
+    */
+  def normalizeNfc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(
+        col(idCol).as("doc_id"),
+        col(textCol).as("graft_raw"),
+        graft.functions.UnicodeNormalize.nfcCol(col(textCol)).as("norm_text"))
+      .withColumn("changed", col("norm_text") =!= col("graft_raw"))
+      .drop("graft_raw")
+  }
+
   /** Corpus heavy hitters: the `topK` most frequent word n-grams —
     * the boilerplate detector behind template/SEO-spam filters and the
     * phrase statistics a dedup threshold is tuned against. Same

@@ -323,6 +323,23 @@ object GraftQueries {
       TextAnalysis.repetitionStats(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     "vocabulary_documents" -> ((s, d) =>
       TextAnalysis.vocabulary(s.read.parquet(s"$d/documents.parquet"), "text", topK = 100)),
+    // Unicode NFC canonicalization: the corpus is ASCII-clean, so the
+    // query injects a deterministic denormalized suffix (combining
+    // acute + diaeresis sequences) into every document; after
+    // normalization every row must flag changed and the md5 of the
+    // canonical text must match DuckDB's independent nfc_normalize.
+    "normalize_nfc_documents" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val denorm = s.read.parquet(s"$d/documents.parquet").select(
+        col("doc_id"),
+        concat(col("text"),
+          // decomposed on purpose: e+COMBINING ACUTE (U+0301) and
+          // i+COMBINING DIAERESIS (U+0308) — NFC must compose both
+          lit(" cafe\u0301 nai\u0308ve")).as("text"))
+      TextAnalysis.normalizeNfc(denorm, "doc_id", "text")
+        .selectExpr("doc_id", "changed", "md5(cast(norm_text AS binary)) AS norm_md5")
+    }),
+
     // Corpus heavy hitters (boilerplate/template detection): top word
     // bigrams, counted with a map-side-combined aggregation; the
     // (count desc, gram asc) top-k plans as TakeOrderedAndProject — no
@@ -1888,6 +1905,18 @@ object GraftQueries {
 
     // same single-space tokenization; bigrams via positionally-aligned
     // zipped unnests over the filtered token list
+    // independent NFC via DuckDB's ICU-backed nfc_normalize over the
+    // same decomposed injection (chr(769)=U+0301, chr(776)=U+0308)
+    "normalize_nfc_documents" ->
+      """WITH denorm AS (
+        |  SELECT doc_id,
+        |         text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       nfc_normalize(text) <> text AS changed,
+        |       md5(nfc_normalize(text)) AS norm_md5
+        |FROM denorm""".stripMargin,
+
     "top_ngrams_documents" ->
       """WITH toks AS (
         |  SELECT list_filter(string_split(trim(text), ' '), t -> length(t) > 0) AS t
