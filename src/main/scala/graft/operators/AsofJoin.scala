@@ -48,6 +48,37 @@ object AsofJoin {
       rightIdCol: String,
       payloadCols: Seq[String],
       toleranceUs: Option[Long] = None,
+  ): DataFrame =
+    sweepJoin(left, right, keyCol, tsCol, rightIdCol, payloadCols, toleranceUs,
+      forward = false)
+
+  /** Forward (look-ahead) as-of: the EARLIEST right row at or after each
+    * left row — "the next purchase after this view". Same
+    * union-and-sweep machinery run over time in reverse; tolerance
+    * bounds how far ahead a match may be. Ties at one (key, time)
+    * resolve to the greatest right id, as in [[backward]].
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightIdCol: String,
+      payloadCols: Seq[String],
+      toleranceUs: Option[Long] = None,
+  ): DataFrame =
+    sweepJoin(left, right, keyCol, tsCol, rightIdCol, payloadCols, toleranceUs,
+      forward = true)
+
+  private def sweepJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightIdCol: String,
+      payloadCols: Seq[String],
+      toleranceUs: Option[Long],
+      forward: Boolean,
   ): DataFrame = {
     require(payloadCols.nonEmpty, "as-of join needs at least one payload column")
     val leftCols = left.columns.toSeq
@@ -75,9 +106,14 @@ object AsofJoin {
           leftCols.filterNot(_ == keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
           payloadCols.map(c => col(c).as(s"right_$c")): _*)
 
+    // forward runs the identical sweep over time in REVERSE: descending
+    // us makes "preceding rows" the LATER ones, so last(ignoreNulls)
+    // carries the nearest right row at-or-after. side still sorts
+    // rights before lefts at equal time (inclusive both directions).
+    val timeOrder = if (forward) col("us").desc else col("us").asc
     val sweep = Window
       .partitionBy(col(keyCol))
-      .orderBy(col("us").asc, col("side").asc, col("tie").asc)
+      .orderBy(timeOrder, col("side").asc, col("tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = Seq("right_us") ++ payloadCols.map(c => s"right_$c")
@@ -85,8 +121,9 @@ object AsofJoin {
       df.withColumn(c, last(col(c), ignoreNulls = true).over(sweep))
     }
 
+    val gap = if (forward) col("right_us") - col("us") else col("us") - col("right_us")
     val withinTolerance = toleranceUs match {
-      case Some(t) => col("right_us").isNotNull && (col("us") - col("right_us") <= t)
+      case Some(t) => col("right_us").isNotNull && (gap <= t)
       case None => col("right_us").isNotNull
     }
     carried

@@ -981,6 +981,25 @@ object GraftQueries {
           "unix_micros(ts) - right_us AS view_gap_us")
     }),
 
+    // Forward (look-ahead) as-of: each view joined to the user's NEXT
+    // purchase at or after it — conversion attribution. Same
+    // union-and-sweep machinery run over time in reverse; the oracle is
+    // DuckDB ASOF with the inequality flipped.
+    "asof_forward_events" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = graft.sources.EventTime.readBatch(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "ts", "user_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id")
+      graft.operators.AsofJoin
+        .forward(views, purchases, "user_id", "ts", "event_id", Seq("event_id"))
+        .selectExpr(
+          "event_id AS view_id", "user_id",
+          "right_event_id AS next_purchase_id",
+          "right_us - unix_micros(ts) AS purchase_gap_us")
+    }),
+
     // Interval containment (incident attribution): how many views the
     // user made in the 5 minutes up to each error. Bucketized range
     // join — intervals exploded onto fixed time buckets, points bucket
@@ -1852,6 +1871,15 @@ object GraftQueries {
         |                            ORDER BY value DESC, event_id) AS rn
         |  FROM events WHERE event_type = 'purchase') t
         |WHERE rn <= 3""".stripMargin,
+
+    "asof_forward_events" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |     p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT v.event_id AS view_id, v.user_id,
+        |       p.event_id AS next_purchase_id,
+        |       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS purchase_gap_us
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.user_id AND v.ts <= p.ts""".stripMargin,
 
     // plain inequality left join + count — DuckDB's optimizer is free
     // to pick any strategy; only the contained set matters

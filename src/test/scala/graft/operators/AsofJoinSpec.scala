@@ -68,6 +68,35 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
     assert(run(l, r, tolerance = Some(hourUs - 1)) == Set((10L, None, None)))
   }
 
+  test("forward as-of picks the earliest right row at or after, with tolerance") {
+    val l = leftEvents(
+      (10L, "2024-01-01 12:00:00", 1L, 0.0),
+      (11L, "2024-01-01 16:00:00", 1L, 0.0))
+    val r = rightEvents(
+      (1L, "2024-01-01 11:00:00", 1L, 1.0), // before both → never matches forward
+      (2L, "2024-01-01 13:00:00", 1L, 2.0),
+      (3L, "2024-01-01 14:00:00", 1L, 3.0))
+    def runF(tol: Option[Long]) =
+      AsofJoin.forward(l, r, "user_id", "ts", "event_id", Seq("event_id"), tol)
+        .selectExpr("event_id", "right_event_id").collect()
+        .map(x => (x.getLong(0), Option(x.get(1)).map(_.asInstanceOf[Long]))).toSet
+    assert(runF(None) == Set((10L, Some(2L)), (11L, None)))
+    // 13:00 is 1h after 12:00: in at exactly 1h, out one microsecond under
+    val hourUs = 3600L * 1000000L
+    assert(runF(Some(hourUs)) == Set((10L, Some(2L)), (11L, None)))
+    assert(runF(Some(hourUs - 1)) == Set((10L, None), (11L, None)))
+  }
+
+  test("forward: a right row at exactly the left timestamp matches; ties take greatest id") {
+    val l = leftEvents((10L, "2024-01-01 12:00:00", 1L, 0.0))
+    val r = rightEvents(
+      (4L, "2024-01-01 12:00:00", 1L, 4.0),
+      (9L, "2024-01-01 12:00:00", 1L, 9.0))
+    val out = AsofJoin.forward(l, r, "user_id", "ts", "event_id", Seq("event_id"))
+      .selectExpr("right_event_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(9L))
+  }
+
   test("the plan is a single-exchange window sweep — no join operator at all") {
     val l = leftEvents((10L, "2024-01-01 12:00:00", 1L, 0.0))
     val r = rightEvents((1L, "2024-01-01 11:00:00", 1L, 1.0))

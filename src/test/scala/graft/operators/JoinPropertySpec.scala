@@ -59,6 +59,31 @@ class JoinPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("forward as-of equals brute-force earliest-at-or-after semantics on random inputs") {
+    import spark.implicits._
+    val cases = samples(Gen.zip(rowsGen(12), rowsGen(12)), 30)
+    cases.zipWithIndex.foreach { case ((ls, rs), ci) =>
+      if (ls.nonEmpty) {
+        val left = ls.map(r => (r.id, new java.sql.Timestamp(r.us), r.key))
+          .toDF("event_id", "ts", "user_id")
+        val right = rs.map(r => (r.id, new java.sql.Timestamp(r.us), r.key))
+          .toDF("event_id", "ts", "user_id")
+        val got = AsofJoin
+          .forward(left, right, "user_id", "ts", "event_id", Seq("event_id"))
+          .select("event_id", "right_event_id").collect()
+          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+        val want = ls.map { l =>
+          val candidates = rs.filter(r => r.key == l.key && r.us >= l.us)
+          // earliest time wins; among equal times the greatest right id
+          l.id -> candidates
+            .sortBy(r => (r.us, -r.id))(Ordering.Tuple2(Ordering.Long, Ordering.Long))
+            .headOption.map(_.id)
+        }.toMap
+        assert(got == want, s"case $ci: left=$ls right=$rs")
+      }
+    }
+  }
+
   test("bucketized range join equals the filtered cross product on random inputs") {
     import spark.implicits._
     val ivGen = for {
