@@ -434,6 +434,20 @@ object GraftQueries {
         .groupBy("o_orderkey", "o_totalprice")
         .agg(org.apache.spark.sql.functions.sum("l_quantity").as("sum_qty"))
     }),
+    // Compaction lane: fragment the corpus into many small files, then
+    // compact to ~target-sized range-clustered files. The rewrite must
+    // be content-lossless — the oracle checks the compacted data, not
+    // the layout (the layout contract is pinned in CompactionSpec).
+    "compact_documents" -> ((s, d) => {
+      import graft.sinks.Compaction
+      val base = java.nio.file.Files.createTempDirectory("graft_compact_q").toString
+      s.read.parquet(s"$d/documents.parquet").repartition(64)
+        .write.parquet(s"$base/frag")
+      Compaction.compact(s, s"$base/frag", s"$base/out", "doc_id")
+      Compaction.read(s, s"$base/out")
+        .selectExpr("doc_id", "lang", "n_chars", "md5(cast(text AS binary)) AS text_md5")
+    }),
+
     // Partitioned-sink lane: the corpus written Hive-partitioned by
     // language, then read back filtered to one language — the filter
     // prunes to that language's directories at planning time (the plan
@@ -1821,6 +1835,9 @@ object GraftQueries {
 
     "partitioned_read_documents" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'zh'",
+
+    "compact_documents" ->
+      "SELECT doc_id, lang, n_chars, md5(text) AS text_md5 FROM documents",
 
     "curriculum_rank_documents" ->
       """SELECT doc_id, n_chars,
