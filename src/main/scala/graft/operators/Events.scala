@@ -13,6 +13,56 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Ordered funnel completion per user — the product-analytics
+    * staple: how far does each user get through `steps`, taking each
+    * step's EARLIEST occurrence strictly after the previous step's
+    * time (the greedy matching that makes completion well-defined).
+    *
+    * Computed as one conditional aggregation per step — filter to the
+    * step's type, `min(ts)` per user with the strictly-after bound,
+    * join back on the user key. Each pass is a map-side-combined
+    * aggregation + a user-cardinality join, so cost is
+    * O(steps × events) with no per-user array materialization and no
+    * cross-row UDF; at cluster scale every pass shuffles on the same
+    * user key (AQE coalesces the tiny per-step aggregates).
+    *
+    * Output: one row per user appearing in step 1's type, with
+    * `step<i>_us` (epoch micros, null once the chain breaks) and
+    * `steps_completed`. Integer-exact, so any SQL engine reproduces it.
+    */
+  def funnelSteps(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val us = events
+      .select(col(userCol), col(typeCol), unix_micros(col(tsCol)).as("graft_us"))
+    val first = us.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col("graft_us")).as("step1_us"))
+    val chained = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = s"step${i}_us"
+        val cur = s"step${i + 1}_us"
+        // strictly-after bound: join the step's events to the chain so
+        // far on the user key, keep those after the previous step, take
+        // the min — aggregation state is one timestamp per user, never
+        // a per-user event list
+        val stepTimes = us.filter(col(typeCol) === step)
+          .join(acc.select(col(userCol), col(prev)), Seq(userCol))
+          .filter(col("graft_us") > col(prev))
+          .groupBy(col(userCol))
+          .agg(min(col("graft_us")).as(cur))
+        acc.join(stepTimes, Seq(userCol), "left")
+    }
+    chained.withColumn("steps_completed",
+      steps.indices.map(i => when(col(s"step${i + 1}_us").isNotNull, 1).otherwise(0))
+        .reduce(_ + _).cast("int"))
+  }
+
   /** Tumbling-window counts and exact stats per event type. */
   def hourlyStats(events: DataFrame, tsCol: String = "ts", typeCol: String = "event_type"): DataFrame =
     events

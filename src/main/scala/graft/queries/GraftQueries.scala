@@ -946,6 +946,15 @@ object GraftQueries {
       Events.hourlyStats(graft.sources.EventTime.readBatch(s, d)).drop("approx_users")
     }),
 
+    // Ordered funnel (signup → view → purchase): greedy earliest-after
+    // matching per user, one conditional aggregation + user-keyed join
+    // per step — integer-exact epoch-micro chain the SQL oracle
+    // reproduces step for step.
+    "funnel_events" -> ((s, d) =>
+      Events.funnelSteps(
+        graft.sources.EventTime.readBatch(s, d),
+        steps = Seq("signup", "view", "purchase"))),
+
     // Sketch surface gate (same contract shape as the IVF recall gate):
     // HyperLogLog++ distinct-user estimates cannot match an exact count
     // row-for-row by design, so the lane RETURNS the accuracy gate —
@@ -1819,6 +1828,28 @@ object GraftQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "approx_users_events" -> "SELECT true AS within_5pct",
+
+    "funnel_events" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS step1_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS step2_us
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.step1_us
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS step3_us
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.step2_us
+        |  GROUP BY 1)
+        |SELECT s1.user_id, s1.step1_us, s2.step2_us, s3.step3_us,
+        |       CAST(1 + (CASE WHEN s2.step2_us IS NULL THEN 0 ELSE 1 END)
+        |              + (CASE WHEN s3.step3_us IS NULL THEN 0 ELSE 1 END) AS INT)
+        |         AS steps_completed
+        |FROM s1
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN: greatest v.ts <= p.ts per key,
     // left-outer nulls — exactly the operator's backward-inclusive

@@ -47,6 +47,34 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     assert(Sessions.sessionize(overGap, gapSeconds = 3600).count() == 2)
   }
 
+  test("funnel: greedy earliest-after chain, strict ordering, break stops the count") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1 completes A→B→C, with a decoy early B that must be
+      // skipped (it precedes A) and the EARLIEST valid B taken
+      (1L, "2024-01-01 09:00:00", 1L, "B", 0.0),
+      (2L, "2024-01-01 10:00:00", 1L, "A", 0.0),
+      (3L, "2024-01-01 11:00:00", 1L, "B", 0.0),
+      (4L, "2024-01-01 12:00:00", 1L, "B", 0.0),
+      (5L, "2024-01-01 13:00:00", 1L, "C", 0.0),
+      // user 2: A then C but no B after A → stuck at 1
+      (6L, "2024-01-01 10:00:00", 2L, "A", 0.0),
+      (7L, "2024-01-01 11:00:00", 2L, "C", 0.0),
+      // user 3: B at exactly A's timestamp — strictly-after excludes it
+      (8L, "2024-01-01 10:00:00", 3L, "A", 0.0),
+      (9L, "2024-01-01 10:00:00", 3L, "B", 0.0),
+      // user 4: never does A → no funnel row at all
+      (10L, "2024-01-01 10:00:00", 4L, "B", 0.0))
+      .map { case (id, ts, u, t, v) => (id, Timestamp.valueOf(ts), u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.Events.funnelSteps(df, Seq("A", "B", "C"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("steps_completed")).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1))
+    val u1 = graft.operators.Events.funnelSteps(df, Seq("A", "B", "C"))
+      .filter(org.apache.spark.sql.functions.col("user_id") === 1L).collect().head
+    assert(u1.getAs[Long]("step2_us") == Timestamp.valueOf("2024-01-01 11:00:00").getTime * 1000)
+  }
+
   test("stratified sampling is deterministic, honors per-stratum rates, prunes columns") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
