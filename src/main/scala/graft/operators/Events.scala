@@ -63,6 +63,37 @@ object Events {
         .reduce(_ + _).cast("int"))
   }
 
+  /** Cohort retention — the funnel's aggregate companion: bucket users
+    * by the day of their FIRST event (the cohort), then count how many
+    * of each cohort are active again N days later. Two aggregations and
+    * one user-keyed join: first-seen per user (map-side-combined min),
+    * join back to the event log, distinct-count per (cohort_day,
+    * day_offset). Day arithmetic is integer floor-division on epoch
+    * micros, so buckets are exact and engine-portable.
+    *
+    * Output: (cohort_day, day_offset, n_users) with day_offset 0 =
+    * the cohort's own first day; n_users at offset 0 is the cohort
+    * size.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+  ): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    def dayOf(c: org.apache.spark.sql.Column) =
+      (c - pmod(c, lit(dayUs))) / lit(dayUs)
+    val us = events.select(col(userCol), unix_micros(col(tsCol)).as("graft_us"))
+    val cohorts = us.groupBy(col(userCol))
+      .agg(min(col("graft_us")).as("first_us"))
+      .withColumn("cohort_day", dayOf(col("first_us")).cast("long"))
+    us.join(cohorts, Seq(userCol))
+      .withColumn("day_offset",
+        (dayOf(col("graft_us")) - col("cohort_day")).cast("long"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   /** Tumbling-window counts and exact stats per event type. */
   def hourlyStats(events: DataFrame, tsCol: String = "ts", typeCol: String = "event_type"): DataFrame =
     events

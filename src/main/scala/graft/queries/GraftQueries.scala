@@ -946,6 +946,12 @@ object GraftQueries {
       Events.hourlyStats(graft.sources.EventTime.readBatch(s, d)).drop("approx_users")
     }),
 
+    // Cohort retention: users bucketed by first-seen day, activity
+    // counted per (cohort, day offset) — integer day arithmetic on
+    // epoch micros, exact distinct counts.
+    "retention_events" -> ((s, d) =>
+      Events.retentionCohorts(graft.sources.EventTime.readBatch(s, d))),
+
     // Ordered funnel (signup → view → purchase): greedy earliest-after
     // matching per user, one conditional aggregation + user-keyed join
     // per step — integer-exact epoch-micro chain the SQL oracle
@@ -1828,6 +1834,19 @@ object GraftQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "approx_users_events" -> "SELECT true AS within_5pct",
+
+    // // is DuckDB's flooring integer division — same bucket arithmetic
+    // as the operator's pmod-based floorDiv
+    "retention_events" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM u GROUP BY 1)
+        |SELECT c.cohort_day, u.day - c.cohort_day AS day_offset,
+        |       CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users
+        |FROM u JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "funnel_events" ->
       """WITH s1 AS (

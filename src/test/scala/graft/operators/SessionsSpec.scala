@@ -75,6 +75,21 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     assert(u1.getAs[Long]("step2_us") == Timestamp.valueOf("2024-01-01 11:00:00").getTime * 1000)
   }
 
+  test("retention: cohort by first-seen day, offsets per activity day, distinct users") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 09:00:00", 1L, "x", 0.0), // user 1: cohort day D
+      (2L, "2024-01-01 23:00:00", 1L, "x", 0.0), // same day — no extra row
+      (3L, "2024-01-03 01:00:00", 1L, "x", 0.0), // D+2
+      (4L, "2024-01-03 05:00:00", 2L, "x", 0.0)) // user 2: cohort D+2
+      .map { case (id, ts, u, t, v) => (id, Timestamp.valueOf(ts), u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000 / 86400000000L
+    val out = graft.operators.Events.retentionCohorts(df).collect()
+      .map(r => (r.getLong(0) - base, r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 0L, 1L), (0L, 2L, 1L), (2L, 0L, 1L)))
+  }
+
   test("stratified sampling is deterministic, honors per-stratum rates, prunes columns") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
