@@ -63,6 +63,30 @@ object Events {
         .reduce(_ + _).cast("int"))
   }
 
+  /** Event-type transition counts — the Markov edge list behind "what
+    * do users do next" analyses and next-event models. One window pass
+    * per user in (time, id) order (lag → pair), then a
+    * map-side-combined count per (from, to); the window reuses the
+    * same user-key exchange sessionization pays, and the unique
+    * (tsCol, idCol) order makes every transition deterministic.
+    */
+  def transitions(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id",
+  ): DataFrame = {
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    events
+      .withColumn("graft_prev", lag(col(typeCol), 1).over(order))
+      .filter(col("graft_prev").isNotNull)
+      .groupBy(col("graft_prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Cohort retention — the funnel's aggregate companion: bucket users
     * by the day of their FIRST event (the cohort), then count how many
     * of each cohort are active again N days later. Two aggregations and

@@ -946,6 +946,11 @@ object GraftQueries {
       Events.hourlyStats(graft.sources.EventTime.readBatch(s, d)).drop("approx_users")
     }),
 
+    // Markov transition edges: per-user (time, id)-ordered event pairs
+    // counted per (from, to) type.
+    "transitions_events" -> ((s, d) =>
+      Events.transitions(graft.sources.EventTime.readBatch(s, d))),
+
     // Cohort retention: users bucketed by first-seen day, activity
     // counted per (cohort, day offset) — integer day arithmetic on
     // epoch micros, exact distinct counts.
@@ -1834,6 +1839,17 @@ object GraftQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "approx_users_events" -> "SELECT true AS within_5pct",
+
+    "transitions_events" ->
+      """WITH o AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events)
+        |SELECT prev AS from_type, event_type AS to_type,
+        |       CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM o WHERE prev IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     // // is DuckDB's flooring integer division — same bucket arithmetic
     // as the operator's pmod-based floorDiv

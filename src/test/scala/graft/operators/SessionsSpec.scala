@@ -90,6 +90,20 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Set((0L, 0L, 1L), (0L, 2L, 1L), (2L, 0L, 1L)))
   }
 
+  test("transitions: per-user ordered pairs, cross-user boundaries excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "A", 0.0),
+      (2L, "2024-01-01 11:00:00", 1L, "B", 0.0),
+      (3L, "2024-01-01 12:00:00", 1L, "B", 0.0),
+      (4L, "2024-01-01 10:30:00", 2L, "C", 0.0)) // other user's lone event: no pair
+      .map { case (id, ts, u, t, v) => (id, Timestamp.valueOf(ts), u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.Events.transitions(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("A", "B", 1L), ("B", "B", 1L)))
+  }
+
   test("stratified sampling is deterministic, honors per-stratum rates, prunes columns") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
