@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list — the link-centrality
+  * signal a web-scale training-data pipeline uses to weight or filter
+  * crawled documents (OPIC/Common-Crawl-style host ranking).
+  *
+  * All arithmetic is INTEGER, in micro-rank units: every node starts at
+  * 1 000 000 µ; one iteration sends each node's `rank div out_degree`
+  * along its out-edges and re-ranks every node as
+  * `150 000 + (850 · Σ incoming) div 1000` (damping 0.85 with the same
+  * truncating division on both engines). Integer sums are associative
+  * and order-independent, so the result is bit-reproducible by any SQL
+  * engine — no floating-point accumulation-order drift, which is the
+  * classic obstacle to verifying iterative graph jobs across engines.
+  *
+  * Scale: the edge list is hash-partitioned ON THE SOURCE KEY once,
+  * joined each iteration against the (much smaller) rank table — the
+  * standard Pregel-lite DataFrame pattern. Per iteration: one shuffle of
+  * the rank table to the edge partitioning + one map-side-combined
+  * aggregation by destination; the big edge relation never re-shuffles.
+  * Ranks are re-persisted per iteration and the predecessor freed, so
+  * lineage cost stays O(1). Iteration count is fixed (not convergence-
+  * tested) — the production norm for rank-as-feature pipelines.
+  */
+object Graph {
+
+  /** `iterations` PageRank rounds over `edges` (`src`, `dst` columns;
+    * every node must appear as a source — symmetrize first for
+    * undirected graphs, which also removes dangling nodes). Returns
+    * (nid, rank_micro).
+    */
+  def pageRankMicro(
+      spark: SparkSession,
+      edges: DataFrame,
+      iterations: Int,
+      dampingBp: Int = 850,
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(dampingBp >= 0 && dampingBp <= 1000, s"dampingBp in [0,1000]: $dampingBp")
+    val restMicro = (1000 - dampingBp) * 1000L
+
+    // out-degree rides with every edge so an iteration needs no second
+    // join; partition the (big, loop-invariant) relation by the join key
+    // once and reuse that exchange every round
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val edgesWithDeg = edges
+      .join(outDeg, "src")
+      .repartition(col("src"))
+      .persist()
+    edgesWithDeg.count()
+
+    var ranks = outDeg.select(col("src").as("nid"), lit(1000000L).as("rank_micro")).persist()
+    ranks.count()
+    for (_ <- 1 to iterations) {
+      val next = edgesWithDeg
+        .join(ranks, edgesWithDeg("src") === ranks("nid"))
+        .select(col("dst"), expr("rank_micro div out_deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("nid"),
+          (lit(restMicro) + expr(s"($dampingBp * s) div 1000")).as("rank_micro"))
+        .persist()
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    edgesWithDeg.unpersist()
+    ranks
+  }
+
+  /** The part↔supplier co-purchase graph from `lineitem`, symmetrized:
+    * node ids are `l_partkey·2` and `l_suppkey·2+1` (disjoint id
+    * spaces), one undirected edge per distinct (part, supplier) pair.
+    */
+  def partSupplierEdges(lineitem: DataFrame): DataFrame = {
+    val pairs = lineitem
+      .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+}

@@ -67,4 +67,42 @@ object Sessions {
         sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
+
+  /** Per-session ordered event-type sequences — the behavioral-sequence
+    * dataset export step (each row is one training example: what a user
+    * did, in order, within one session). Same window machinery and the
+    * same exchange profile as [[sessionize]]; the sequence itself is
+    * built by sorting the collected (us, id, type) structs INSIDE the
+    * aggregation (`array_sort` on the unique (us, id) prefix), so the
+    * emitted path is deterministic regardless of shuffle order. State
+    * per group is one session's events — bounded by the session gap,
+    * the same bound a 1000-executor run relies on.
+    */
+  def sessionSequences(
+      events: DataFrame,
+      gapSeconds: Long = DefaultGapSeconds,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      typeCol: String = "event_type",
+  ): DataFrame = {
+    val gapUs = gapSeconds * 1000000L
+    val order = Window.partitionBy(col(userCol)).orderBy(col("us"), col(idCol))
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    events
+      .withColumn("us", unix_micros(col(tsCol)))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(order) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(running))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("us"), col(idCol), col(typeCol).as("t")))),
+            x => x.getField("t")),
+          ">").as("type_path"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.metrics.{FdMetrics, ForestInspector}
 import graft.model.{Forest, NodeRow, Schema}
-import graft.operators.{Ann, Decontaminate, Dedup, Events, Mixture, Multimodal, Pii, TextAnalysis}
+import graft.operators.{Ann, Decontaminate, Dedup, Events, Graph, LmScore, Mixture, Multimodal, Pii, TextAnalysis, Tokenizer}
 import graft.sources.{DbConfig, RelationalLoader, Testdata}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
@@ -346,6 +346,41 @@ object GraftQueries {
     // global sort, k rows to the driver.
     "top_ngrams_documents" -> ((s, d) =>
       TextAnalysis.topNgrams(s.read.parquet(s"$d/documents.parquet"), "text", n = 2, topK = 50)),
+    // Distributed BPE tokenizer TRAINING: corpus -> word-frequency table
+    // (the only corpus-wide shuffle) -> 10 deterministic pair merges,
+    // each a vocab-sized count + TakeOrdered(1) arg-max + broadcast
+    // literal replace. The oracle replays the exact loop in chained
+    // DuckDB CTEs (same tie-break, same non-overlapping left-to-right
+    // `replace` merge semantics), so every learned merge and its
+    // weighted count must agree integer-for-integer.
+    "bpe_train_documents" -> ((s, d) =>
+      Tokenizer.trainBpeOnCorpus(s, s.read.parquet(s"$d/documents.parquet"), numMerges = 10)),
+    // Fixed-iteration PageRank (crawl-centrality weighting) over the
+    // symmetrized part↔supplier graph, 8 rounds of integer micro-rank
+    // arithmetic: the loop-invariant edge relation is partitioned on the
+    // join key once; each round shuffles only the rank table. Integer
+    // division + integer sums make every round bit-reproducible, so the
+    // chained-CTE oracle replays all 8 rounds exactly.
+    "pagerank_partsupp" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val edges = Graph.partSupplierEdges(s.read.parquet(s"$d/lineitem.parquet"))
+      Graph.pageRankMicro(s, edges, iterations = 8)
+        .orderBy(col("rank_micro").desc, col("nid").asc)
+        .limit(20)
+    }),
+    // CCNet-style bigram-LM surprisal filter: unigram/bigram corpus
+    // counts + add-one smoothing, per-transition cost rounded to integer
+    // tenth-milli-nats BEFORE summation (order-independent totals). The
+    // oracle retrains the same model relationally and re-scores every
+    // document; sums, counts, and keep-flags must match exactly.
+    "lm_surprisal_documents" -> ((s, d) =>
+      LmScore.bigramSurprisal(s, s.read.parquet(s"$d/documents.parquet"))),
+    // Behavioral-sequence export: one row per session with the ordered
+    // event-type path (sorted inside the aggregation on the unique
+    // (us, event_id) prefix — deterministic under any shuffle order).
+    // Same single-exchange window machinery as events_sessions.
+    "session_sequences_events" -> ((s, d) =>
+      graft.operators.Sessions.sessionSequences(graft.sources.EventTime.readBatch(s, d))),
     // PII redaction round trip (the masking stage of a pretraining
     // pipeline). The synthetic corpus carries no PII, so the query
     // injects a deterministic email/IP/phone/account quartet derived
@@ -1997,6 +2032,26 @@ object GraftQueries {
         |  max(us) - min(us) AS duration_us
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    // same session assignment; the ordered type path via string_agg with
+    // the same unique (us, event_id) ordering the Spark side sorts on
+    "session_sequences_events" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+         |           (PARTITION BY user_id ORDER BY ts, event_id) > $sessionGapUs
+         |         THEN 1 ELSE 0 END AS f
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, us, event_id, event_type,
+         |    CAST(sum(f) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         |  FROM o)
+         |SELECT user_id, session_seq,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  min(us) AS start_us,
+         |  string_agg(event_type, '>' ORDER BY us, event_id) AS type_path
+         |FROM s GROUP BY 1, 2""".stripMargin,
+
     "repetition_stats_documents" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
@@ -2040,6 +2095,85 @@ object GraftQueries {
         |FROM grams GROUP BY ngram
         |ORDER BY n_occurrences DESC, ngram ASC
         |LIMIT 50""".stripMargin,
+
+    // replays the full BPE training loop: v0 = char-split word-frequency
+    // table, then per merge i: pair counts (p_i) -> deterministic
+    // arg-max (b_i) -> left-to-right non-overlapping merge (v_i) via
+    // the same literal `replace` over the space-padded symbol string
+    "bpe_train_documents" -> {
+      // every CTE is MATERIALIZED: with default inlining the b_i/v_i
+      // references expand the v_{i-1} subtree exponentially (≈4^10
+      // parquet scans — "too many open files"); materialization makes
+      // the replay linear, like the Spark side's per-iteration persist
+      val k = 10
+      val head =
+        """w AS MATERIALIZED (
+          |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |                                  t -> regexp_matches(t, '^[a-z]+$'))) AS word
+          |        FROM documents)
+          |  GROUP BY word),
+          |v0 AS MATERIALIZED (SELECT cnt, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq FROM w)""".stripMargin
+      val iters = (1 to k).map { i =>
+        s"""p$i AS MATERIALIZED (SELECT s[i] || ' ' || s[i + 1] AS pair, sum(cnt) AS n
+           |  FROM (SELECT string_split(seq, ' ') AS s, cnt FROM v${i - 1})
+           |  CROSS JOIN UNNEST(range(1, len(s))) AS r(i)
+           |  GROUP BY 1),
+           |b$i AS MATERIALIZED (SELECT pair, n FROM p$i ORDER BY n DESC, pair ASC LIMIT 1),
+           |v$i AS MATERIALIZED (SELECT cnt, trim(replace(' ' || seq || ' ',
+           |    ' ' || (SELECT pair FROM b$i) || ' ',
+           |    ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')) AS seq FROM v${i - 1})""".stripMargin
+      }
+      val sel = (1 to k)
+        .map(i => s"SELECT $i AS merge_rank, pair, replace(pair, ' ', '') AS merged, " +
+          s"CAST(n AS BIGINT) AS n_occurrences FROM b$i")
+        .mkString("\nUNION ALL\n")
+      (head +: iters).mkString("WITH ", ",\n", "\n") + sel
+    },
+
+    // replays all 8 integer-arithmetic PageRank rounds; `//` (DuckDB)
+    // and `div` (Spark) agree on positive operands
+    "pagerank_partsupp" -> {
+      val head =
+        """e0 AS (SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem),
+          |e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b AS src, a AS dst FROM e0),
+          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+          |r0 AS (SELECT src AS nid, CAST(1000000 AS BIGINT) AS rank_micro FROM deg)""".stripMargin
+      val iters = (1 to 8).map { i =>
+        s"""r$i AS (SELECT e.dst AS nid,
+           |  CAST(150000 + (850 * sum(r.rank_micro // deg.d)) // 1000 AS BIGINT) AS rank_micro
+           |  FROM e JOIN r${i - 1} r ON r.nid = e.src JOIN deg ON deg.src = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      }
+      (head +: iters).mkString("WITH ", ",\n", "\n") +
+        "SELECT nid, rank_micro FROM r8 ORDER BY rank_micro DESC, nid ASC LIMIT 20"
+    },
+
+    // retrains the bigram model relationally: same tokenization, same
+    // add-one smoothing, same ×10⁴ per-transition rounding before any sum
+    "lm_surprisal_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             t -> regexp_matches(t, '^[a-z]+$')) AS t
+        |  FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |       FROM toks CROSS JOIN UNNEST(range(1, len(t))) AS r(i)),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2),
+        |ts AS (SELECT w1, w2,
+        |         CAST(round(ln(CAST(c1 + v AS DOUBLE) / CAST(cb + 1 AS DOUBLE)) * 10000) AS BIGINT) AS s_e4
+        |       FROM bc JOIN uni ON uni.w = bc.w1 CROSS JOIN v),
+        |per AS (SELECT bg.doc_id, CAST(sum(ts.s_e4) AS BIGINT) AS sum_e4,
+        |               CAST(count(*) AS BIGINT) AS n_bigrams
+        |        FROM bg JOIN ts ON ts.w1 = bg.w1 AND ts.w2 = bg.w2
+        |        GROUP BY bg.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(p.sum_e4, 0) AS BIGINT) AS surprisal_e4_sum,
+        |  coalesce(p.sum_e4, 0) <= 50000 * coalesce(p.n_bigrams, 0) AS kept
+        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin,
 
     // the same injection + the same patterns as the Spark side, staged
     // through one CTE per category so counts honor the redaction order

@@ -28,6 +28,26 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
       (2L, 0L, 1L, 800L)))
   }
 
+  test("sessionSequences orders the type path by (us, event_id) and splits on gap") {
+    import spark.implicits._
+    val df = Seq(
+      // same-microsecond pair: event_id breaks the tie -> "a" before "b"
+      (2L, "2024-01-01 10:00:00", 1L, "b"),
+      (1L, "2024-01-01 10:00:00", 1L, "a"),
+      (3L, "2024-01-01 10:30:00", 1L, "c"),
+      (4L, "2024-01-01 13:00:00", 1L, "d"), // 150 min gap -> new session
+      (5L, "2024-01-01 09:00:00", 2L, "e"))
+      .map { case (id, ts, u, t) => (id, java.sql.Timestamp.valueOf(ts), u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sessions.sessionSequences(df, gapSeconds = 3600)
+      .select("user_id", "session_seq", "n_events", "type_path")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 3L, "a>b>c"),
+      (1L, 1L, 1L, "d"),
+      (2L, 0L, 1L, "e")))
+  }
+
   test("session bounds and duration are exact epoch micros") {
     val df = events(
       (1L, "2024-01-01 10:00:00.000001", 1L, 1.0),
