@@ -118,6 +118,41 @@ object Events {
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 
+  /** Per-event trailing-window user features — "activity in the last N
+    * days at the moment of each event", the classic point-in-time
+    * feature for behavioral models (computing it with a join instead of
+    * a window is the textbook 100×-scale mistake: a range self-join on
+    * the event table).
+    *
+    * One RANGE-frame window pass over integer epoch micros: frames are
+    * defined by VALUE, not row position, so same-microsecond ties get
+    * identical (and engine-independent) frames. One hash exchange on
+    * the user key + a per-user sort — the same per-user bound the
+    * session lanes rely on; counts and cent-sums are integer-exact.
+    */
+  def rollingUserStats(
+      events: DataFrame,
+      windowSeconds: Long = 7L * 86400,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      valueCol: String = "value",
+  ): DataFrame = {
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1: $windowSeconds")
+    val windowUs = windowSeconds * 1000000L
+    val trailing = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col("graft_us"))
+      .rangeBetween(-windowUs, 0)
+    events
+      .select(col(idCol), col(userCol), unix_micros(col(tsCol)).as("graft_us"),
+        round(col(valueCol) * 100).cast("long").as("graft_cents"))
+      .select(
+        col(idCol), col(userCol), col("graft_us").as("us"),
+        count(lit(1)).over(trailing).as("n_window"),
+        sum(col("graft_cents")).over(trailing).as("sum_value_cents_window"))
+  }
+
   /** Tumbling-window counts and exact stats per event type. */
   def hourlyStats(events: DataFrame, tsCol: String = "ts", typeCol: String = "event_type"): DataFrame =
     events

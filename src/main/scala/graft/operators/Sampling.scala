@@ -56,6 +56,39 @@ object Sampling {
     df.filter(bucket(col(strataCol), col(idCol)) < threshold)
   }
 
+  /** Fixed-SIZE deterministic sample: the `k` rows with the smallest
+    * content hashes per stratum (ties broken by id — deterministic
+    * because ids are unique within a stratum). Unlike [[stratified]],
+    * which keeps a fixed FRACTION, this yields exactly `min(k, |stratum|)`
+    * rows — the "give me 10k eval docs per language, reproducibly"
+    * operation. Because the hash is uniform, the kept set is a uniform
+    * sample, and it is STABLE under corpus growth except where new rows
+    * hash under the stratum's current k-th hash — the property that
+    * keeps eval sets comparable across corpus versions.
+    *
+    * One hash exchange on the stratum + a per-stratum sort; with k ≪
+    * stratum size a cluster run would add a per-partition pre-filter
+    * (top-k per partition) — Spark's window already stops at the sort,
+    * which AQE splits on skew.
+    */
+  def fixedSizePerStratum(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      k: Int,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val byStratum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("graft_h").asc, col(idCol).asc)
+    df.withColumn("graft_h",
+        TextAnalysis.portableHash(
+          concat_ws(":", coalesce(col(strataCol).cast("string"), lit("")), col(idCol).cast("string"))))
+      .withColumn("sample_rank", row_number().over(byStratum))
+      .filter(col("sample_rank") <= k)
+      .drop("graft_h")
+  }
+
   /** Single-rate deterministic sample (stratum = the constant split
     * name, so distinct `splitName`s draw independent samples — the
     * train/validation split pattern).

@@ -197,6 +197,38 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document TF-IDF keyword extraction — the "what is this
+    * document about" signal used for topic balancing and per-domain
+    * mixture diagnostics. The idf factor is kept RATIONAL: within one
+    * document N/df only rescales by a constant, so ranking by
+    * `score_ppm = tf·10⁶ div df` (integer division, parts-per-million
+    * of the term's corpus document frequency) reproduces the tf·(N/df)
+    * order exactly with no logarithm and no floating point — the whole
+    * lane is integer arithmetic, bit-reproducible by any SQL engine.
+    *
+    * Scale: one corpus pass for per-(doc, term) tf, one vocabulary-
+    * sized aggregation for df, a broadcastable join back on the term,
+    * and a per-document top-k window (ties broken by term — unique per
+    * doc, so ranks are deterministic).
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = filter(split(trim(col(textCol)), " "), t => length(t) > 0)
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score_ppm", expr("(tf * 1000000) div df"))
+      .withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= topK)
+      .select("doc_id", "rank", "term", "tf", "df", "score_ppm")
+  }
+
   /** BPE-style pre-tokenization pattern (GPT-2 family, minus the
     * RE2-unsupported lookahead): a token is an optionally-space-prefixed
     * letter run, digit run, or punctuation run, or a whitespace run.

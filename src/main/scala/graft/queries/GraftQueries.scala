@@ -381,6 +381,24 @@ object GraftQueries {
     // Same single-exchange window machinery as events_sessions.
     "session_sequences_events" -> ((s, d) =>
       graft.operators.Sessions.sessionSequences(graft.sources.EventTime.readBatch(s, d))),
+    // Point-in-time trailing-window user features (7-day activity at
+    // each event): one RANGE-frame window pass — value-defined frames,
+    // so same-microsecond ties are engine-independent; never a range
+    // self-join. Counts + integer cents only.
+    "events_rolling_users" -> ((s, d) =>
+      Events.rollingUserStats(graft.sources.EventTime.readBatch(s, d))),
+    // Fixed-SIZE reproducible sampling: the k=25 smallest portable
+    // content hashes per language — exactly min(k, |stratum|) rows,
+    // stable across runs and (mostly) across corpus versions.
+    "sample_fixed_documents" -> ((s, d) =>
+      graft.operators.Sampling
+        .fixedSizePerStratum(s.read.parquet(s"$d/documents.parquet"), "lang", "doc_id", k = 25)
+        .select("doc_id", "lang", "sample_rank")),
+    // Integer-rational TF-IDF keywords: score_ppm = tf·10⁶ div df ranks
+    // identically to tf·(N/df) within a document — no logarithm, no
+    // float, top-3 per doc with a deterministic term tie-break.
+    "tfidf_keywords_documents" -> ((s, d) =>
+      TextAnalysis.tfidfKeywords(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", topK = 3)),
     // PII redaction round trip (the masking stage of a pretraining
     // pipeline). The synthetic corpus carries no PII, so the query
     // injects a deterministic email/IP/phone/account quartet derived
@@ -2051,6 +2069,40 @@ object GraftQueries {
          |  min(us) AS start_us,
          |  string_agg(event_type, '>' ORDER BY us, event_id) AS type_path
          |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // same RANGE frame over integer epoch micros (7 days = 604800000000 µs)
+    "events_rolling_users" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_window,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS sum_value_cents_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "sample_fixed_documents" -> {
+      val h = duckHash("coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)")
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY $h ASC, doc_id ASC) AS INT)
+         |      AS sample_rank
+         |  FROM documents)
+         |SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 25""".stripMargin
+    },
+
+    "tfidf_keywords_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> length(t) > 0) AS t
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |        FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+        |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+        |s AS (SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+        |        CAST((tfc.tf * 1000000) // dfc.df AS BIGINT) AS score_ppm,
+        |        CAST(row_number() OVER (PARTITION BY tfc.doc_id
+        |             ORDER BY (tfc.tf * 1000000) // dfc.df DESC, tfc.term ASC) AS INT) AS rank
+        |      FROM tfc JOIN dfc USING (term))
+        |SELECT doc_id, rank, term, tf, df, score_ppm FROM s WHERE rank <= 3""".stripMargin,
 
     "repetition_stats_documents" ->
       """SELECT doc_id,

@@ -143,6 +143,27 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.toSet == again.toSet)
   }
 
+  test("fixed-size sampling keeps exactly min(k, stratum size), nested across k") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, if (i < 98) "en" else "de", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    def kept(k: Int): Map[String, Set[Long]] = Sampling
+      .fixedSizePerStratum(docs, "lang", "doc_id", k)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val k10 = kept(10)
+    assert(k10("en").size == 10)
+    assert(k10("de").size == 2) // stratum smaller than k -> whole stratum
+    // nested: smaller k is always a prefix of the same hash ordering
+    val k5 = kept(5)
+    assert(k5("en").subsetOf(k10("en")))
+    // ranks are contiguous from 1
+    val ranks = Sampling.fixedSizePerStratum(docs, "lang", "doc_id", 10)
+      .where($"lang" === "en").select("sample_rank").as[Int].collect().sorted
+    assert(ranks.toSeq == (1 to 10))
+  }
+
   test("fraction bounds: 0 keeps nothing, 1 keeps everything") {
     import spark.implicits._
     val docs = (0L until 100L).map(i => (i, "en")).toDF("doc_id", "lang")
