@@ -153,6 +153,34 @@ object Events {
         sum(col("graft_cents")).over(trailing).as("sum_value_cents_window"))
   }
 
+  /** SLIDING-window counts per event type — overlapping windows (each
+    * event lands in duration/slide of them), the moving-average shape
+    * dashboards and anomaly alerts use. Identical code serves batch and
+    * Structured Streaming (where watermark + window start eviction keep
+    * state bounded by duration/slide × type-vocabulary, not stream
+    * length). Windows are epoch-aligned, so the window set an event
+    * joins is closed-form integer arithmetic — oracle-checkable.
+    */
+  def slidingStats(
+      events: DataFrame,
+      windowDuration: String = "2 hours",
+      slideDuration: String = "30 minutes",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+  ): DataFrame =
+    events
+      .groupBy(
+        window(col(tsCol), windowDuration, slideDuration).as("w"),
+        col(typeCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col(typeCol),
+        col("n_events"),
+        col("sum_value_cents"))
+
   /** Tumbling-window counts and exact stats per event type. */
   def hourlyStats(events: DataFrame, tsCol: String = "ts", typeCol: String = "event_type"): DataFrame =
     events

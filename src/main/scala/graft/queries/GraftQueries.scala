@@ -387,6 +387,27 @@ object GraftQueries {
     // self-join. Counts + integer cents only.
     "events_rolling_users" -> ((s, d) =>
       Events.rollingUserStats(graft.sources.EventTime.readBatch(s, d))),
+    // Sliding windows (2 h duration / 30 min slide): every event lands
+    // in exactly 4 epoch-aligned windows, so the oracle regenerates the
+    // window set per event with integer floor arithmetic. Same operator
+    // code runs the streaming lane below.
+    "events_sliding" -> ((s, d) =>
+      Events.slidingStats(graft.sources.EventTime.readBatch(s, d))),
+    // §2.8 the same sliding aggregation as a Structured Streaming query
+    // (readStream → watermark → overlapping windows → complete-mode
+    // memory sink, run to completion): state is bounded by
+    // duration/slide × type vocabulary — the batch SQL is the oracle.
+    "events_sliding_streaming" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = graft.sources.EventTime.readStreamEvents(s, d).withWatermark("ts", "2 hours")
+      val q = Events.slidingStats(ev)
+        .writeStream.format("memory").queryName("events_sliding_streaming_sink")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_sliding_streaming_sink")
+    }),
     // Fixed-SIZE reproducible sampling: the k=25 smallest portable
     // content hashes per language — exactly min(k, |stratum|) rows,
     // stable across runs and (mostly) across corpus versions.
@@ -1356,6 +1377,19 @@ object GraftQueries {
   private val sessionWatermarkMs: Long =
     graft.streaming.EventStream.DefaultSessionWatermarkMs
 
+  // shared by the batch and streaming sliding-window lanes: 2 h windows
+  // on a 30 min slide ⇒ each event joins j ∈ [0,4) windows whose start
+  // is its slide-floor minus j slides (epoch-aligned, like Spark's)
+  private val slidingOracle: String =
+    """WITH o AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+      |w AS (SELECT ((us // 1800000000) - j) * 1800000000 AS start_us, event_type, value
+      |      FROM o CROSS JOIN UNNEST(range(4)) AS r(j))
+      |SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM w GROUP BY 1, 2""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "extract_customer" ->
       s"SELECT DISTINCT ${castCols(Seq("c_acctbal", "c_custkey", "c_mktsegment", "c_name"))} FROM customer",
@@ -1892,6 +1926,11 @@ object GraftQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "approx_users_events" -> "SELECT true AS within_5pct",
+
+    // every event belongs to exactly windowDur/slide = 4 epoch-aligned
+    // sliding windows: starts = slide-floor(us) - j·slide, j ∈ [0, 4)
+    "events_sliding" -> slidingOracle,
+    "events_sliding_streaming" -> slidingOracle,
 
     "transitions_events" ->
       """WITH o AS (

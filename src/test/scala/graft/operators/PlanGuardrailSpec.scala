@@ -128,6 +128,33 @@ class PlanGuardrailSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges == 1, s"sessionize plans $exchanges exchanges, expected 1:\n$p")
   }
 
+  test("session sequences and rolling user features ride one user exchange, no join") {
+    for ((name, df) <- Seq(
+        "sessionSequences" -> Sessions.sessionSequences(graft.sources.EventTime.readBatch(spark, dir)),
+        "rollingUserStats" -> Events.rollingUserStats(graft.sources.EventTime.readBatch(spark, dir)))) {
+      val p = plan(df)
+      assertNoUnbounded(name, p)
+      assert(!p.contains("Join"), s"$name must not join (a range self-join regression)")
+      val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+      assert(exchanges == 1, s"$name plans $exchanges exchanges, expected 1:\n$p")
+    }
+  }
+
+  test("fixed-size sampling is one stratum exchange; tf-idf joins on keys only") {
+    val fixed = plan(Sampling.fixedSizePerStratum(docs, "lang", "doc_id", 5))
+    assertNoUnbounded("fixedSizePerStratum", fixed)
+    assert(!fixed.contains("Join"), "fixedSizePerStratum must not join")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(fixed).length
+    assert(exchanges == 1, s"fixedSizePerStratum plans $exchanges exchanges, expected 1:\n$fixed")
+
+    assertNoUnbounded("tfidfKeywords", plan(TextAnalysis.tfidfKeywords(docs, "doc_id", "text", 3)))
+  }
+
+  test("LM surprisal scoring joins on keys only") {
+    assertNoUnbounded("bigramSurprisal",
+      plan(LmScore.bigramSurprisal(spark, docs)))
+  }
+
   test("deterministic sampling stays a scan-level filter") {
     // projected like the registered query — the filter keeps whole rows,
     // so pruning is only observable once a consumer selects its columns

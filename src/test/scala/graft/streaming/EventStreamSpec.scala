@@ -39,6 +39,42 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sliding windows equal the batch transform, one row per overlap") {
+    import spark.implicits._
+
+    val rows = Seq(
+      (1L, "2024-01-01 10:15:00", 1L, "click", 1.25, "{}"),
+      (2L, "2024-01-01 10:45:00", 2L, "click", 2.50, "{}"))
+      .map { case (id, ts, u, t, v, p) => (id, Timestamp.valueOf(ts), u, t, v, p) }
+    val batchDf = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val dir = java.nio.file.Files.createTempDirectory("events-sliding")
+    val srcDir = dir.resolve("src").toString
+    batchDf.write.parquet(srcDir)
+
+    val stats = Events.slidingStats(
+      EventStream.readEvents(spark, srcDir).withWatermark("ts", "2 hours"))
+    val query = stats.writeStream
+      .format("memory")
+      .queryName("sliding_stream_test")
+      .outputMode("complete")
+      .start()
+    try {
+      query.processAllAvailable()
+      val got = spark.sql("SELECT * FROM sliding_stream_test").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val want = Events.slidingStats(batchDf).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want)
+      // 10:15 lands in starts 08:30..10:00; 10:45 in 09:00..10:30 — the
+      // three shared windows carry both clicks
+      assert(got.contains(("2024-01-01 09:00:00", "click", 2L, 375L)))
+      assert(got.contains(("2024-01-01 08:30:00", "click", 1L, 125L)))
+      assert(got.contains(("2024-01-01 10:30:00", "click", 1L, 250L)))
+      assert(got.size == 5) // starts 08:30..10:30 at 30 min steps
+    } finally query.stop()
+  }
+
   test("stream-static enrichment equals the batch join and broadcasts the dimension") {
     import spark.implicits._
     val rows = Seq(

@@ -2,8 +2,20 @@
 """Build a k-times scaled copy of a testdata sf directory for the
 scaling canary (BASELINE.md "sf-scaling" section).
 
-Usage: python3 tools/make_sfscale.py [srcDir] [dstDir] [k]
-Defaults: /root/testdata/sf0.1  target/sfscale  10
+Usage: python3 tools/make_sfscale.py [srcDir] [dstDir] [k] [mode]
+Defaults: /root/testdata/sf0.1  target/sfscale  10  tilde
+
+mode "alpha" (the tokenizer-lane canary variant) differs in two ways:
+- word suffixes are alphabetic ('q' + letter(i)) instead of '~i', so
+  the lanes that tokenize to lowercase-alphabetic words (BPE training,
+  bigram-LM surprisal) see the scaled corpus too — cross-copy words
+  are still distinct, so the dedup-structure replication argument is
+  unchanged;
+- lineitem is ALSO scaled k-fold with per-copy re-keyed part/supplier
+  ids (k disjoint copies of the part↔supplier graph), so the PageRank
+  workload grows k-fold instead of being byte-copied.
+Default mode stays byte-identical to the original generator so the
+previously recorded canary tables remain reproducible.
 
 Scaling model (deliberately NOT naive concatenation):
 
@@ -35,6 +47,13 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "target/sfscale"
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    mode = sys.argv[4] if len(sys.argv) > 4 else "tilde"
+    assert mode in ("tilde", "alpha"), mode
+    if mode == "alpha":
+        assert k <= 26, "alpha mode supports k <= 26"
+        suffix = "w || 'q' || chr(97 + i::INT)"
+    else:
+        suffix = "w || '~' || i::VARCHAR"
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
 
@@ -44,13 +63,13 @@ def main() -> None:
                CASE WHEN i = 0 THEN text
                     ELSE array_to_string(
                            list_transform(string_split(text, ' '),
-                                          w -> w || '~' || i::VARCHAR), ' ')
+                                          w -> {suffix}), ' ')
                END AS text,
                lang, source,
                length(CASE WHEN i = 0 THEN text
                     ELSE array_to_string(
                            list_transform(string_split(text, ' '),
-                                          w -> w || '~' || i::VARCHAR), ' ')
+                                          w -> {suffix}), ' ')
                END) AS n_chars
         FROM '{src}/documents.parquet'
         CROSS JOIN (SELECT unnest(range({k})) AS i)
@@ -85,7 +104,27 @@ def main() -> None:
       ) TO '{dst}/events.parquet' (FORMAT PARQUET)
     """)
 
-    for t in COPY_TABLES:
+    copy_tables = list(COPY_TABLES)
+    if mode == "alpha":
+        # k disjoint copies of the part<->supplier graph (all three keys
+        # re-keyed per copy), so graph lanes scale instead of byte-copying
+        copy_tables.remove("lineitem")
+        cols = [r[0] for r in con.sql(
+            f"DESCRIBE SELECT * FROM '{src}/lineitem.parquet'").fetchall()]
+        rekeyed = ", ".join(
+            f"{c} + i * {OFFSET} AS {c}"
+            if c in ("l_orderkey", "l_partkey", "l_suppkey") else c
+            for c in cols)
+        con.sql(f"""
+          COPY (
+            SELECT {rekeyed}
+            FROM '{src}/lineitem.parquet'
+            CROSS JOIN (SELECT unnest(range({k})) AS i)
+            ORDER BY l_orderkey
+          ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+        """)
+
+    for t in copy_tables:
         shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
 
     docs = con.sql(f"SELECT count(*), count(DISTINCT doc_id) FROM '{dst}/documents.parquet'").fetchone()
