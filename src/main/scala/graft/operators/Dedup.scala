@@ -438,6 +438,62 @@ object Dedup {
     * locally. No step is driver-side or all-pairs; the heaviest shuffle
     * is corpus-text-sized, the same order as reading the input.
     */
+  /** EXACT substring deduplication (the "dedup training data at the
+    * substring level" operator): remove every token covered by some
+    * `n`-gram that occurs in at least `minDocs` DISTINCT documents.
+    * Cross-document boilerplate — licence footers, navigation chrome,
+    * templated intros — is excised from every document carrying it,
+    * while within-document repetition is untouched (that is
+    * [[lineDedup]]'s and the repetition-stats lane's job).
+    *
+    * Pipeline: token positions → n-gram inverted index → the duplicate
+    * gram set (map-side-combined distinct-doc counts) → covered
+    * positions (each dup occurrence expands to its n positions,
+    * de-duplicated) → conditional ordered rebuild, the same
+    * sort-inside-the-aggregation trick as [[lineDedup]]. Every join is
+    * a hash equi-join on gram or (doc, position) — nothing is
+    * all-pairs, and coverage expansion is a bounded ×n explode.
+    * Documents with zero tokens drop out (nothing to keep or remove).
+    */
+  def exactSubstringDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      minDocs: Int = 2,
+  ): DataFrame = {
+    require(n >= 2, s"n must be >= 2: $n")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val toks = df.select(col(idCol).as("id"),
+      filter(split(trim(col(textCol)), " "), t => length(t) > 0).as("t"))
+    val pos = toks.select(col("id"), posexplode(col("t")).as(Seq("pos", "tok")))
+    val grams = toks
+      .where(size(col("t")) >= n)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(0, size(t) - $n), " +
+          s"i -> struct(i AS gpos, array_join(slice(t, i + 1, $n), ' ') AS g))")).as("gr"))
+      .select(col("id"), col("gr.gpos").as("gpos"), col("gr.g").as("g"))
+    val dup = grams
+      .groupBy("g").agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("g")
+    val covered = grams.join(dup, "g")
+      .select(col("id"), explode(expr(s"sequence(gpos, gpos + ${n - 1})")).as("pos"))
+      .distinct()
+    pos
+      .join(covered.withColumn("c", lit(true)), Seq("id", "pos"), "left")
+      .withColumn("removed", col("c").isNotNull)
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(!col("removed"), struct(col("pos"), col("tok"))))),
+            s => s.getField("tok")),
+          " ").cast("binary")).as("clean_md5"))
+  }
+
   def lineDedup(
       df: DataFrame,
       idCol: String,

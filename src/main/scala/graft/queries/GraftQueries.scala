@@ -272,6 +272,13 @@ object GraftQueries {
       out.selectExpr("doc_id", "lines_total", "lines_removed",
         "md5(cast(clean_text AS binary)) AS clean_md5")
     }),
+    // EXACT substring dedup (span excision): every token covered by a
+    // 13-gram occurring in >= 2 distinct documents is removed; the
+    // sf0.01 corpus naturally carries ~900 such cross-doc grams, so
+    // real spans get excised. n_tokens/n_removed plus the md5 of the
+    // rebuilt text pin the position-ordered excision bit-exactly.
+    "dedup_substring_documents" -> ((s, d) =>
+      Dedup.exactSubstringDedup(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     "dedup_ngram_documents" -> ((s, d) => ngramPairs(s, d)),
     "dedup_minhash_documents" -> ((s, d) =>
       Dedup.minHashLshPairs(
@@ -1774,6 +1781,31 @@ object GraftQueries {
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS content_hash,
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // same span-excision replay: inverted gram index -> distinct-doc
+    // dup set -> covered positions -> ordered rebuild; md5('') for a
+    // fully-excised document on both sides
+    "dedup_substring_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> length(t) > 0) AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, i, t[i] AS tok
+        |        FROM toks CROSS JOIN UNNEST(range(1, len(t) + 1)) r(i)),
+        |grams AS (SELECT doc_id, i, array_to_string(t[i:i+12], ' ') AS g
+        |          FROM toks CROSS JOIN UNNEST(range(1, len(t) - 11)) r(i)
+        |          WHERE len(t) >= 13),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT grams.doc_id, p
+        |        FROM grams JOIN dup USING (g)
+        |        CROSS JOIN UNNEST(range(grams.i, grams.i + 13)) rr(p)),
+        |flags AS (SELECT pos.doc_id, pos.i, pos.tok, cov.p IS NOT NULL AS removed
+        |          FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.i)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN NOT removed THEN tok END, ' ' ORDER BY i), ''))
+        |    AS clean_md5
+        |FROM flags GROUP BY doc_id""".stripMargin,
 
     // zipped unnests align positionally in DuckDB, giving each line its
     // 1-based position for the order-preserving string_agg rebuild; the

@@ -34,6 +34,7 @@ class PlanGuardrailSpec extends AnyFunSuite with SparkSpec {
     assertNoUnbounded("minHashLshPairs", plan(Dedup.minHashLshPairs(docs, "doc_id", "text")))
     assertNoUnbounded("simHashPairs", plan(Dedup.simHashPairs(docs, "doc_id", "text")))
     assertNoUnbounded("embeddingCosinePairs", plan(Dedup.embeddingCosinePairs(embs, "vec_id", "embedding")))
+    assertNoUnbounded("exactSubstringDedup", plan(Dedup.exactSubstringDedup(docs, "doc_id", "text")))
   }
 
   test("IVF ANN probes via an equi-join; only the brute baseline broadcasts all-pairs") {
