@@ -1230,6 +1230,28 @@ object GraftQueries {
         .selectExpr("lang", "n_rows AS n_docs", "min_value AS min_chars",
           "max_value AS max_chars", "p50", "p90", "p99")),
 
+    // Data-quality validation gate (Deequ-style constraint suite, VLDB'18
+    // shape): the whole suite compiles into ONE aggregation pass (plus
+    // one expand per exact-distinct check); metrics are integer ppm
+    // (truncating div) so every verdict row is bit-reproducible. The
+    // o_custkey distinctness threshold is deliberately unreachable so
+    // the FAIL path is exercised end to end (passed=false row).
+    "validate_orders" -> ((s, d) => {
+      import graft.operators.Validation, Validation.Check._
+      Validation.validate(
+        s.read.parquet(s"$d/orders.parquet"),
+        Seq(
+          Completeness("o_custkey", 1000000L),
+          Distinctness("o_orderkey", 1000000L),
+          Distinctness("o_custkey", 500000L),
+          Satisfies("totalprice_nonneg", "o_totalprice", "o_totalprice >= 0", 1000000L),
+          Satisfies("status_domain", "o_orderstatus",
+            "o_orderstatus IN ('O','F','P')", 1000000L),
+          Satisfies("priority_shape", "o_orderpriority",
+            "o_orderpriority RLIKE '^[1-5]-'", 1000000L),
+        ))
+    }),
+
     // Deterministic stratified sampling (corpus rebalancing): keep 40%
     // of the dominant language, 90% of zh, 75% of everything else —
     // membership is a pure function of (lang, doc_id) via the portable
@@ -2056,6 +2078,37 @@ object GraftQueries {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
         |FROM changes WHERE NOT deleted""".stripMargin,
+
+    // same one-pass metrics, same truncating-integer ppm arithmetic;
+    // passed recomputed independently from the oracle's own metric
+    "validate_orders" ->
+      """WITH t AS (SELECT
+        |    count(*) AS total,
+        |    count(o_custkey) AS m0,
+        |    count(DISTINCT o_orderkey) AS m1,
+        |    count(DISTINCT o_custkey) AS m2,
+        |    count(CASE WHEN o_totalprice >= 0 THEN 1 END) AS m3,
+        |    count(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END) AS m4,
+        |    count(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 END) AS m5
+        |  FROM orders),
+        |v AS (
+        |  SELECT 'completeness(o_custkey)' AS chk, 'o_custkey' AS col,
+        |         m0 * 1000000 // total AS metric_ppm, 1000000 AS threshold_ppm FROM t
+        |  UNION ALL
+        |  SELECT 'distinctness(o_orderkey)', 'o_orderkey', m1 * 1000000 // total, 1000000 FROM t
+        |  UNION ALL
+        |  SELECT 'distinctness(o_custkey)', 'o_custkey', m2 * 1000000 // total, 500000 FROM t
+        |  UNION ALL
+        |  SELECT 'totalprice_nonneg', 'o_totalprice', m3 * 1000000 // total, 1000000 FROM t
+        |  UNION ALL
+        |  SELECT 'status_domain', 'o_orderstatus', m4 * 1000000 // total, 1000000 FROM t
+        |  UNION ALL
+        |  SELECT 'priority_shape', 'o_orderpriority', m5 * 1000000 // total, 1000000 FROM t)
+        |SELECT chk AS "check", col AS "column",
+        |       CAST(metric_ppm AS BIGINT) AS metric_ppm,
+        |       CAST(threshold_ppm AS BIGINT) AS threshold_ppm,
+        |       metric_ppm >= threshold_ppm AS passed
+        |FROM v""".stripMargin,
 
     // same nearest-rank definition, same integer rank arithmetic
     "quantiles_documents" ->
