@@ -1230,6 +1230,18 @@ object GraftQueries {
         .selectExpr("lang", "n_rows AS n_docs", "min_value AS min_chars",
           "max_value AS max_chars", "p50", "p90", "p99")),
 
+    // Salted two-phase aggregation over the hottest possible key
+    // (event_type: ~6 values over the whole corpus). Phase 1 spreads
+    // each hot key over 16 deterministic salts (pmod(hash(event_id))),
+    // phase 2 merges ≤16 partials per key — no reducer ever holds a
+    // whole key. Integer cents make the two-phase merge bit-equal to
+    // the oracle's single GROUP BY.
+    "skew_salted_events" -> ((s, d) => {
+      val ev = graft.sources.EventTime.readBatch(s, d)
+      graft.operators.Skew.saltedStats(ev, "event_type", "value",
+        saltFrom = "event_id", nSalts = 16)
+    }),
+
     // Data-quality validation gate (Deequ-style constraint suite, VLDB'18
     // shape): the whole suite compiles into ONE aggregation pass (plus
     // one expand per exact-distinct check); metrics are integer ppm
@@ -2078,6 +2090,15 @@ object GraftQueries {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
         |FROM changes WHERE NOT deleted""".stripMargin,
+
+    // the salted two-phase plan must equal the plain GROUP BY exactly
+    "skew_salted_events" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+        |       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_value_cents,
+        |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_value_cents
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // same one-pass metrics, same truncating-integer ppm arithmetic;
     // passed recomputed independently from the oracle's own metric
