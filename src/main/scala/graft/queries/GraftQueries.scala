@@ -1230,6 +1230,23 @@ object GraftQueries {
         .selectExpr("lang", "n_rows AS n_docs", "min_value AS min_chars",
           "max_value AS max_chars", "p50", "p90", "p99")),
 
+    // SCD-2 dimension history from the event changelog: each user's
+    // event_type observations compressed to change-points, every version
+    // carrying [valid_from, valid_to) and an is_current flag — the
+    // point-in-time-correct dimension shape. One exchange on user_id
+    // (lag + lead share the same window order). Epoch-micro interval
+    // bounds keep the compare integer-exact; ties break on event_id on
+    // both sides.
+    "scd2_events" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      val ev = graft.sources.EventTime.readBatch(s, d)
+      graft.operators.Scd.history(ev, "user_id", "ts", "event_id", Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+    }),
+
     // Salted two-phase aggregation over the hottest possible key
     // (event_type: ~6 values over the whole corpus). Phase 1 spreads
     // each hot key over 16 deterministic salts (pmod(hash(event_id))),
@@ -2090,6 +2107,23 @@ object GraftQueries {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
         |FROM changes WHERE NOT deleted""".stripMargin,
+
+    // same change-point compression, same (ts, event_id) tie-break
+    "scd2_events" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |         row_number() OVER w AS rn,
+        |         lag(event_type) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT user_id, event_type, us, event_id
+        |      FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |       CAST(us AS BIGINT) AS valid_from_us,
+        |       CAST(lead(us) OVER v AS BIGINT) AS valid_to_us,
+        |       lead(us) OVER v IS NULL AS is_current
+        |FROM c
+        |WINDOW v AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
 
     // the salted two-phase plan must equal the plain GROUP BY exactly
     "skew_salted_events" ->
