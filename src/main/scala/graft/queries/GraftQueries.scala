@@ -1230,6 +1230,23 @@ object GraftQueries {
         .selectExpr("lang", "n_rows AS n_docs", "min_value AS min_chars",
           "max_value AS max_chars", "p50", "p90", "p99")),
 
+    // Z-order (Morton) clustering key over (n_chars, doc_id), 8 bits
+    // each: min-max integer bucketing then bit interleave — the value a
+    // lake layout sorts files by so parquet min/max footers prune BOTH
+    // columns' predicates (Delta/Iceberg OPTIMIZE ZORDER shape; file-
+    // narrowing effect pinned in ZOrderSpec). All-integer arithmetic ⇒
+    // bit-reproducible; the one collect is a 1-row min/max aggregate.
+    "zorder_documents" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, min, max}
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val r = docs.agg(min(col("n_chars")), max(col("n_chars")),
+        min(col("doc_id")), max(col("doc_id"))).head()
+      val buckets = Seq(
+        graft.sinks.ZOrder.minMaxBucket("n_chars", r.getLong(0), r.getLong(1), 8),
+        graft.sinks.ZOrder.minMaxBucket("doc_id", r.getLong(2), r.getLong(3), 8))
+      docs.select(col("doc_id"), graft.sinks.ZOrder.zValue(buckets, 8).as("z_value"))
+    }),
+
     // SCD-2 dimension history from the event changelog: each user's
     // event_type observations compressed to change-points, every version
     // carrying [valid_from, valid_to) and an is_current flag — the
@@ -2107,6 +2124,21 @@ object GraftQueries {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
         |FROM changes WHERE NOT deleted""".stripMargin,
+
+    // same min-max bucketing, same bit interleave (terms generated by
+    // the same layout rule: bit k of column i lands at position k·2+i)
+    "zorder_documents" -> {
+      val zTerms = (0 until 8).flatMap(k => Seq(
+        s"(((b0 >> $k) & 1) << ${2 * k})",
+        s"(((b1 >> $k) & 1) << ${2 * k + 1})")).mkString(" | ")
+      s"""WITH r AS (SELECT min(n_chars) AS ln, max(n_chars) AS hn,
+         |                  min(doc_id) AS ld, max(doc_id) AS hd FROM documents),
+         |b AS (SELECT doc_id,
+         |             ((n_chars - ln) * 256) // (hn - ln + 1) AS b0,
+         |             ((doc_id - ld) * 256) // (hd - ld + 1) AS b1
+         |      FROM documents, r)
+         |SELECT doc_id, CAST($zTerms AS BIGINT) AS z_value FROM b""".stripMargin
+    },
 
     // same change-point compression, same (ts, event_id) tie-break
     "scd2_events" ->
