@@ -1230,6 +1230,16 @@ object GraftQueries {
         .selectExpr("lang", "n_rows AS n_docs", "min_value AS min_chars",
           "max_value AS max_chars", "p50", "p90", "p99")),
 
+    // Count-min-sketch frequency gate (same contract shape as the HLL
+    // gate): a fixed-size mergeable counter grid replaces the full
+    // token groupBy; the lane checks the CMS invariants on the top-25
+    // exact tokens — estimate never under-counts, and stays within
+    // ceil(eps*N) of exact (deterministic for the fixed seed). The
+    // oracle recomputes the exact top-25 and pins both gates true.
+    "cms_tokens_documents" -> ((s, d) =>
+      graft.operators.Sketches.cmsTokenGate(
+        s.read.parquet(s"$d/documents.parquet"), "text", topK = 25)),
+
     // Z-order (Morton) clustering key over (n_chars, doc_id), 8 bits
     // each: min-max integer bucketing then bit interleave — the value a
     // lake layout sorts files by so parquet min/max footers prune BOTH
@@ -2124,6 +2134,18 @@ object GraftQueries {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
         |FROM changes WHERE NOT deleted""".stripMargin,
+
+    // exact top-25 recomputed relationally; the sketch gates pinned true
+    "cms_tokens_documents" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents),
+        |top AS (
+        |  SELECT token, count(*) AS exact_count FROM toks
+        |  WHERE len(token) > 0 GROUP BY token
+        |  ORDER BY exact_count DESC, token ASC LIMIT 25)
+        |SELECT token, CAST(exact_count AS BIGINT) AS exact_count,
+        |       true AS overestimates, true AS within_eps
+        |FROM top""".stripMargin,
 
     // same min-max bucketing, same bit interleave (terms generated by
     // the same layout rule: bit k of column i lands at position k·2+i)
