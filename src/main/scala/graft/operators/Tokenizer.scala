@@ -114,4 +114,44 @@ object Tokenizer {
       textCol: String = "text",
   ): DataFrame =
     trainBpe(spark, wordFrequencies(docs, textCol), numMerges)
+
+  /** Distributed BPE ENCODING — apply an already-learned merge list to
+    * the corpus (the other half of the tokenizer lifecycle: train once,
+    * encode every shard). `merges` is the ordered "a b" pair list from
+    * [[trainBpe]]'s `pair` column.
+    *
+    * Each merge compiles to one broadcast-literal, non-overlapping
+    * left-to-right `replace` over the word's space-separated symbol
+    * string — EXACTLY the semantics the trainer used, so a corpus
+    * encodes the way it trained. The whole merge chain is a single
+    * nested codegen'd projection (no UDF, no per-row Scala); the only
+    * shuffle is the final per-document aggregation.
+    *
+    * Output: (idCol, n_words, n_bpe_tokens) per document that has at
+    * least one alphabetic word (same word normalization as training).
+    */
+  def encodeBpe(
+      docs: DataFrame,
+      merges: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id",
+  ): DataFrame = {
+    require(merges.nonEmpty, "encodeBpe needs at least one merge")
+    require(merges.forall(_.matches("[^ ]+ [^ ]+")),
+      s"merges must be 'a b' pairs: $merges")
+    val words = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+    val seq0 = trim(regexp_replace(col("word"), "(.)", "$1 "))
+    val encoded = merges.foldLeft(seq0) { (acc, pair) =>
+      val merged = pair.replace(" ", "")
+      trim(replace(concat(lit(" "), acc, lit(" ")), lit(s" $pair "), lit(s" $merged ")))
+    }
+    words
+      .select(col(idCol), size(split(encoded, " ")).cast("long").as("graft_n_syms"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("graft_n_syms")).as("n_bpe_tokens"))
+  }
 }

@@ -82,6 +82,17 @@ object GraftQueries {
     * ngramJaccardPairs localCheckpoints its (small) verified output, so
     * the memo holds materialized pairs, not lineage.
     */
+  /** Memoized 10-merge BPE training table — consumed by BOTH the train
+    * lane and the encode lane (a real pipeline trains once and encodes
+    * many shards, so the registry does too). The table is a tiny
+    * driver-built frame (10 rows), safe to hold.
+    */
+  private val bpeCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def bpeMergeTable(s: SparkSession, d: String): DataFrame =
+    bpeCache.getOrElseUpdate(d,
+      graft.operators.Tokenizer.trainBpeOnCorpus(
+        s, s.read.parquet(s"$d/documents.parquet"), numMerges = 10))
+
   private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def ngramPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate(d,
@@ -360,8 +371,17 @@ object GraftQueries {
     // DuckDB CTEs (same tie-break, same non-overlapping left-to-right
     // `replace` merge semantics), so every learned merge and its
     // weighted count must agree integer-for-integer.
-    "bpe_train_documents" -> ((s, d) =>
-      Tokenizer.trainBpeOnCorpus(s, s.read.parquet(s"$d/documents.parquet"), numMerges = 10)),
+    "bpe_train_documents" -> ((s, d) => bpeMergeTable(s, d)),
+    // BPE ENCODING with the lane above's learned merges (train once,
+    // encode every shard): the 10-merge chain compiles to ONE nested
+    // codegen'd replace projection — identical non-overlapping
+    // left-to-right semantics as training — and the only shuffle is the
+    // per-document aggregation. The oracle replays training AND encode.
+    "bpe_encode_documents" -> ((s, d) => {
+      val merges = bpeMergeTable(s, d)
+        .orderBy("merge_rank").collect().map(_.getAs[String]("pair")).toSeq
+      Tokenizer.encodeBpe(s.read.parquet(s"$d/documents.parquet"), merges)
+    }),
     // Fixed-iteration PageRank (crawl-centrality weighting) over the
     // symmetrized part↔supplier graph, 8 rounds of integer micro-rank
     // arithmetic: the loop-invariant edge relation is partitioned on the
@@ -1475,6 +1495,35 @@ object GraftQueries {
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       |FROM w GROUP BY 1, 2""".stripMargin
 
+  /** BPE training-replay CTE chain shared by the bpe_train and
+    * bpe_encode oracles. Every CTE is MATERIALIZED: with default
+    * inlining the b_i/v_i references expand the v_{i-1} subtree
+    * exponentially (≈4^10 parquet scans — "too many open files");
+    * materialization makes the replay linear, like the Spark side's
+    * per-iteration persist.
+    */
+  private def bpeTrainCtes(k: Int): Seq[String] = {
+    val head =
+      """w AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                  t -> regexp_matches(t, '^[a-z]+$'))) AS word
+        |        FROM documents)
+        |  GROUP BY word),
+        |v0 AS MATERIALIZED (SELECT cnt, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq FROM w)""".stripMargin
+    val iters = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT s[i] || ' ' || s[i + 1] AS pair, sum(cnt) AS n
+         |  FROM (SELECT string_split(seq, ' ') AS s, cnt FROM v${i - 1})
+         |  CROSS JOIN UNNEST(range(1, len(s))) AS r(i)
+         |  GROUP BY 1),
+         |b$i AS MATERIALIZED (SELECT pair, n FROM p$i ORDER BY n DESC, pair ASC LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT cnt, trim(replace(' ' || seq || ' ',
+         |    ' ' || (SELECT pair FROM b$i) || ' ',
+         |    ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')) AS seq FROM v${i - 1})""".stripMargin
+    }
+    head +: iters
+  }
+
   val oracleSql: Map[String, String] = Map(
     "extract_customer" ->
       s"SELECT DISTINCT ${castCols(Seq("c_acctbal", "c_custkey", "c_mktsegment", "c_name"))} FROM customer",
@@ -2386,34 +2435,33 @@ object GraftQueries {
     // arg-max (b_i) -> left-to-right non-overlapping merge (v_i) via
     // the same literal `replace` over the space-padded symbol string
     "bpe_train_documents" -> {
-      // every CTE is MATERIALIZED: with default inlining the b_i/v_i
-      // references expand the v_{i-1} subtree exponentially (≈4^10
-      // parquet scans — "too many open files"); materialization makes
-      // the replay linear, like the Spark side's per-iteration persist
       val k = 10
-      val head =
-        """w AS MATERIALIZED (
-          |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
-          |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-          |                                  t -> regexp_matches(t, '^[a-z]+$'))) AS word
-          |        FROM documents)
-          |  GROUP BY word),
-          |v0 AS MATERIALIZED (SELECT cnt, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq FROM w)""".stripMargin
-      val iters = (1 to k).map { i =>
-        s"""p$i AS MATERIALIZED (SELECT s[i] || ' ' || s[i + 1] AS pair, sum(cnt) AS n
-           |  FROM (SELECT string_split(seq, ' ') AS s, cnt FROM v${i - 1})
-           |  CROSS JOIN UNNEST(range(1, len(s))) AS r(i)
-           |  GROUP BY 1),
-           |b$i AS MATERIALIZED (SELECT pair, n FROM p$i ORDER BY n DESC, pair ASC LIMIT 1),
-           |v$i AS MATERIALIZED (SELECT cnt, trim(replace(' ' || seq || ' ',
-           |    ' ' || (SELECT pair FROM b$i) || ' ',
-           |    ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')) AS seq FROM v${i - 1})""".stripMargin
-      }
       val sel = (1 to k)
         .map(i => s"SELECT $i AS merge_rank, pair, replace(pair, ' ', '') AS merged, " +
           s"CAST(n AS BIGINT) AS n_occurrences FROM b$i")
         .mkString("\nUNION ALL\n")
-      (head +: iters).mkString("WITH ", ",\n", "\n") + sel
+      bpeTrainCtes(k).mkString("WITH ", ",\n", "\n") + sel
+    },
+
+    // replays training (shared CTE chain), then re-encodes every
+    // document word through the same 10 replace steps
+    "bpe_encode_documents" -> {
+      val k = 10
+      val encodeHead =
+        """dw AS MATERIALIZED (
+          |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |                                    t -> regexp_matches(t, '^[a-z]+$'))) AS word
+          |  FROM documents),
+          |e0 AS MATERIALIZED (SELECT doc_id, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq FROM dw)""".stripMargin
+      val encodeIters = (1 to k).map { i =>
+        s"""e$i AS MATERIALIZED (SELECT doc_id, trim(replace(' ' || seq || ' ',
+           |    ' ' || (SELECT pair FROM b$i) || ' ',
+           |    ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')) AS seq FROM e${i - 1})""".stripMargin
+      }
+      (bpeTrainCtes(k) ++ (encodeHead +: encodeIters)).mkString("WITH ", ",\n", "\n") +
+        s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |       CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS n_bpe_tokens
+           |FROM e$k GROUP BY doc_id""".stripMargin
     },
 
     // replays all 8 integer-arithmetic PageRank rounds; `//` (DuckDB)

@@ -42,4 +42,39 @@ class TokenizerSpec extends AnyFunSuite with SparkSpec {
       (1, "a a", "aa", 2L),
       (2, "aa a", "aaa", 1L)))
   }
+
+  test("encodeBpe applies merges in rank order with training semantics") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc abd xyz!"), (2L, "aaa AAA")).toDF("doc_id", "text")
+    val out = Tokenizer.encodeBpe(docs, Seq("a b", "ab c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    // doc 1: "abc"->"abc"(1), "abd"->"ab d"(2); "xyz!" dropped (non-alpha)
+    // doc 2: "aaa"+"aaa": "a b" doesn't apply -> "a a a" (3 each)
+    assert(out == Seq((1L, 2L, 3L), (2L, 2L, 6L)))
+  }
+
+  test("encodeBpe merges left-to-right non-overlapping, like training") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    // "a a a a" -> merge "a a": the padded-space replace consumes the
+    // shared delimiter, so a homogeneous run merges every other pair —
+    // "aa a a" (3 symbols). Identical to the trainer's own application
+    // (see the "non-overlapping left-to-right" training test) and to the
+    // SQL `replace` the oracle replays, which is the contract.
+    val out = Tokenizer.encodeBpe(docs, Seq("a a"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(out == ((1L, 3L)))
+  }
+
+  test("round trip: encoding with trained merges compresses the training corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark spark spark"), (2L, "spar sparse")).toDF("doc_id", "text")
+    val trained = Tokenizer.trainBpeOnCorpus(spark, docs, numMerges = 3)
+      .orderBy("merge_rank").collect().map(_.getString(1)).toSeq
+    val enc = Tokenizer.encodeBpe(docs, trained).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "spark" is 5 chars; 3 merges must cut each word's symbol count
+    assert(enc(1L)._1 == 3L && enc(1L)._2 < 15L)
+    assert(enc(2L)._1 == 2L && enc(2L)._2 < 11L)
+  }
 }
