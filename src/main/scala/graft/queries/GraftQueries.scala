@@ -1250,6 +1250,17 @@ object GraftQueries {
         .selectExpr("lang", "n_rows AS n_docs", "min_value AS min_chars",
           "max_value AS max_chars", "p50", "p90", "p99")),
 
+    // Percentile-threshold outlier detection: every event whose value
+    // strictly exceeds its type's exact nearest-rank p99. The threshold
+    // table (one row per event type) broadcasts back onto the facts —
+    // the fact side never shuffles for the flagging pass; integer cents
+    // keep the predicate engine-exact.
+    "anomalies_events" -> ((s, d) =>
+      graft.operators.Anomaly.outliersAbovePercentile(
+        graft.sources.EventTime.readBatch(s, d),
+        keyCol = "event_type", valueCol = "value", percent = 99,
+        keep = Seq("event_id", "user_id"))),
+
     // Count-min-sketch frequency gate (same contract shape as the HLL
     // gate): a fixed-size mergeable counter grid replaces the full
     // token groupBy; the lane checks the CMS invariants on the top-25
@@ -2183,6 +2194,23 @@ object GraftQueries {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
         |FROM changes WHERE NOT deleted""".stripMargin,
+
+    // same nearest-rank p99 per type, same strict cents comparison
+    "anomalies_events" ->
+      """WITH c AS (SELECT event_id, user_id, event_type,
+        |                  CAST(round(value * 100) AS BIGINT) AS value_cents
+        |           FROM events),
+        |r AS (SELECT event_type, value_cents,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY value_cents) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS cnt
+        |      FROM c),
+        |t AS (SELECT event_type,
+        |             max(CASE WHEN rn = (cnt * 99 + 99) // 100 THEN value_cents END) AS threshold_cents
+        |      FROM r GROUP BY event_type)
+        |SELECT c.event_id, c.user_id, c.event_type, c.value_cents,
+        |       CAST(t.threshold_cents AS BIGINT) AS threshold_cents
+        |FROM c JOIN t USING (event_type)
+        |WHERE c.value_cents > t.threshold_cents""".stripMargin,
 
     // exact top-25 recomputed relationally; the sketch gates pinned true
     "cms_tokens_documents" ->
