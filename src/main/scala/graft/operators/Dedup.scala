@@ -131,28 +131,8 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.8,
   ): DataFrame = {
-    val numHashes = bands * rowsPerBand
     val sh = shingles(df, idCol, textCol, n).cache()
-
-    // each shingle string is hashed ONCE to a 64-bit base; the hash
-    // family then re-hashes the fixed-width base (h_i = xxhash64(i, base)
-    // mixes 12 bytes) instead of re-hashing the variable-length string
-    // numHashes times per shingle — the dominant CPU cost of the
-    // signature stage at corpus scale. Family quality is unchanged
-    // (independent-ish permutations of a 64-bit universe); candidates
-    // are exact-verified, so the operator's output is identical w.h.p.
-    val sigCols: Seq[Column] =
-      (0 until numHashes).map(i => min(xxhash64(lit(i), col("base"))).as(s"h$i"))
-    val sig = sh.withColumn("base", xxhash64(col("shingle")))
-      .groupBy("id").agg(sigCols.head, sigCols.tail: _*)
-
-    val bandCols: Seq[Column] = (0 until bands).map { b =>
-      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("bucket"))
-    }
-    val buckets = sig
-      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val buckets = lshBuckets(sh, bands, rowsPerBand)
 
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
@@ -166,6 +146,83 @@ object Dedup {
     val out = verifiedJaccard(candidates, sh, sizes, threshold)
     sh.unpersist()
     out
+  }
+
+  /** (id, band, bucket) LSH band buckets from a shingle table — the
+    * reusable minhash index shape. Each shingle string is hashed ONCE to
+    * a 64-bit base; the hash family then re-hashes the fixed-width base
+    * (h_i = xxhash64(i, base) mixes 12 bytes) instead of re-hashing the
+    * variable-length string numHashes times per shingle — the dominant
+    * CPU cost of the signature stage at corpus scale. Family quality is
+    * unchanged (independent-ish permutations of a 64-bit universe);
+    * candidates are exact-verified downstream, so outputs are identical
+    * w.h.p.
+    */
+  private def lshBuckets(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigCols: Seq[Column] =
+      (0 until numHashes).map(i => min(xxhash64(lit(i), col("base"))).as(s"h$i"))
+    val sig = sh.withColumn("base", xxhash64(col("shingle")))
+      .groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols: Seq[Column] = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("bucket"))
+    }
+    sig
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Incremental near-dup ADMISSION — the continuous-ingestion shape:
+    * dedupe an incoming shard against the already-admitted corpus
+    * without ever joining the corpus to itself. The old side's band
+    * buckets are the persistent index (computed once per corpus in a
+    * real deployment and appended as shards land); candidates come from
+    * a NEW×OLD band-bucket equi-join only, and each candidate is
+    * verified with the exact cross-corpus shingle Jaccard. A new doc
+    * survives iff NO admitted doc matches at ≥ threshold.
+    *
+    * Duplicates WITHIN the incoming shard are deliberately out of
+    * scope — run [[minHashLshPairs]] + [[resolvePairs]] on the shard
+    * first; this operator answers only "is it new vs the corpus".
+    *
+    * Returns the surviving rows of `newDocs` (original schema).
+    */
+  def incrementalNearDupFilter(
+      newDocs: DataFrame,
+      oldDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.8,
+  ): DataFrame = {
+    val shNew = shingles(newDocs, idCol, textCol, n).cache()
+    val shOld = shingles(oldDocs, idCol, textCol, n).cache()
+    val candidates = lshBuckets(shNew, bands, rowsPerBand).as("a")
+      .join(lshBuckets(shOld, bands, rowsPerBand).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("new_id"), col("b.id").as("old_id"))
+      .distinct()
+    val inter = candidates
+      .join(shNew.withColumnRenamed("id", "new_id").withColumnRenamed("shingle", "sn"), "new_id")
+      .join(shOld.withColumnRenamed("id", "old_id").withColumnRenamed("shingle", "so"), "old_id")
+      .filter(col("sn") === col("so"))
+      .groupBy("new_id", "old_id")
+      .agg(count(lit(1)).as("inter"))
+    val sizesNew = shNew.groupBy("id").agg(count(lit(1)).as("n"))
+    val sizesOld = shOld.groupBy("id").agg(count(lit(1)).as("n"))
+    val dupNewIds = inter
+      .join(sizesNew.withColumnRenamed("id", "new_id").withColumnRenamed("n", "na"), "new_id")
+      .join(sizesOld.withColumnRenamed("id", "old_id").withColumnRenamed("n", "nb"), "old_id")
+      .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= threshold)
+      .select(col("new_id"))
+      .distinct()
+      .localCheckpoint(true)
+    shNew.unpersist()
+    shOld.unpersist()
+    newDocs.join(dupNewIds, newDocs(idCol) === dupNewIds("new_id"), "left_anti")
   }
 
   /** SimHash bit width. 60 (not 64) so the per-token hash is

@@ -290,6 +290,20 @@ object GraftQueries {
     // rebuilt text pin the position-ordered excision bit-exactly.
     "dedup_substring_documents" -> ((s, d) =>
       Dedup.exactSubstringDedup(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
+    // Incremental near-dup ADMISSION (continuous ingestion): odd doc_ids
+    // arrive as the new shard, even doc_ids are the admitted corpus; a
+    // new doc survives iff no admitted doc reaches 3-gram Jaccard ≥ 0.8.
+    // Candidates come from a NEW×OLD band-bucket equi-join against the
+    // old side's reusable LSH index — the corpus never self-joins — and
+    // are exact-verified, so the SQL cross-Jaccard oracle is exact.
+    "dedup_incremental_documents" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      graft.operators.Dedup.incrementalNearDupFilter(
+          docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+        .select("doc_id")
+    }),
     "dedup_ngram_documents" -> ((s, d) => ngramPairs(s, d)),
     "dedup_minhash_documents" -> ((s, d) =>
       Dedup.minHashLshPairs(
@@ -1977,6 +1991,25 @@ object GraftQueries {
         |FROM flags GROUP BY doc_id""".stripMargin,
 
     "dedup_ngram_documents" -> ngramJaccardOracle,
+
+    // exact cross-corpus Jaccard: odd (new) ids that no even (old) id
+    // matches at >= 0.8
+    "dedup_incremental_documents" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |       unnest(list_distinct([array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)])) AS shingle
+        |       FROM toks WHERE len(ts) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |          GROUP BY 1, 2),
+        |dup AS (SELECT DISTINCT new_id
+        |        FROM pairs JOIN sizes sa ON new_id = sa.doc_id
+        |                   JOIN sizes sb ON old_id = sb.doc_id
+        |        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT new_id FROM dup)""".stripMargin,
     "dedup_resolve_documents" -> dedupResolveOracle,
     // MinHash-LSH with b=32, r=4 has miss probability ~5e-8 at j ≥ 0.8,
     // and candidates are verified with exact Jaccard — so the oracle is

@@ -74,6 +74,34 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(lsh == exact)
   }
 
+  test("incremental admission drops new docs matching the corpus, equals brute force") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val newDocs = df.filter(col("doc_id") % 2 === 1)
+    val oldDocs = df.filter(col("doc_id") % 2 === 0)
+    val kept = Dedup.incrementalNearDupFilter(newDocs, oldDocs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // brute force via the exact pair operator over the union: a new doc
+    // survives iff it pairs with no old doc
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = pairs.collect {
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => a
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => b
+    }.toSet
+    val expect = newDocs.select("doc_id").collect().map(_.getLong(0)).toSet -- dropped
+    assert(dropped.nonEmpty) // the corpus plants cross-parity near-dups
+    assert(kept == expect)
+  }
+
+  test("incremental admission keeps within-shard duplicates (out of scope)") {
+    val newDocs = docs(1L -> "a b c d e f", 3L -> "a b c d e f")
+    val oldDocs = docs(2L -> "zz yy xx ww vv")
+    val kept = Dedup.incrementalNearDupFilter(newDocs, oldDocs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("simhash: identical docs at hamming 0; near boost") {
     val df = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", 3L -> "qq ww ee rr")
     val sig = Dedup.simHash(df, "doc_id", "text").collect()
