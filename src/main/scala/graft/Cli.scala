@@ -443,9 +443,22 @@ object Cli {
         Stats.nearestRankQuantiles(docs,
           opts.getOrElse("group", "lang"), opts.getOrElse("value", "n_chars"),
           Seq(50, 90, 99))
+      // corpus-shaped default constraint suite; threshold override in ppm
+      case "validate" =>
+        val minPpm = opts.getOrElse("min-ppm", "1000000").toLong
+        Validation.validate(docs, Seq(
+          Validation.Check.Completeness(text, minPpm),
+          Validation.Check.Distinctness(id, minPpm),
+          Validation.Check.Satisfies(s"nonempty($text)", text,
+            s"length($text) > 0", minPpm)))
+      case "zorder" =>
+        val cols = opts.getOrElse("by", s"n_chars,$id").split(",").toSeq
+        graft.sinks.ZOrder.cluster(docs, cols,
+          bits = opts.getOrElse("bits", "8").toInt,
+          numFiles = opts.getOrElse("files", "16").toInt)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown pipeline op $other (profile|dedup|sample|pack|rank|quantiles)")
+          s"unknown pipeline op $other (profile|dedup|sample|pack|rank|quantiles|validate|zorder)")
     }
   }
 

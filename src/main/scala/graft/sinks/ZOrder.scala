@@ -55,7 +55,9 @@ object ZOrder {
     */
   def cluster(df: DataFrame, colNames: Seq[String], bits: Int, numFiles: Int): DataFrame = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
-    val aggs = colNames.flatMap(c => Seq(min(col(c)), max(col(c))))
+    // cast to long driver-side so any integral column width works
+    val aggs = colNames.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val ranges = df.agg(aggs.head, aggs.tail: _*).head()
     val buckets = colNames.zipWithIndex.map { case (c, i) =>
       val (lo, hi) = (ranges.getLong(2 * i), ranges.getLong(2 * i + 1))
