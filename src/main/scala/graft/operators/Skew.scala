@@ -73,4 +73,34 @@ object Skew {
         min(cents).as("min_value_cents"),
         max(cents).as("max_value_cents"))
   }
+
+  /** Salted equi-join for a skewed FACT side against a dimension too
+    * big to broadcast: the fact side salts deterministically
+    * (`pmod(hash(saltFrom), nSalts)`), the dimension replicates once
+    * per salt (an `explode` of a literal range — nSalts·|dim| rows,
+    * fine for any dimension that was already shuffle-joined), and the
+    * join runs on (key, salt) — the hot key's rows spread over nSalts
+    * reducers instead of one straggler. Result ≡ the plain inner join
+    * column-for-column; AQE's skew splitting is the runtime fallback,
+    * this is the structural fix you pick when the skew is known.
+    *
+    * Join-key and salt columns stay internal; output = fact columns ++
+    * dimension payload columns (dimension must not duplicate `keyCol`
+    * values — standard dimension contract).
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      saltFrom: String,
+      nSalts: Int = 16,
+  ): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    val salted = fact.withColumn("graft_salt", pmod(hash(col(saltFrom)), lit(nSalts)))
+    val replicated = dim
+      .withColumn("graft_salt", explode(lit((0 until nSalts).toArray)))
+    salted
+      .join(replicated, Seq(keyCol, "graft_salt"))
+      .drop("graft_salt")
+  }
 }

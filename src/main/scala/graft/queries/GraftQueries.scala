@@ -1331,6 +1331,22 @@ object GraftQueries {
         saltFrom = "event_id", nSalts = 16)
     }),
 
+    // Salted JOIN over the same hot key: every event joined to its
+    // type's stats row through (event_type, salt) — the dimension
+    // replicates ×8, the fact side's hot types spread over 8 reducers
+    // instead of one straggler. Result ≡ the plain join (SQL oracle).
+    "skew_salted_join_events" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = graft.sources.EventTime.readBatch(s, d)
+      val dim = graft.operators.Skew.plainStats(ev, "event_type", "value")
+        .select(col("event_type"), col("n_rows").as("type_n_rows"))
+      graft.operators.Skew.saltedJoin(
+          ev.withColumn("value_cents",
+            org.apache.spark.sql.functions.expr("cast(round(value * 100) as bigint)")),
+          dim, keyCol = "event_type", saltFrom = "event_id", nSalts = 8)
+        .select("event_id", "event_type", "value_cents", "type_n_rows")
+    }),
+
     // Data-quality validation gate (Deequ-style constraint suite, VLDB'18
     // shape): the whole suite compiles into ONE aggregation pass (plus
     // one expand per exact-distinct check); metrics are integer ppm
@@ -2288,6 +2304,15 @@ object GraftQueries {
         |       lead(us) OVER v IS NULL AS is_current
         |FROM c
         |WINDOW v AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+
+    // the salted (key, salt) join must equal the plain key join exactly
+    "skew_salted_join_events" ->
+      """WITH dim AS (SELECT event_type, CAST(count(*) AS BIGINT) AS type_n_rows
+        |             FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |       CAST(round(e.value * 100) AS BIGINT) AS value_cents,
+        |       dim.type_n_rows
+        |FROM events e JOIN dim USING (event_type)""".stripMargin,
 
     // the salted two-phase plan must equal the plain GROUP BY exactly
     "skew_salted_events" ->

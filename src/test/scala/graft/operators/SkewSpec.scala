@@ -34,6 +34,27 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("graft_salt"), plan)
   }
 
+  test("salted join equals the plain join and spreads the hot key") {
+    import org.apache.spark.sql.functions.col
+    val fact = skewed()
+    val dim = Skew.plainStats(fact, "key", "value").select(col("key"), col("n_rows"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val salted = Skew.saltedJoin(fact, dim, "key", saltFrom = "id", nSalts = 8)
+      val plain = fact.join(dim, "key")
+      assert(salted.columns.toSet == plain.columns.toSet)
+      val s = salted.select("id", "key", "n_rows").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      val p = plain.select("id", "key", "n_rows").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      assert(s.toSeq == p.toSeq)
+      // the join key really is (key, salt): both appear in the join plan
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_salt"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("phase-1 output is bounded by keys x salts, not by row skew") {
     val df = skewed()
     val nSalts = 8
