@@ -59,6 +59,8 @@ object ZOrder {
     val aggs = colNames.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val ranges = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!ranges.isNullAt(0),
+      "ZOrder.cluster needs a non-empty input (no min/max to bucket by)")
     val buckets = colNames.zipWithIndex.map { case (c, i) =>
       val (lo, hi) = (ranges.getLong(2 * i), ranges.getLong(2 * i + 1))
       minMaxBucket(c, lo, hi, bits)

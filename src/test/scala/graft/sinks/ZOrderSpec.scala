@@ -24,6 +24,12 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(b == b.sorted && b.forall(x => x >= 0 && x < 16))
   }
 
+  test("cluster rejects an empty input loudly instead of NPEing on null ranges") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    intercept[IllegalArgumentException](ZOrder.cluster(empty, Seq("x", "y"), 4, 2))
+  }
+
   test("cluster is lossless and narrows per-file ranges in BOTH dimensions") {
     import spark.implicits._
     // a 64x64 grid: ranges are uniform in both dims
