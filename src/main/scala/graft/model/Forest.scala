@@ -89,6 +89,18 @@ object Forest {
     forest.flatMap(row => nodeRows(row.treeId, TreeJson.fromJson(row.tree)))
   }
 
+  /** Fused per-tree rewrite + flatten: parse each tree ONCE, apply `f`,
+    * emit its NodeRows directly. `mapTrees(f)` followed by `toNodesDF`
+    * pays serialize + re-parse of the REWRITTEN tree — which is often
+    * the larger one (Tree.merge doubles every tree) — purely to cross
+    * the row boundary; when the caller only needs the columnar view,
+    * this single-pass shape skips that round trip entirely.
+    */
+  def mapTreesToNodes(forest: Dataset[TreeRow])(f: ArchiTree => ArchiTree): Dataset[NodeRow] = {
+    import forest.sparkSession.implicits._
+    forest.flatMap(row => nodeRows(row.treeId, f(TreeJson.fromJson(row.tree))))
+  }
+
   /** Local flattening of one tree (pre-order ids). */
   def nodeRows(treeId: Long, tree: ArchiTree): Seq[NodeRow] = {
     val buf = Vector.newBuilder[NodeRow]

@@ -157,8 +157,12 @@ object Dedup {
     * unchanged (independent-ish permutations of a 64-bit universe);
     * candidates are exact-verified downstream, so outputs are identical
     * w.h.p.
+    *
+    * Public so deployments can persist the bucket table (it IS the
+    * near-dup index — see [[NearDupIndex]]) instead of recomputing it
+    * per admitted shard.
     */
-  private def lshBuckets(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshBuckets(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigCols: Seq[Column] =
       (0 until numHashes).map(i => min(xxhash64(lit(i), col("base"))).as(s"h$i"))
@@ -198,30 +202,76 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.8,
   ): DataFrame = {
-    val shNew = shingles(newDocs, idCol, textCol, n).cache()
-    val shOld = shingles(oldDocs, idCol, textCol, n).cache()
-    val candidates = lshBuckets(shNew, bands, rowsPerBand).as("a")
-      .join(lshBuckets(shOld, bands, rowsPerBand).as("b"),
+    val index = buildNearDupIndex(oldDocs, idCol, textCol, n, bands, rowsPerBand)
+    try incrementalNearDupFilter(newDocs, index, idCol, textCol, threshold)
+    finally index.shingles.unpersist()
+  }
+
+  /** The persistent old-corpus side of [[incrementalNearDupFilter]]:
+    * shingle table (for exact verification), band buckets (for
+    * candidate generation) and per-doc shingle counts. In a deployment
+    * these three frames are written once per corpus and APPENDED as
+    * shards are admitted — `n`/`bands`/`rowsPerBand` must match between
+    * index build and query, so they travel with the index.
+    */
+  final case class NearDupIndex(
+      shingles: DataFrame,
+      buckets: DataFrame,
+      sizes: DataFrame,
+      n: Int,
+      bands: Int,
+      rowsPerBand: Int)
+
+  /** Build (and cache the shingle table of) a [[NearDupIndex]] for
+    * `docs`. Persist the three frames to parquet to reuse across jobs;
+    * to admit a shard into the index, union the shard's own
+    * shingles/buckets/sizes (same builder over the surviving rows).
+    */
+  def buildNearDupIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+  ): NearDupIndex = {
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    NearDupIndex(sh, lshBuckets(sh, bands, rowsPerBand),
+      sh.groupBy("id").agg(count(lit(1)).as("n")), n, bands, rowsPerBand)
+  }
+
+  /** [[incrementalNearDupFilter]] against a precomputed (possibly
+    * loaded-from-parquet) old-side index — the shape that makes the
+    * admitted side's cost O(shard), not O(corpus), per ingestion batch.
+    */
+  def incrementalNearDupFilter(
+      newDocs: DataFrame,
+      index: NearDupIndex,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+  ): DataFrame = {
+    val shNew = shingles(newDocs, idCol, textCol, index.n).cache()
+    val candidates = lshBuckets(shNew, index.bands, index.rowsPerBand).as("a")
+      .join(index.buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("new_id"), col("b.id").as("old_id"))
       .distinct()
     val inter = candidates
       .join(shNew.withColumnRenamed("id", "new_id").withColumnRenamed("shingle", "sn"), "new_id")
-      .join(shOld.withColumnRenamed("id", "old_id").withColumnRenamed("shingle", "so"), "old_id")
+      .join(index.shingles.withColumnRenamed("id", "old_id").withColumnRenamed("shingle", "so"), "old_id")
       .filter(col("sn") === col("so"))
       .groupBy("new_id", "old_id")
       .agg(count(lit(1)).as("inter"))
     val sizesNew = shNew.groupBy("id").agg(count(lit(1)).as("n"))
-    val sizesOld = shOld.groupBy("id").agg(count(lit(1)).as("n"))
     val dupNewIds = inter
       .join(sizesNew.withColumnRenamed("id", "new_id").withColumnRenamed("n", "na"), "new_id")
-      .join(sizesOld.withColumnRenamed("id", "old_id").withColumnRenamed("n", "nb"), "old_id")
+      .join(index.sizes.withColumnRenamed("id", "old_id").withColumnRenamed("n", "nb"), "old_id")
       .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= threshold)
       .select(col("new_id"))
       .distinct()
       .localCheckpoint(true)
     shNew.unpersist()
-    shOld.unpersist()
     newDocs.join(dupNewIds, newDocs(idCol) === dupNewIds("new_id"), "left_anti")
   }
 

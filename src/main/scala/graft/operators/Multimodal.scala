@@ -16,11 +16,15 @@ import org.apache.spark.sql.types._
   * 4.1.x (field layout also asserted by MultimodalSpec), re-check on
   * any Spark major upgrade.
   *
-  * The actual codecs are NOT available in this environment, so the
-  * decode step is a clearly-marked deterministic STUB (`StubCodec`): it
-  * fabricates dimensions/durations as pure functions of the bytes. The
-  * Spark-side contract — schema, batch shape, partition processing,
-  * null/empty handling — is real and tested; swapping `StubCodec` for a
+  * The IMAGE half is real: [[Multimodal.ImageIoCodec]] decodes
+  * PNG/JPEG/BMP/GIF through the JDK's `javax.imageio` (header-only
+  * dimension probe, full decode, resize, deterministic gray-PNG
+  * fixture encoder) — no external library needed. Audio/video codecs
+  * are NOT available in this environment, so their decode step is a
+  * clearly-marked deterministic STUB (`StubCodec`): it fabricates
+  * dimensions/durations as pure functions of the bytes. The Spark-side
+  * contract — schema, batch shape, partition processing, null/empty
+  * handling — is real and tested either way; swapping `StubCodec` for a
   * JNI/FFmpeg-backed codec changes no plumbing.
   */
 object Multimodal {
@@ -52,6 +56,163 @@ object Multimodal {
       while (i < out.length) { out(i) = bytes(i % math.max(bytes.length, 1)); i += 1 }
       out
     }
+  }
+
+  /** REAL image codec for the image half of the multimodal surface —
+    * `javax.imageio` ships in the JDK, so PNG/JPEG/BMP/GIF decode needs
+    * no external library (the audio/video half keeps [[StubCodec]]:
+    * those codecs genuinely are absent from this environment).
+    *
+    * Scale notes: `ImageIO.setUseCache(false)` keeps header probes and
+    * decodes on heap instead of spilling a temp file per image per
+    * executor thread; [[dimensions]] reads ONLY the header via an
+    * `ImageReader` — at 100 TB of media you must not decode pixels to
+    * answer width/height.
+    */
+  object ImageIoCodec {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+
+    ImageIO.setUseCache(false)
+
+    /** Header-only (width, height) — no pixel decode. None on bytes no
+      * installed reader understands (the corrupt-input fallback).
+      */
+    def dimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
+      if (bytes == null || bytes.isEmpty) return None
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis, true, true); Some((r.getWidth(0), r.getHeight(0))) }
+          catch { case scala.util.control.NonFatal(_) => None }
+          finally r.dispose()
+        }
+      } finally iis.close()
+    }
+
+    /** Full pixel decode; None on corrupt/unsupported bytes. */
+    def decode(bytes: Array[Byte]): Option[BufferedImage] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Deterministic 8-bit grayscale PNG — the fixture/oracle generator.
+      * PNG is lossless and gray stays gray through the round trip, so
+      * `pixel(k)` (row-major index) is recoverable bit-exactly by
+      * [[decode]] + raster samples, which is what lets a SQL oracle
+      * recompute the features arithmetically.
+      */
+    def encodeGrayPng(w: Int, h: Int, pixel: Int => Int): Array[Byte] = {
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, pixel(y * w + x) & 0xff); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Integer luminance sum over every raster sample (all bands) —
+      * exact arithmetic, so oracles compare sums, not float means.
+      */
+    def sumSamples(img: BufferedImage): (Long, Long) = {
+      val raster = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      (sum, w.toLong * h * bands)
+    }
+
+    /** Headless-safe resize (Graphics2D draw into the target raster),
+      * re-encoded as PNG.
+      */
+    def resizePng(img: BufferedImage, w: Int, h: Int): Array[Byte] = {
+      val target = new BufferedImage(w, h,
+        if (img.getType == BufferedImage.TYPE_BYTE_GRAY) BufferedImage.TYPE_BYTE_GRAY
+        else BufferedImage.TYPE_INT_RGB)
+      val g = target.createGraphics()
+      try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(target, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Real image feature extraction (same partition-batch shape as
+    * [[extractFeatures]], real codec): header dims + exact luminance
+    * sums per image. Corrupt or non-image payloads degrade to a row
+    * with `ok = false` and zeroed features instead of failing the job —
+    * at corpus scale some fraction of scraped media is always broken.
+    */
+  def imageFeatures(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ok", BooleanType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("sum_luma", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rows = df.queryExecution.toRdd.mapPartitions { it =>
+      val fields = it.map(r => (r.getLong(idIdx), r.getBinary(binIdx)))
+      fields.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          ImageIoCodec.decode(bytes) match {
+            case Some(img) =>
+              val (sum, n) = ImageIoCodec.sumSamples(img)
+              Row(id, true, img.getWidth, img.getHeight, n, sum)
+            case None => Row(id, false, 0, 0, 0L, 0L)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Real image resize → PNG bytes (null for undecodable payloads). */
+  def imageResize(df: DataFrame, idCol: String, binCol: String, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("resized_png", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rows = df.queryExecution.toRdd.mapPartitions { it =>
+      it.map { internal =>
+        val id = internal.getLong(idIdx)
+        ImageIoCodec.decode(internal.getBinary(binIdx)) match {
+          case Some(img) => Row(id, ImageIoCodec.resizePng(img, w, h))
+          case None      => Row(id, null)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
   }
 
   /** Attach the typed metadata struct to an opaque binary column —

@@ -228,11 +228,12 @@ object GraftQueries {
     // §2.2 Tree.merge (tree.py:755-773): self-merge flattens the two
     // ROOTs into one, so every per-type count doubles while the tree
     // count holds — an arithmetic oracle over the loader identities.
-    "tree_merge_customer" -> ((s, d) => {
-      val merged = Forest.mapTrees(customerTrees(s, d))(t => t.merge(t))
-      ForestInspector.inspectTable(Forest.toNodesDF(merged))
-        .filter(org.apache.spark.sql.functions.col("stat").startsWith("total_"))
-    }),
+    // Fused parse→merge→flatten (mapTreesToNodes): the doubled tree is
+    // never re-serialized/re-parsed just to cross into the nodes view.
+    "tree_merge_customer" -> ((s, d) =>
+      ForestInspector.inspectTable(
+        Forest.mapTreesToNodes(customerTrees(s, d))(t => t.merge(t)))
+        .filter(org.apache.spark.sql.functions.col("stat").startsWith("total_"))),
 
     // §2.6 FD metrics over extracted datasets
     "fd_confidence_orders" -> ((s, d) =>
@@ -1055,6 +1056,29 @@ object GraftQueries {
       Multimodal.extractFeatures(docs, "doc_id", "media").drop("mean_byte")
     }),
 
+    // REAL image decode (JDK ImageIO — no stub): per document a
+    // deterministic 8-bit gray PNG is encoded (dims and pixels pure
+    // functions of doc_id), then decoded back through the real codec
+    // and feature-extracted. PNG gray is lossless, so width/height and
+    // the exact integer luminance sum are recomputable arithmetically
+    // by the oracle — the encode→decode→extract loop is what's tested.
+    "image_features_documents" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val pngs = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id").as[Long]
+        .map { id =>
+          val w = 4 + (id % 13).toInt
+          val h = 3 + ((id * 7) % 11).toInt
+          (id, Multimodal.ImageIoCodec.encodeGrayPng(w, h, k => ((id * 31 + k) % 256).toInt))
+        }
+        .toDF("doc_id", "media")
+      Multimodal.imageFeatures(pngs, "doc_id", "media")
+        .filter(col("ok"))
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("n_samples"), col("sum_luma"))
+    }),
+
     "events_hourly" -> ((s, d) => {
       // ts unit/type varies across testdata generations — probe, don't
       // assume (graft.sources.EventTime)
@@ -1278,9 +1302,12 @@ object GraftQueries {
     // Count-min-sketch frequency gate (same contract shape as the HLL
     // gate): a fixed-size mergeable counter grid replaces the full
     // token groupBy; the lane checks the CMS invariants on the top-25
-    // exact tokens — estimate never under-counts, and stays within
-    // ceil(eps*N) of exact (deterministic for the fixed seed). The
-    // oracle recomputes the exact top-25 and pins both gates true.
+    // exact tokens — estimate never under-counts (structural, always
+    // true), and stays within ceil(eps*N) of exact. The eps bound is
+    // only PROBABILISTIC (>= 1-delta per token); pinning it true is a
+    // fixed-seed canary valid for this corpus — a new dataset or scale
+    // factor can legitimately flip a row and must re-validate the pin
+    // (demote within_eps from the oracle if it ever does).
     "cms_tokens_documents" -> ((s, d) =>
       graft.operators.Sketches.cmsTokenGate(
         s.read.parquet(s"$d/documents.parquet"), "text", topK = 25)),
@@ -2136,6 +2163,24 @@ object GraftQueries {
         |       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height
         |FROM documents""".stripMargin,
 
+    // the gray-PNG fixture is pure arithmetic in doc_id: dims from the
+    // same formulas, luminance sum = sum over row-major pixel index k of
+    // (doc_id*31 + k) mod 256 — exact because PNG gray is lossless.
+    // Max dims are 16x13 = 208 px, so a constant range cross-join
+    // (DuckDB's range() can't take lateral parameters) covers every k.
+    "image_features_documents" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(4 + doc_id % 13 AS INTEGER) AS width,
+        |         CAST(3 + (doc_id * 7) % 11 AS INTEGER) AS height
+        |  FROM documents)
+        |SELECT g.doc_id, g.width, g.height,
+        |       CAST(g.width * g.height AS BIGINT) AS n_samples,
+        |       CAST(sum((g.doc_id * 31 + t.k) % 256) AS BIGINT) AS sum_luma
+        |FROM g, range(0, 208) t(k)
+        |WHERE t.k < g.width * g.height
+        |GROUP BY g.doc_id, g.width, g.height""".stripMargin,
+
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type,
@@ -2261,7 +2306,10 @@ object GraftQueries {
         |FROM c JOIN t USING (event_type)
         |WHERE c.value_cents > t.threshold_cents""".stripMargin,
 
-    // exact top-25 recomputed relationally; the sketch gates pinned true
+    // exact top-25 recomputed relationally; the sketch gates pinned
+    // true — `overestimates` is a structural CMS invariant, but
+    // `within_eps` is a fixed-seed canary (probabilistic bound that
+    // happens to hold on this corpus; re-validate on new datasets)
     "cms_tokens_documents" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents),
@@ -2539,10 +2587,15 @@ object GraftQueries {
           |                                    t -> regexp_matches(t, '^[a-z]+$'))) AS word
           |  FROM documents),
           |e0 AS MATERIALIZED (SELECT doc_id, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq FROM dw)""".stripMargin
+      // coalesce the pattern to an unmatchable NUL so a degenerate corpus
+      // with < k learnable merges (empty b_i -> NULL scalar subquery)
+      // leaves seq untouched, exactly like encodeBpe applying only the
+      // merges actually learned — instead of replace(seq, NULL, NULL)
+      // nullifying every row
       val encodeIters = (1 to k).map { i =>
         s"""e$i AS MATERIALIZED (SELECT doc_id, trim(replace(' ' || seq || ' ',
-           |    ' ' || (SELECT pair FROM b$i) || ' ',
-           |    ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')) AS seq FROM e${i - 1})""".stripMargin
+           |    coalesce(' ' || (SELECT pair FROM b$i) || ' ', chr(0)),
+           |    coalesce(' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ', chr(0)))) AS seq FROM e${i - 1})""".stripMargin
       }
       (bpeTrainCtes(k) ++ (encodeHead +: encodeIters)).mkString("WITH ", ",\n", "\n") +
         s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,

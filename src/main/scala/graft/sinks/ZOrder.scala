@@ -38,12 +38,27 @@ object ZOrder {
   /** Min-max bucketing to `bits` bits: `(v - min) * 2^bits div
     * (max - min + 1)` — integer-exact for integer inputs, monotone, and
     * reproducible from the same (min, max) by any engine.
+    *
+    * Wide ranges (epoch-micros, snowflake ids) would overflow the
+    * `(v - min) * 2^bits` long product — and `maxV - minV` itself can
+    * wrap when the bounds straddle zero at full width. Both are handled
+    * by pre-shifting value and bounds right by the smallest `s` that
+    * makes the shifted range fit `Long.MaxValue >> bits`: arithmetic
+    * shift is monotone, so bucket order (the only thing z-ordering
+    * needs) is preserved, and the arithmetic stays in exact longs.
     */
   def minMaxBucket(colName: String, minV: Long, maxV: Long, bits: Int): Column = {
     require(maxV >= minV, s"empty range [$minV, $maxV]")
+    val range = BigInt(maxV) - BigInt(minV) // exact even across the full long width
+    val safe  = BigInt(Long.MaxValue >> bits)
+    var shift = 0
+    while ((range >> shift) > safe) shift += 1
+    val lo = minV >> shift
+    val hi = maxV >> shift
+    val v  = if (shift == 0) colName else s"shiftright($colName, $shift)"
     // `div` (integer division) — never fractional `/`, whose double
     // rounding would break bit-exact reproducibility on wide ranges
-    expr(s"(($colName - ${minV}L) * ${1L << bits}L) div ${maxV - minV + 1}L")
+    expr(s"(($v - ${lo}L) * ${1L << bits}L) div ${hi - lo + 1}L")
   }
 
   /** Cluster `df` by the z-value of the named integer columns: bucket

@@ -41,6 +41,15 @@ class SchemaSparkSpec extends AnyFunSuite with SparkSpec {
     assert(tmpl.toTree == full.toTree)
   }
 
+  test("mapTreesToNodes equals mapTrees + toNodesDF (fused self-merge flatten)") {
+    val forest = RelationalLoader.load(spark, "/root/testdata/sf0.001", Testdata.customerDb)
+    val viaRoundTrip = Forest.toNodesDF(Forest.mapTrees(forest)(t => t.merge(t)))
+      .collect().toSet
+    val fused = Forest.mapTreesToNodes(forest)(t => t.merge(t)).collect().toSet
+    assert(fused == viaRoundTrip)
+    assert(fused.nonEmpty)
+  }
+
   test("extract_datasets goldens (test_schema.py one_group/duplicates/widening)") {
     val trees = Seq(
       t("(S (GROUP::Person (ENT::name Alice) (ENT::age 30)))"),

@@ -42,6 +42,55 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(frames.filter(_._1 == 1L).map(_._2).toSeq == Seq(0, 4, 8))
   }
 
+  test("ImageIoCodec: gray PNG round trip is bit-exact; header probe matches decode") {
+    val w = 9; val h = 7
+    val png = Multimodal.ImageIoCodec.encodeGrayPng(w, h, k => (k * 13 + 5) % 256)
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    assert(Multimodal.ImageIoCodec.dimensions(png).contains((w, h)))
+    val img = Multimodal.ImageIoCodec.decode(png).get
+    assert(img.getWidth == w && img.getHeight == h)
+    val expect = (0 until w * h).map(k => (k * 13 + 5) % 256).sum.toLong
+    assert(Multimodal.ImageIoCodec.sumSamples(img) == ((expect, (w * h).toLong)))
+  }
+
+  test("ImageIoCodec: corrupt / empty / non-image bytes degrade to None, never throw") {
+    val codec = Multimodal.ImageIoCodec
+    assert(codec.dimensions(null) == None)
+    assert(codec.dimensions(Array.emptyByteArray) == None)
+    assert(codec.dimensions("not an image at all".getBytes) == None)
+    assert(codec.decode("junk".getBytes) == None)
+    // a PNG header with a truncated body must not crash either path
+    val png = codec.encodeGrayPng(5, 5, _ => 128)
+    assert(codec.decode(png.take(12)) == None)
+  }
+
+  test("imageFeatures: real decode through the batch stage, corrupt rows flagged ok=false") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.ImageIoCodec.encodeGrayPng(4, 3, k => k % 256)),
+      (2L, "garbage".getBytes),
+      (3L, Multimodal.ImageIoCodec.encodeGrayPng(2, 2, _ => 255)))
+      .toDF("id", "media")
+    val out = Multimodal.imageFeatures(rows, "id", "media", batchSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((true, 4, 3, 12L, (0 until 12).sum.toLong)))
+    assert(out(2L) == ((false, 0, 0, 0L, 0L)))
+    assert(out(3L) == ((true, 2, 2, 4L, 4L * 255)))
+  }
+
+  test("imageResize: output is a decodable PNG with the target dims; corrupt → null") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.ImageIoCodec.encodeGrayPng(16, 10, k => k % 256)),
+      (2L, "nope".getBytes))
+      .toDF("id", "media")
+    val out = Multimodal.imageResize(rows, "id", "media", 8, 5)
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[Array[Byte]](1))).toMap
+    assert(Multimodal.ImageIoCodec.dimensions(out(1L).get).contains((8, 5)))
+    assert(out(2L).isEmpty)
+  }
+
   test("resize produces exactly w*h bytes") {
     val out = Multimodal.resize(media(), "id", "media", 8, 4)
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap

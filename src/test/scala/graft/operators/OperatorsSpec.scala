@@ -94,6 +94,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(kept == expect)
   }
 
+  test("incremental admission against a persisted (parquet round-trip) index matches inline") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val newDocs = df.filter(col("doc_id") % 2 === 1)
+    val oldDocs = df.filter(col("doc_id") % 2 === 0)
+    val inline = Dedup.incrementalNearDupFilter(newDocs, oldDocs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // build once, persist to parquet, reload — the deployment shape
+    val built = Dedup.buildNearDupIndex(oldDocs, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndindex").toString
+    built.shingles.write.parquet(s"$dir/shingles")
+    built.buckets.write.parquet(s"$dir/buckets")
+    built.sizes.write.parquet(s"$dir/sizes")
+    built.shingles.unpersist()
+    val loaded = Dedup.NearDupIndex(
+      spark.read.parquet(s"$dir/shingles"),
+      spark.read.parquet(s"$dir/buckets"),
+      spark.read.parquet(s"$dir/sizes"),
+      built.n, built.bands, built.rowsPerBand)
+    val viaIndex = Dedup.incrementalNearDupFilter(newDocs, loaded, "doc_id", "text", 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex == inline)
+  }
+
   test("incremental admission keeps within-shard duplicates (out of scope)") {
     val newDocs = docs(1L -> "a b c d e f", 3L -> "a b c d e f")
     val oldDocs = docs(2L -> "zz yy xx ww vv")

@@ -17,7 +17,7 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
   test("gate holds on a corpus where the sketch is effectively exact") {
     val out = Sketches.cmsTokenGate(docs(), "text", topK = 3)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
-    // top-3 by (count desc, token asc): alpha=5, beta=4... wait beta=3
+    // top-3 by (count desc, token asc): alpha=5, beta=3, gamma=2
     assert(out.map(t => (t._1, t._2)).toSeq == Seq(("alpha", 5L), ("beta", 3L), ("gamma", 2L)))
     assert(out.forall(t => t._3 && t._4))
   }

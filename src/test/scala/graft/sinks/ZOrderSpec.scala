@@ -24,6 +24,27 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(b == b.sorted && b.forall(x => x >= 0 && x < 16))
   }
 
+  test("minMaxBucket survives full-width ranges (snowflake ids / epoch micros) without overflow") {
+    import spark.implicits._
+    // range straddles zero at nearly full long width: (v-min)*2^bits
+    // would overflow, and max-min itself wraps — the pre-shift path
+    val lo = Long.MinValue + 7L
+    val hi = Long.MaxValue - 3L
+    val vs = Seq(lo, lo / 2, -1L, 0L, 1L, hi / 2, hi)
+    val b = vs.toDF("v").select(ZOrder.minMaxBucket("v", lo, hi, 16).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(b.forall(x => x >= 0 && x < (1L << 16)), s"buckets out of range: $b")
+    assert(b == b.sorted, s"not monotone: $b")
+    assert(b.head == 0L && b.last == (1L << 16) - 1)
+    // and a realistic epoch-micros year at 16 bits stays exact long math
+    val us0 = 1704067200000000L
+    val us = Seq(us0, us0 + 86400000000L * 120, us0 + 86400000000L * 365)
+    val bu = us.toDF("v")
+      .select(ZOrder.minMaxBucket("v", us.head, us.last, 16).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bu == bu.sorted && bu.head == 0L && bu.last == (1L << 16) - 1)
+  }
+
   test("cluster rejects an empty input loudly instead of NPEing on null ranges") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("x", "y")
