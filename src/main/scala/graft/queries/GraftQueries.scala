@@ -669,6 +669,26 @@ object GraftQueries {
       Schema.extractDataset(Forest.toNodesDF(forest), "region")
     }),
 
+    // §2.1 read_document Excel lane (region table): each row rendered
+    // as a real single-sheet .xlsx (zip + sheet XML, inline strings +
+    // numeric cells), parsed back through the Xlsx subset reader into
+    // the metamodel and extracted — write→parse→extract round trip
+    // under the same oracle as the TOML lane
+    "read_document_xlsx" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val rows = s.read.parquet(s"$d/region.parquet")
+        .select(col("r_name"), col("r_regionkey").cast("long"))
+        .as[(String, Long)]
+      val bytes = rows.map { case (name, key) =>
+        graft.sources.Xlsx.writeSingleSheet("region",
+          Seq("r_name", "r_regionkey"), Seq(Seq(name, key)))
+      }
+      val forest = graft.sources.DocumentLoader.parseBinaryDocuments(bytes)(
+        b => graft.sources.DocumentLoader.fromExcelBytes(b))
+      Schema.extractDataset(Forest.toNodesDF(forest), "region")
+    }),
+
     // §2.1 read_document CSV lane (supplier table), through the format
     // sniffing chain — certifies CSV detection ahead of the YAML/TOML
     // lanes and the record-collection shape end-to-end
@@ -721,6 +741,32 @@ object GraftQueries {
       m.update(forest)
       Seq((m.coverage, m.clusterAmi, m.clusterCompleteness))
         .toDF("coverage", "cluster_ami", "cluster_completeness")
+    }),
+
+    // The MLflow-shaped metric bundle (metrics.py:429-462) as a query
+    // surface: MetricsLog writes the self-compare bundle through the
+    // JSONL sink, and the LOGGED FILE — not the in-memory Metrics —
+    // is parsed back and emitted as (metric, value_ppb) rows. The
+    // oracle recomputes every key relationally from the loader
+    // identities (counts via the inspector arithmetic, ratios from
+    // fixed label variety, identity scores from self-compare) — the
+    // one model-derived key, clustering.cluster_count, follows the
+    // three join contexts (customer/nation/region), verified stable
+    // across sf0.001 and sf0.01.
+    "metrics_log_customer" -> ((s, d) => {
+      import s.implicits._
+      val forest = customerTrees(s, d)
+      val m = new graft.metrics.Metrics(forest, tau = 0.7)
+      m.update(forest)
+      val dir = java.nio.file.Files.createTempDirectory("graft-mlog")
+      val file = dir.resolve("metrics.jsonl")
+      graft.metrics.MetricsLog.log(m, new graft.metrics.JsonlMetricsSink(file.toString), 0)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(file))
+      val ms = node.get("metrics")
+      val rows = scala.jdk.CollectionConverters.IteratorHasAsScala(ms.fieldNames).asScala
+        .map(k => (k, math.round(ms.get(k).asDouble * 1e9))).toSeq
+      rows.toDF("metric", "value_ppb")
     }),
 
     // §2.4 Schema.verify, oracle-checked: the schema derived from the
@@ -947,9 +993,12 @@ object GraftQueries {
     // sequences over single-char labels ARE strings, and DuckDB's
     // winkler constants — 0.7 boost threshold, p=0.1, prefix ≤ 4 —
     // match SeqMetrics.jaro). Scores compare at integer ppb. The
-    // levenshtein ratio (2·LCS/(m+n), indel-only) stays doctest-covered:
-    // DuckDB's levenshtein is substitution-cost-1, which cannot recover
-    // an LCS.
+    // levenshtein ratio (2·LCS/(m+n), indel-only) is exact too — the
+    // inputs are SORTED DISTINCT label sequences, and the LCS of two
+    // strictly increasing sequences is their set intersection, so the
+    // oracle recomputes the dp's answer as
+    // 2·len(list_intersect)/(m+n) without needing an indel distance
+    // (DuckDB's levenshtein() is substitution-cost-1 and can't).
     "similarity_tau_edges" -> ((s, d) => {
       import s.implicits._
       import graft.core._
@@ -977,8 +1026,10 @@ object GraftQueries {
         val y = featB.value(j.toInt)
         val sim = Similarity.similarity(x, y, SeqMetrics.jaccard)
         val jaro = SeqMetrics.jaro(x.self.entLabels, y.self.entLabels)
-        (i, j, math.round(sim * 1e9), math.round(jaro * 1e9), sim >= tau)
-      }.toDF("left_id", "right_id", "sim_ppb", "jaro_l0_ppb", "is_edge")
+        val lev = SeqMetrics.levenshtein(x.self.entLabels, y.self.entLabels)
+        (i, j, math.round(sim * 1e9), math.round(jaro * 1e9),
+          math.round(lev * 1e9), sim >= tau)
+      }.toDF("left_id", "right_id", "sim_ppb", "jaro_l0_ppb", "lev_l0_ppb", "is_edge")
     }),
 
     // §2.3 full rewrite fixpoint on generator synthetics (rows-only:
@@ -1730,11 +1781,13 @@ object GraftQueries {
         |    END AS sim,
         |    jaro_winkler_similarity(
         |      array_to_string(list_sort(xl0), ''),
-        |      array_to_string(list_sort(yl0), '')) AS jaro
+        |      array_to_string(list_sort(yl0), '')) AS jaro,
+        |    2.0 * len(list_intersect(xl0, yl0)) / (len(xl0) + len(yl0)) AS lev
         |  FROM pairs)
         |SELECT CAST(li AS BIGINT) AS left_id, CAST(ri AS BIGINT) AS right_id,
         |  CAST(round(sim * 1e9) AS BIGINT) AS sim_ppb,
         |  CAST(round(jaro * 1e9) AS BIGINT) AS jaro_l0_ppb,
+        |  CAST(round(lev * 1e9) AS BIGINT) AS lev_l0_ppb,
         |  sim >= 0.8 AS is_edge
         |FROM sims""".stripMargin,
 
@@ -1767,6 +1820,51 @@ object GraftQueries {
     "metrics_self_compare_customer" ->
       """SELECT CAST(1.0 AS DOUBLE) AS coverage, CAST(1.0 AS DOUBLE) AS cluster_ami,
         |       CAST(1.0 AS DOUBLE) AS cluster_completeness""".stripMargin,
+
+    // every bundle key recomputed relationally: counts via the inspector
+    // arithmetic, distinct counts from the loader's fixed label variety
+    // (8 ENT / 3 GROUP / 2 REL / 1 plain ROOT), identity scores from
+    // self-compare, schema quality from the quality-lane formulas, and
+    // clustering.cluster_count = 3 (one entity cluster per join context;
+    // measured stable at sf0.001 and sf0.01)
+    "metrics_log_customer" ->
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) v FROM customer),
+        |     m AS (SELECT CAST(count(*) AS BIGINT) v FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |     mr AS (SELECT CAST(count(*) AS BIGINT) v
+        |            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |            JOIN region ON n_regionkey = r_regionkey),
+        |     t AS (SELECT (SELECT v FROM c) AS nc,
+        |                  ((SELECT v FROM c) + (SELECT v FROM m)) * 4
+        |                    + (2 * (SELECT v FROM m) + (SELECT v FROM mr)) * 2
+        |                    + 2 * (SELECT v FROM mr) * 2 AS ents,
+        |                  (SELECT v FROM c) + 3 * (SELECT v FROM m)
+        |                    + 3 * (SELECT v FROM mr) AS grps,
+        |                  (SELECT v FROM m) + (SELECT v FROM mr) AS rels),
+        |     v AS (
+        |  SELECT 'nodes.count' AS metric, CAST(nc + grps + rels + ents AS DOUBLE) AS value FROM t
+        |  UNION ALL SELECT 'unlabeled.count', CAST(nc AS DOUBLE) FROM t
+        |  UNION ALL SELECT 'unlabeled.ratio', CAST(nc AS DOUBLE) / (nc + grps + rels + ents) FROM t
+        |  UNION ALL SELECT 'clustering.cluster_count', 3.0
+        |  UNION ALL SELECT 'clustering.ami', 1.0
+        |  UNION ALL SELECT 'clustering.completeness', 1.0
+        |  UNION ALL SELECT 'entities.coverage', 1.0
+        |  UNION ALL SELECT 'entities.count', CAST(ents AS DOUBLE) FROM t
+        |  UNION ALL SELECT 'entities.distinct_count', 8.0
+        |  UNION ALL SELECT 'entities.ratio', CAST(ents AS DOUBLE) / 8 FROM t
+        |  UNION ALL SELECT 'groups.count', CAST(grps AS DOUBLE) FROM t
+        |  UNION ALL SELECT 'groups.distinct_count', 3.0
+        |  UNION ALL SELECT 'groups.ratio', CAST(grps AS DOUBLE) / 3 FROM t
+        |  UNION ALL SELECT 'relations.count', CAST(rels AS DOUBLE) FROM t
+        |  UNION ALL SELECT 'relations.distinct_count', 2.0
+        |  UNION ALL SELECT 'relations.ratio', CAST(rels AS DOUBLE) / 2 FROM t
+        |  UNION ALL SELECT 'collections.count', 0.0
+        |  UNION ALL SELECT 'collections.distinct_count', 0.0
+        |  UNION ALL SELECT 'collections.ratio', 0.0
+        |  UNION ALL SELECT 'schema.overlap', 0.0
+        |  UNION ALL SELECT 'schema.balance', 1 - sqrt(2.0) / 4
+        |  UNION ALL SELECT 'schema.productions', 5.0
+        |  UNION ALL SELECT 'schema.non_terminal', 14.0)
+        |SELECT metric, CAST(round(value * 1e9) AS BIGINT) AS value_ppb FROM v""".stripMargin,
 
     "schema_verify_customer" -> "SELECT true AS is_valid",
 
@@ -1960,6 +2058,8 @@ object GraftQueries {
     "read_document_yaml" ->
       s"SELECT DISTINCT ${castCols(Seq("n_name", "n_nationkey"))} FROM nation",
     "read_document_toml" ->
+      s"SELECT DISTINCT ${castCols(Seq("r_name", "r_regionkey"))} FROM region",
+    "read_document_xlsx" ->
       s"SELECT DISTINCT ${castCols(Seq("r_name", "r_regionkey"))} FROM region",
     "read_document_csv" ->
       s"SELECT DISTINCT ${castCols(Seq("s_name", "s_suppkey"))} FROM supplier",

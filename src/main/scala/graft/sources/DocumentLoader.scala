@@ -542,6 +542,26 @@ object DocumentLoader {
     }
   }
 
+  /** [[parseDocuments]] for BINARY document formats (xlsx — and any
+    * future zip/office container): same per-partition salted tree ids,
+    * same single narrow pass, payloads stay `Array[Byte]` end to end.
+    */
+  def parseBinaryDocuments(docs: Dataset[Array[Byte]])(
+      parse: Array[Byte] => Seq[ArchiTree]): Dataset[TreeRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var idx = -1L
+      it.flatMap { doc =>
+        parse(doc).map { t =>
+          idx += 1
+          TreeRow(RelationalLoader.treeId(DocForestSalt, pid, idx), TreeJson.toJson(t))
+        }
+      }
+    }
+  }
+
   /** Load a directory/file of JSON documents, one document per LINE. */
   def loadJsonLines(spark: SparkSession, path: String): Dataset[TreeRow] =
     parseDocuments(spark.read.textFile(path))(fromJsonString)

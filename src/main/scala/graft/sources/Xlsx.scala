@@ -84,6 +84,47 @@ object Xlsx {
     records
   }
 
+  /** Minimal single-sheet .xlsx WRITER — the fixture/round-trip
+    * counterpart of [[parse]]: strings become inline-string cells,
+    * numbers plain numeric cells. Only the parts [[parse]] reads are
+    * emitted (workbook + sheet1); that is sufficient for this reader
+    * and keeps the writer an explicit test/fixture surface, not a
+    * general-purpose exporter.
+    */
+  def writeSingleSheet(sheet: String, header: Seq[String], rows: Seq[Seq[Any]]): Array[Byte] = {
+    def colRef(i: Int): String = {
+      var n = i + 1; val sb = new StringBuilder
+      while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    def esc(s: String): String = scala.xml.Utility.escape(s)
+    def cell(r: Int, c: Int, v: Any): String = v match {
+      case n: Int    => s"""<c r="${colRef(c)}$r"><v>$n</v></c>"""
+      case n: Long   => s"""<c r="${colRef(c)}$r"><v>$n</v></c>"""
+      case n: Double => s"""<c r="${colRef(c)}$r"><v>$n</v></c>"""
+      case s         => s"""<c r="${colRef(c)}$r" t="inlineStr"><is><t>${esc(String.valueOf(s))}</t></is></c>"""
+    }
+    val allRows = header +: rows
+    val body = allRows.zipWithIndex.map { case (cells, i) =>
+      cells.zipWithIndex.map { case (v, c) => cell(i + 1, c, v) }
+        .mkString(s"""<row r="${i + 1}">""", "", "</row>")
+    }.mkString
+    val parts = Seq(
+      "xl/workbook.xml" ->
+        s"""<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="${esc(sheet)}" sheetId="1"/></sheets></workbook>""",
+      "xl/worksheets/sheet1.xml" ->
+        s"""<worksheet><sheetData>$body</sheetData></worksheet>""")
+    val buf = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(buf)
+    parts.foreach { case (name, content) =>
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    zip.close()
+    buf.toByteArray
+  }
+
   /** `A1` → 0, `B7` → 1, `AA3` → 26 … (column letters only). */
   private[sources] def colIndex(cellRef: String): Int =
     cellRef.takeWhile(_.isLetter).foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1

@@ -149,6 +149,21 @@ class DocumentLoaderSpec extends AnyFunSuite with SparkSpec {
     assert(Xlsx.colIndex("AA3") == 26)
   }
 
+  test("Excel writer round trip: writeSingleSheet parses back like its JSON equivalent") {
+    val bytes = Xlsx.writeSingleSheet("items",
+      Seq("name", "price"),
+      Seq(Seq("Laptop <&> \"special\"", 1000L), Seq("Smartphone", 499.5)))
+    val viaExcel = DocumentLoader.fromExcelBytes(bytes).map(_.render)
+    val viaJson = DocumentLoader.fromJsonString(
+      """{"items": [{"name": "Laptop <&> \"special\"", "price": 1000}, {"name": "Smartphone", "price": 499.5}]}"""
+    ).map(_.render)
+    assert(viaExcel == viaJson)
+    // 27th column exercises the two-letter ref path of the writer
+    val wide = Xlsx.writeSingleSheet("w", (0 to 26).map(i => s"c$i"), Seq((0 to 26).map(_.toLong)))
+    val rec = Xlsx.parse(wide).get("w").get(0)
+    assert(rec.get("c26").asLong == 26L)
+  }
+
   test("CSV lane: rows parse like their JSON record-list equivalent") {
     val viaCsv = DocumentLoader.fromCsvString(
       "name,price\nLaptop,1000\nSmartphone,500").map(_.render)
