@@ -669,6 +669,38 @@ object GraftQueries {
       Schema.extractDataset(Forest.toNodesDF(forest), "region")
     }),
 
+    // §2.1 read_sql against a LIVE database: the customer tables are
+    // copied into an embedded Derby instance, the DbConfig is REFLECTED
+    // from the JDBC catalog (no hand declaration), and the forest is
+    // loaded over spark.read.jdbc — then extracted back under the same
+    // oracle as the parquet-path extraction. Fresh in-memory db name
+    // per invocation keeps the lane idempotent across memoized reruns.
+    "read_jdbc_customer" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val db = s"graftq${System.nanoTime()}"
+      val url = s"jdbc:derby:memory:$db;create=true"
+      def quoted(n: String) = s""""$n""""
+      for (t <- Seq("region", "nation", "customer"))
+        s.read.parquet(s"$d/$t.parquet")
+          .write.mode("append").jdbc(url, quoted(t), new java.util.Properties())
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        for ((t, pk) <- Seq("region" -> "r_regionkey", "nation" -> "n_nationkey",
+            "customer" -> "c_custkey")) {
+          st.executeUpdate(s"""ALTER TABLE "$t" ALTER COLUMN "$pk" NOT NULL""")
+          st.executeUpdate(s"""ALTER TABLE "$t" ADD PRIMARY KEY ("$pk")""")
+        }
+        st.executeUpdate("""ALTER TABLE "nation" ADD FOREIGN KEY ("n_regionkey") REFERENCES "region" ("r_regionkey")""")
+        st.executeUpdate("""ALTER TABLE "customer" ADD FOREIGN KEY ("c_nationkey") REFERENCES "nation" ("n_nationkey")""")
+        st.close()
+      } finally conn.close()
+      val cfg = graft.sources.JdbcCatalog.reflect(url, "APP")
+      val forest = graft.sources.RelationalLoader.loadJdbc(s, url, cfg, dbtable = quoted)
+      Schema.extractDataset(Forest.toNodesDF(forest), "customer")
+        .select(col("c_acctbal"), col("c_custkey"), col("c_mktsegment"), col("c_name"))
+    }),
+
     // §2.1 read_document Excel lane (region table): each row rendered
     // as a real single-sheet .xlsx (zip + sheet XML, inline strings +
     // numeric cells), parsed back through the Xlsx subset reader into
@@ -2054,6 +2086,10 @@ object GraftQueries {
       "SELECT DISTINCT CAST(props::JSON->>'k' AS VARCHAR) AS k FROM events",
 
     "read_document_xml" ->
+      s"SELECT DISTINCT ${castCols(Seq("c_acctbal", "c_custkey", "c_mktsegment", "c_name"))} FROM customer",
+    // live-db round trip: parquet → Derby → reflect → loadJdbc → extract
+    // must land on the same rows as the direct parquet extraction
+    "read_jdbc_customer" ->
       s"SELECT DISTINCT ${castCols(Seq("c_acctbal", "c_custkey", "c_mktsegment", "c_name"))} FROM customer",
     "read_document_yaml" ->
       s"SELECT DISTINCT ${castCols(Seq("n_name", "n_nationkey"))} FROM nation",

@@ -123,6 +123,55 @@ object RelationalLoader {
     loadFrom(spark, raw, cfg, sample, simplifyAssociation, searchAllInstances)
   }
 
+  /** Partitioned-read spec for one table of [[loadJdbc]] — maps onto
+    * `spark.read.jdbc`'s range partitioning so a big fact table is read
+    * by `numPartitions` executors in parallel instead of one connection
+    * streaming the whole table through the driver-side of the scan.
+    */
+  final case class JdbcPartitioning(
+      column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)
+
+  /** Load the forest directly from a LIVE relational database over
+    * JDBC — the reference's engine-reflection ingestion
+    * (database/loader/sql.py:18-48) with the `DbConfig` either
+    * hand-declared or reflected from the same catalog via
+    * [[JdbcCatalog.reflect]]. Everything downstream of the per-table
+    * scan is the one shared [[loadFrom]] path, so parquet snapshots and
+    * live databases produce identical forests over identical rows.
+    *
+    * @param partitioning per-table parallel-read ranges; tables absent
+    *                     from the map are read through a single
+    *                     partition (fine for dimensions, wrong for a
+    *                     100 TB fact table — declare its range).
+    * @param dbtable      physical table expression per logical name
+    *                     (e.g. quoting for engines that upper-case
+    *                     unquoted identifiers, or `schema.table`
+    *                     prefixes); the LOGICAL name still labels the
+    *                     metamodel nodes.
+    */
+  def loadJdbc(
+      spark: SparkSession,
+      url: String,
+      cfg: DbConfig,
+      props: java.util.Properties = new java.util.Properties(),
+      partitioning: Map[String, JdbcPartitioning] = Map.empty,
+      dbtable: String => String = identity,
+      sample: Int = 0,
+      simplifyAssociation: Boolean = true,
+      searchAllInstances: Boolean = false,
+  ): Dataset[TreeRow] = {
+    val raw: Map[String, DataFrame] = cfg.tables.map { t =>
+      val df = partitioning.get(t.name) match {
+        case Some(p) =>
+          spark.read.jdbc(url, dbtable(t.name),
+            p.column, p.lowerBound, p.upperBound, p.numPartitions, props)
+        case None => spark.read.jdbc(url, dbtable(t.name), props)
+      }
+      t.name -> df
+    }.toMap
+    loadFrom(spark, raw, cfg, sample, simplifyAssociation, searchAllInstances)
+  }
+
   /** Same, over already-loaded DataFrames (tests, alternative sources). */
   def loadFrom(
       spark: SparkSession,
