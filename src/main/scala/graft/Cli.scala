@@ -150,21 +150,32 @@ object Cli {
       val opts = parseOpts(rest)
       val spark = session()
       import spark.implicits._
+      // an archive path (.tar.gz/.tgz/.zip/.tar — or a glob of them)
+      // streams entries per archive; a directory globs (txt, ann) pairs
+      val isArchive = Seq(".tar.gz", ".tgz", ".zip", ".tar")
+        .exists(dir.toLowerCase.endsWith)
       def parse() = {
-        val byBase = spark.sparkContext.wholeTextFiles(s"$dir/*.{txt,ann}")
-          .map { case (path, content) =>
-            val name = path.substring(path.lastIndexOf('/') + 1)
-            val (base, ext) = name.splitAt(name.lastIndexOf('.'))
-            (base, (ext, content))
+        val sentences =
+          if (isArchive)
+            graft.nlp.Brat.archiveDocuments(spark, dir).flatMap { case (_, txt, ann) =>
+              graft.nlp.Brat.parseDocument(txt, ann)
+            }
+          else {
+            val byBase = spark.sparkContext.wholeTextFiles(s"$dir/*.{txt,ann}")
+              .map { case (path, content) =>
+                val name = path.substring(path.lastIndexOf('/') + 1)
+                val (base, ext) = name.splitAt(name.lastIndexOf('.'))
+                (base, (ext, content))
+              }
+              .groupByKey()
+            byBase.flatMap { case (_, parts) =>
+              val m = parts.toMap
+              for {
+                txt <- m.get(".txt").toSeq
+                sentence <- graft.nlp.Brat.parseDocument(txt, m.getOrElse(".ann", ""))
+              } yield sentence
+            }.toDS()
           }
-          .groupByKey()
-        val sentences = byBase.flatMap { case (_, parts) =>
-          val m = parts.toMap
-          for {
-            txt <- m.get(".txt").toSeq
-            sentence <- graft.nlp.Brat.parseDocument(txt, m.getOrElse(".ann", ""))
-          } yield sentence
-        }.toDS()
         new graft.nlp.WhitespaceParser().parseBatch(sentences)
       }
       val forest = opts.get("cache") match {
@@ -173,7 +184,8 @@ object Cli {
           // path — otherwise edits to the corpus silently serve stale
           // parses. Name + size + mtime of every input file is the
           // cheapest stable one.
-          val cpath = new org.apache.hadoop.fs.Path(s"$dir/*.{txt,ann}")
+          val cpath = new org.apache.hadoop.fs.Path(
+            if (isArchive) dir else s"$dir/*.{txt,ann}")
           val fs = cpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val fingerprint = Option(fs.globStatus(cpath)).getOrElse(Array.empty)
             .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")

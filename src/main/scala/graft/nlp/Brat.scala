@@ -130,4 +130,59 @@ object Brat {
     val (es, rs) = parseAnn(ann)
     convertExample(Example(txt, es, rs))
   }
+
+  /** (docBase, txt, ann) per document from BRAT ARCHIVES — the
+    * reference's tar.gz/zip corpus shape (nlp/__init__.py:168-231,
+    * brat.py:115-168), without its extract-to-temp-dir step: one Spark
+    * task streams one archive's entries (archives are unsplittable
+    * containers, so the parallel unit IS the archive — a 100 TB corpus
+    * arrives as many archives, and `pattern` globs them all). Buffering
+    * one archive's (txt, ann) map in its task is the same bound the
+    * reference accepts when it extracts one archive to a temp dir.
+    */
+  def archiveDocuments(
+      spark: org.apache.spark.sql.SparkSession,
+      pattern: String,
+  ): org.apache.spark.sql.Dataset[(String, String, String)] = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(pattern).flatMap { case (path, pds) =>
+      val in = pds.open()
+      try {
+        val byBase = scala.collection.mutable.Map.empty[String, (Option[String], Option[String])]
+        Archive.entries(path, in).foreach { case (entry, bytes) =>
+          val dot = entry.lastIndexOf('.')
+          if (dot > 0) {
+            val (base, ext) = (entry.substring(0, dot), entry.substring(dot))
+            val content = new String(bytes, "UTF-8")
+            val (t, a) = byBase.getOrElse(base, (None, None))
+            ext match {
+              case ".txt" => byBase(base) = (Some(content), a)
+              case ".ann" => byBase(base) = (t, Some(content))
+              case _      => // other payloads (conf, README) are not documents
+            }
+          }
+        }
+        byBase.toSeq.sortBy(_._1).collect {
+          case (base, (Some(txt), ann)) => (base, txt, ann.getOrElse(""))
+        }
+      } finally in.close()
+    }.toDS()
+  }
+
+  /** Archive corpus → annotated sentences, with the converter filters. */
+  def loadArchives(
+      spark: org.apache.spark.sql.SparkSession,
+      pattern: String,
+      entitiesFilter: Set[String] = Set.empty,
+      relationsFilter: Set[String] = Set.empty,
+      entitiesMapping: Map[String, String] = Map.empty,
+      relationsMapping: Map[String, String] = Map.empty,
+  ): org.apache.spark.sql.Dataset[AnnotatedSentence] = {
+    import spark.implicits._
+    archiveDocuments(spark, pattern).flatMap { case (_, txt, ann) =>
+      val (es, rs) = parseAnn(ann)
+      convertExample(Example(txt, es, rs),
+        entitiesFilter, relationsFilter, entitiesMapping, relationsMapping)
+    }
+  }
 }

@@ -103,6 +103,46 @@ object GraftQueries {
   private def castCols(cols: Seq[String]): String =
     cols.sorted.map(c => s"CAST($c AS VARCHAR) AS $c").mkString(", ")
 
+  /** Deterministic BRAT (txt, ann) fixture for one document: 7 words per
+    * line, every 5th word an entity (pers/freq/moment cycle), chained
+    * relations alternating likes/incertain_rel — pure arithmetic in the
+    * word sequence so the DuckDB oracle recomputes the counts.
+    */
+  private def bratFixture(raw: String): (String, String) = {
+    val text = raw.trim.replaceAll(" +", " ") // both engines normalize identically
+    val words = text.split(" ", -1)
+    val starts = words.scanLeft(0)((acc, w) => acc + w.length + 1)
+    val txt = words.zipWithIndex.map { case (w, i) =>
+      val sep = if (i == words.length - 1) "" else if ((i + 1) % 7 == 0) "\n" else " "
+      w + sep
+    }.mkString
+    val nEnt = (words.length + 4) / 5
+    val entLines = (0 until nEnt).map { j =>
+      val w = 5 * j
+      val tpe = Seq("pers", "freq", "moment")(j % 3)
+      s"T${j + 1}\t$tpe ${starts(w)} ${starts(w) + words(w).length}\t${words(w)}"
+    }
+    val relLines = (0 until nEnt - 1).map { j =>
+      val tpe = if (j % 2 == 0) "likes" else "incertain_rel"
+      s"R${j + 1}\t$tpe Arg1:T${j + 1} Arg2:T${j + 2}"
+    }
+    (txt, (entLines ++ relLines).mkString("\n"))
+  }
+
+  /** Parse one fixture document under the FREQUENCE filter/mapping and
+    * aggregate to the per-doc count row both brat lanes emit.
+    */
+  private def bratCounts(id: Long, txt: String, ann: String): (Long, Long, Long, Long) = {
+    import graft.nlp.Brat
+    val (es, rs) = Brat.parseAnn(ann)
+    val sentences = Brat.convertExample(Brat.Example(txt, es, rs),
+      entitiesFilter = Set("FREQUENCE"),
+      entitiesMapping = Map("FREQ" -> "FREQUENCE"))
+    (id, sentences.size.toLong,
+      sentences.map(_.entities.size.toLong).sum,
+      sentences.map(_.rels.size.toLong).sum)
+  }
+
   /** DuckDB SQL for FdMetrics.confidenceTable over `SELECT DISTINCT
     * <casts> FROM <table>` restricted to `cols`.
     */
@@ -976,37 +1016,47 @@ object GraftQueries {
     // offset re-anchoring drifts by one character, the counts diverge.
     "read_brat_documents" -> ((s, d) => {
       import s.implicits._
-      import graft.nlp.Brat
       val docs = s.read.parquet(s"$d/documents.parquet")
         .select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text"))
         .as[(Long, String)]
       docs.map { case (id, raw) =>
-        val text = raw.trim.replaceAll(" +", " ") // both engines normalize identically
-        val words = text.split(" ", -1)
-        val starts = words.scanLeft(0)((acc, w) => acc + w.length + 1)
-        val txt = words.zipWithIndex.map { case (w, i) =>
-          val sep = if (i == words.length - 1) "" else if ((i + 1) % 7 == 0) "\n" else " "
-          w + sep
-        }.mkString
-        val nEnt = (words.length + 4) / 5
-        val entLines = (0 until nEnt).map { j =>
-          val w = 5 * j
-          val tpe = Seq("pers", "freq", "moment")(j % 3)
-          s"T${j + 1}\t$tpe ${starts(w)} ${starts(w) + words(w).length}\t${words(w)}"
-        }
-        val relLines = (0 until nEnt - 1).map { j =>
-          val tpe = if (j % 2 == 0) "likes" else "incertain_rel"
-          s"R${j + 1}\t$tpe Arg1:T${j + 1} Arg2:T${j + 2}"
-        }
-        val (es, rs) = Brat.parseAnn((entLines ++ relLines).mkString("\n"))
-        val sentences = Brat.convertExample(Brat.Example(txt, es, rs),
-          entitiesFilter = Set("FREQUENCE"),
-          entitiesMapping = Map("FREQ" -> "FREQUENCE"))
-        (id, sentences.size.toLong,
-          sentences.map(_.entities.size.toLong).sum,
-          sentences.map(_.rels.size.toLong).sum)
+        val (txt, ann) = bratFixture(raw)
+        bratCounts(id, txt, ann)
       }.toDF("doc_id", "n_sentences", "n_entities", "n_relations")
+    }),
+
+    // §2.1 BRAT ARCHIVE ingestion (nlp/__init__.py:168-231): the same
+    // corpus packaged into one .tar.gz per partition (streamed ustar
+    // writer), then loaded back through Brat.archiveDocuments — one
+    // task per archive, entries streamed, nothing extracted to disk.
+    // Same oracle as the directory lane: the container must be
+    // invisible in the parsed result.
+    "read_brat_archive_documents" -> ((s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-brat").toString
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+        .as[(Long, String)]
+      docs.repartition(8).foreachPartition { (it: Iterator[(Long, String)]) =>
+        val entries = it.flatMap { case (id, raw) =>
+          val (txt, ann) = bratFixture(raw)
+          Seq((s"corpus/$id.txt", txt.getBytes("UTF-8")),
+            (s"corpus/$id.ann", ann.getBytes("UTF-8")))
+        }.toSeq
+        if (entries.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$tmp/part$pid.tar.gz"),
+            graft.nlp.Archive.writeTarGz(entries))
+        }
+        ()
+      }
+      graft.nlp.Brat.archiveDocuments(s, s"$tmp/*.tar.gz")
+        .map { case (base, txt, ann) =>
+          bratCounts(base.substring(base.lastIndexOf('/') + 1).toLong, txt, ann)
+        }.toDF("doc_id", "n_sentences", "n_entities", "n_relations")
     }),
 
     // §2 rows 34–35: the similarity metrics under a cross-engine oracle.
@@ -1761,26 +1811,9 @@ object GraftQueries {
     // sentences = distinct sentence values over kept entities. No
     // parsing, no offsets — the Spark side's real parser must land on
     // these numbers.
-    "read_brat_documents" ->
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |    (len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) + 4) // 5 AS n_ent
-        |  FROM documents),
-        |js AS (
-        |  SELECT doc_id, n_ent, unnest(range(n_ent)) AS j FROM docs),
-        |kept AS (
-        |  SELECT doc_id, j, (5 * j) // 7 AS sent FROM js WHERE j % 3 <> 1),
-        |rels AS (
-        |  SELECT doc_id FROM js
-        |  WHERE j % 6 = 2 AND j + 1 < n_ent AND (5 * j) // 7 = (5 * j + 5) // 7)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(s.n_sent, 0) AS BIGINT) AS n_sentences,
-        |  CAST(coalesce(s.n_ent_kept, 0) AS BIGINT) AS n_entities,
-        |  CAST(coalesce(r.n_rel, 0) AS BIGINT) AS n_relations
-        |FROM docs d
-        |LEFT JOIN (SELECT doc_id, count(DISTINCT sent) AS n_sent, count(*) AS n_ent_kept
-        |           FROM kept GROUP BY 1) s USING (doc_id)
-        |LEFT JOIN (SELECT doc_id, count(*) AS n_rel FROM rels GROUP BY 1) r USING (doc_id)""".stripMargin,
+    "read_brat_documents" -> bratCountsOracle,
+    // the archive round trip must be invisible: same counts either way
+    "read_brat_archive_documents" -> bratCountsOracle,
 
     // Independent recomputation of the similarity metrics: same literal
     // feature set, jaccard + decay formula + short-circuit order in SQL,
@@ -2937,6 +2970,31 @@ object GraftQueries {
     * 2× per matched pair + 1× inside the nation<->region REL; region 2×
     * per matched chain. ents = groups × their column counts.
     */
+  /** Closed-form recomputation of the BRAT fixture's per-doc counts —
+    * shared by the directory and archive lanes (the container must not
+    * change the parse).
+    */
+  private lazy val bratCountsOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    (len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) + 4) // 5 AS n_ent
+      |  FROM documents),
+      |js AS (
+      |  SELECT doc_id, n_ent, unnest(range(n_ent)) AS j FROM docs),
+      |kept AS (
+      |  SELECT doc_id, j, (5 * j) // 7 AS sent FROM js WHERE j % 3 <> 1),
+      |rels AS (
+      |  SELECT doc_id FROM js
+      |  WHERE j % 6 = 2 AND j + 1 < n_ent AND (5 * j) // 7 = (5 * j + 5) // 7)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(s.n_sent, 0) AS BIGINT) AS n_sentences,
+      |  CAST(coalesce(s.n_ent_kept, 0) AS BIGINT) AS n_entities,
+      |  CAST(coalesce(r.n_rel, 0) AS BIGINT) AS n_relations
+      |FROM docs d
+      |LEFT JOIN (SELECT doc_id, count(DISTINCT sent) AS n_sent, count(*) AS n_ent_kept
+      |           FROM kept GROUP BY 1) s USING (doc_id)
+      |LEFT JOIN (SELECT doc_id, count(*) AS n_rel FROM rels GROUP BY 1) r USING (doc_id)""".stripMargin
+
   private lazy val inspectCountsCustomerOracle: String =
     """WITH c AS (SELECT CAST(count(*) AS BIGINT) v FROM customer),
       |     m AS (SELECT CAST(count(*) AS BIGINT) v FROM customer JOIN nation ON c_nationkey = n_nationkey),
