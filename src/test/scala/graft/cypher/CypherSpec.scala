@@ -94,6 +94,53 @@ class CypherSpec extends AnyFunSuite with SparkSpec {
     assert(stmts.exists(s => s.contains("[r:`M` { `m`: 5 }]")))
   }
 
+  test("offline session executes the exported script: MERGE idempotency, edge resolution, cleanup") {
+    val forest = graft.sources.RelationalLoader.load(
+      spark, "/root/testdata/sf0.001", graft.sources.Testdata.customerDb)
+    val schema = Schema.fromForest(Forest.toNodesDF(forest))
+    val ex = CypherExporter.export(forest, schema)
+
+    val session = new OfflineGraphSession
+    CypherExecutor.run(ex, session) // throws if any edge MATCH misses its node
+    val byLabel = session.nodes.values.groupBy(_.label).view.mapValues(_.size).toMap
+    assert(byLabel("customer") == 150)
+    assert(byLabel.contains("nation") && byLabel.contains("region"))
+    assert(session.edges.nonEmpty && session.indexes.size == 1)
+    val nodeProps = session.nodes.values.find(_.label == "customer").get.props
+    assert(nodeProps.keySet == Set("c_acctbal", "c_custkey", "c_mktsegment", "c_name"))
+
+    // replaying the whole script must be a no-op (MERGE semantics)
+    val (n0, e0) = (session.nodes.size, session.edges.size)
+    CypherExecutor.run(ex, session)
+    assert(session.nodes.size == n0 && session.edges.size == e0)
+
+    // cleanup: oid property removed everywhere, index dropped
+    ex.cleanup.foreach(session.run)
+    assert(session.nodes.values.forall(!_.hasOid))
+    assert(session.indexes.isEmpty)
+
+    // unsupported Cypher fails loudly instead of silently succeeding
+    intercept[IllegalArgumentException](session.run("DETACH DELETE n"))
+  }
+
+  test("export -> execute -> reload round trip recovers the customer rows") {
+    import org.apache.spark.sql.functions.col
+    val forest = graft.sources.RelationalLoader.load(
+      spark, "/root/testdata/sf0.001", graft.sources.Testdata.customerDb)
+    val schema = Schema.fromForest(Forest.toNodesDF(forest))
+    val session = new OfflineGraphSession
+    CypherExecutor.run(CypherExporter.export(forest, schema), session)
+    val reloaded = CypherLoader.load(spark, session.nodesDf(spark), session.edgesDf(spark))
+    val got = Schema.extractDataset(Forest.toNodesDF(reloaded), "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_name"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey").cast("string"), col("c_mktsegment"), col("c_name"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want)
+    assert(got.size == 150)
+  }
+
   test("cypher literals: numbers bare, booleans lowercase, strings quoted") {
     val props = CypherExporter.properties(SExpr.parse(
       "(GROUP::x (ENT::n 42) (ENT::f 1.5) (ENT::b true) (ENT::s O'Brien))"))
