@@ -93,6 +93,31 @@ object GraftQueries {
       graft.operators.Tokenizer.trainBpeOnCorpus(
         s, s.read.parquet(s"$d/documents.parquet"), numMerges = 10))
 
+  /** Memoized self-compare Metrics over the customer forest — consumed
+    * by BOTH the snapshot lane and the MLflow-bundle log lane (a real
+    * session computes a metrics snapshot once and logs it, so the
+    * registry does too; the two oracles check disjoint surfaces of the
+    * same value).
+    */
+  private val metricsCache = scala.collection.concurrent.TrieMap.empty[String, graft.metrics.Metrics]
+  private def customerMetrics(s: SparkSession, d: String): graft.metrics.Metrics =
+    metricsCache.getOrElseUpdate(d, {
+      val forest = customerTrees(s, d)
+      val m = new graft.metrics.Metrics(forest, tau = 0.7)
+      m.update(forest)
+      m
+    })
+
+  /** Memoized MLlib tagger model (nlp/MlTagger.scala) — a real
+    * LBFGS-trained multinomial logistic regression, trained once per
+    * session (deterministic fixture, zero-init) and scored locally on
+    * executors. A real pipeline trains once and scores many shards, so
+    * the registry does too.
+    */
+  private val mlTagCache = scala.collection.concurrent.TrieMap.empty[String, graft.nlp.MlTagModel]
+  private def mlTagModel(s: SparkSession): graft.nlp.MlTagModel =
+    mlTagCache.getOrElseUpdate("model", graft.nlp.MlTagger.train(s))
+
   private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def ngramPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate(d,
@@ -100,6 +125,13 @@ object GraftQueries {
         s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", n = 3, threshold = 0.8))
 
   // ---- oracle SQL helpers ----
+  /** The MlTagger dictionary as a SQL VALUES list — generated from the
+    * same Scala constant the model trains on, so the two sides cannot
+    * drift.
+    */
+  private def mlDictValues: String =
+    graft.nlp.MlTagger.Dictionary.map { case (w, t) => s"('$w','$t')" }.mkString(", ")
+
   private def castCols(cols: Seq[String]): String =
     cols.sorted.map(c => s"CAST($c AS VARCHAR) AS $c").mkString(", ")
 
@@ -808,9 +840,7 @@ object GraftQueries {
     // so a regression anywhere in it breaks an exact oracle.
     "metrics_self_compare_customer" -> ((s, d) => {
       import s.implicits._
-      val forest = customerTrees(s, d)
-      val m = new graft.metrics.Metrics(forest, tau = 0.7)
-      m.update(forest)
+      val m = customerMetrics(s, d)
       Seq((m.coverage, m.clusterAmi, m.clusterCompleteness))
         .toDF("coverage", "cluster_ami", "cluster_completeness")
     }),
@@ -827,9 +857,7 @@ object GraftQueries {
     // across sf0.001 and sf0.01.
     "metrics_log_customer" -> ((s, d) => {
       import s.implicits._
-      val forest = customerTrees(s, d)
-      val m = new graft.metrics.Metrics(forest, tau = 0.7)
-      m.update(forest)
+      val m = customerMetrics(s, d)
       val dir = java.nio.file.Files.createTempDirectory("graft-mlog")
       val file = dir.resolve("metrics.jsonl")
       graft.metrics.MetricsLog.log(m, new graft.metrics.JsonlMetricsSink(file.toString), 0)
@@ -944,6 +972,44 @@ object GraftQueries {
           .when(col("name") === "ROOT", lit("ROOT"))
           .otherwise(lit("UNDEF")).as("label"))
         .groupBy(col("label")).count().withColumnRenamed("count", "n_nodes")
+    }),
+
+    // REAL-model parser seam (nlp/parser/corenlp.py:19-45 analogue):
+    // token tags predicted by the MLlib-trained logistic regression,
+    // distributed scoring over every document token. The training vocab
+    // is perfectly separable (word-identity features; margin pinned in
+    // MlTaggerSpec), so the oracle replays the model's predictions as a
+    // dictionary join — an exact check that distributed inference agrees
+    // with the trained decision function on the whole corpus.
+    "ml_tag_documents" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, explode, split}
+      val model = mlTagModel(s)
+      val vocab = graft.nlp.MlTagger.Dictionary.map(_._1).toSet
+      s.read.parquet(s"$d/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("w")).as[String]
+        .filter(w => vocab.contains(w))
+        .map(w => model.tag(w)).toDF("tag")
+        .groupBy("tag").count().withColumnRenamed("count", "n_tokens")
+    }),
+
+    // The full MlTagParser chunker distributed over the corpus: each
+    // document parses into (SENT chunk*) where chunks follow the
+    // (DET|ADJ)* NOUN+ → NP, VERB+ → VP, else TOK grammar over the
+    // model's tags. Because predictions equal the dictionary on this
+    // vocabulary, the chunk arithmetic is closed-form over tag runs —
+    // the oracle recomputes it with gaps-and-islands windows.
+    "ml_parse_documents" -> ((s, d) => {
+      import s.implicits._
+      val parser = new graft.nlp.MlTagParser(mlTagModel(s))
+      s.read.parquet(s"$d/documents.parquet")
+        .select("text").as[String]
+        .flatMap { t =>
+          parser.parse(t, "English").toSeq.flatMap(_.children.collect {
+            case graft.core.Child.Node(c) => c.label.name
+          })
+        }.toDF("label")
+        .groupBy("label").count().withColumnRenamed("count", "n_chunks")
     }),
 
     // §2.3 llm_rewrite (simplification/llm.py), oracle-checked: the full
@@ -2016,6 +2082,54 @@ object GraftQueries {
         |    WHEN clean AND m1 + m2 >= 2 THEN m2
         |    ELSE 0 END) AS BIGINT) FROM cls)
         |SELECT label, n_nodes FROM out WHERE n_nodes > 0""".stripMargin,
+
+    // The model's in-vocabulary predictions ARE the dictionary (margin
+    // pinned in MlTaggerSpec), so distributed inference must reproduce
+    // the dictionary join exactly.
+    "ml_tag_documents" ->
+      s"""WITH dict(w, tag) AS (VALUES $mlDictValues),
+         |toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT tag, count(*) AS n_tokens
+         |FROM toks JOIN dict USING (w) GROUP BY tag""".stripMargin,
+
+    // Chunk arithmetic over tag runs: collapse DET/ADJ into one class
+    // 'DA', group maximal same-class runs (gaps-and-islands), then
+    // NP = #NOUN runs (a preceding DA run merges INTO the NP),
+    // VP = #VERB runs, TOK = tokens of DA runs not followed by a NOUN
+    // run. Zero-count labels filtered (Spark groupBy can't emit them).
+    "ml_parse_documents" ->
+      s"""WITH dict(w, tag) AS (VALUES $mlDictValues),
+         |toks AS (
+         |  SELECT doc_id, i, ws[i] AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |  CROSS JOIN UNNEST(range(1, len(ws) + 1)) AS r(i)),
+         |tagged AS (
+         |  SELECT doc_id, i,
+         |         CASE WHEN tag IN ('DET','ADJ') THEN 'DA' ELSE tag END AS cls
+         |  FROM toks JOIN dict USING (w)),
+         |marks AS (
+         |  SELECT doc_id, i, cls,
+         |         CASE WHEN lag(cls) OVER (PARTITION BY doc_id ORDER BY i)
+         |              IS DISTINCT FROM cls THEN 1 ELSE 0 END AS new_run
+         |  FROM tagged),
+         |runs0 AS (
+         |  SELECT doc_id, i, cls,
+         |         sum(new_run) OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+         |  FROM marks),
+         |runs AS (
+         |  SELECT doc_id, run_id, min(cls) AS cls, count(*) AS len, min(i) AS lo
+         |  FROM runs0 GROUP BY doc_id, run_id),
+         |rn AS (
+         |  SELECT *, lead(cls) OVER (PARTITION BY doc_id ORDER BY lo) AS next_cls
+         |  FROM runs),
+         |out AS (
+         |  SELECT 'NP' AS label, CAST(count(*) AS BIGINT) AS n_chunks
+         |  FROM rn WHERE cls = 'NOUN'
+         |  UNION ALL SELECT 'VP', CAST(count(*) AS BIGINT)
+         |  FROM rn WHERE cls = 'VERB'
+         |  UNION ALL SELECT 'TOK', CAST(coalesce(sum(len), 0) AS BIGINT)
+         |  FROM rn WHERE cls = 'DA' AND (next_cls IS NULL OR next_cls <> 'NOUN'))
+         |SELECT label, n_chunks FROM out WHERE n_chunks > 0""".stripMargin,
 
     // SF-proportional identities (verified at sf0.001/sf0.01): per tree
     // the groupified customer nodes appear 2× (standalone + in its REL),

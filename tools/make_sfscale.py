@@ -31,6 +31,15 @@ Scaling model (deliberately NOT naive concatenation):
   dimensions stay fixed — facts grow, dimensions don't, as in a real
   warehouse.
 - every other table is byte-copied unchanged.
+
+mode "cust" (the rewrite-loop canary variant) ALSO scales customer
+k-fold: copy i>0 re-keys c_custkey (+ i*OFFSET) and suffixes c_name
+with '~i', so entity VALUES stay distinct across copies while the
+tree STRUCTURE of every copy is identical — exactly the shape of a
+bigger customer database. This is the input the rewrite() fixpoint
+canary needs: rows grow k×, distinct structures don't, so a
+structure-bounded epoch cost must stay ~flat while any per-row
+quadratic term would blow up.
 """
 import os
 import shutil
@@ -48,7 +57,7 @@ def main() -> None:
     dst = sys.argv[2] if len(sys.argv) > 2 else "target/sfscale"
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     mode = sys.argv[4] if len(sys.argv) > 4 else "tilde"
-    assert mode in ("tilde", "alpha"), mode
+    assert mode in ("tilde", "alpha", "cust"), mode
     if mode == "alpha":
         assert k <= 26, "alpha mode supports k <= 26"
         suffix = "w || 'q' || chr(97 + i::INT)"
@@ -105,6 +114,22 @@ def main() -> None:
     """)
 
     copy_tables = list(COPY_TABLES)
+    if mode == "cust":
+        # k disjoint copies of the customer dimension: re-keyed PK,
+        # per-copy-distinct c_name, identical structure. nation/region
+        # stay fixed (real databases share dimensions).
+        copy_tables.remove("customer")
+        con.sql(f"""
+          COPY (
+            SELECT c_custkey + i * {OFFSET} AS c_custkey,
+                   CASE WHEN i = 0 THEN c_name
+                        ELSE c_name || '~' || i::VARCHAR END AS c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
+            FROM '{src}/customer.parquet'
+            CROSS JOIN (SELECT unnest(range({k})) AS i)
+            ORDER BY c_custkey
+          ) TO '{dst}/customer.parquet' (FORMAT PARQUET)
+        """)
     if mode == "alpha":
         # k disjoint copies of the part<->supplier graph (all three keys
         # re-keyed per copy), so graph lanes scale instead of byte-copying
