@@ -456,13 +456,20 @@ object TreeClusterer {
     // the feature key is a STRUCT (not a delimited string — unescaped
     // corpus labels containing the delimiter would collide and wrongly
     // collapse distinct structures); level ids are excluded so twins
-    // compare equal. Entity-free subtrees are excluded up front: the
-    // metric scores them 0 even against themselves (Similarity shortcut),
-    // so they can never cluster — seeding their twins would manufacture
-    // clusters the metric forbids.
+    // compare equal. UNTYPED labels are blanked: levelEquivalent only
+    // consults labels when BOTH sides are typed, and the fallback metric
+    // sees entity-label sets only — so an untyped label can never affect
+    // a similarity score, and keeping it in the key shatters the
+    // collapse whenever an op mints per-tree-unique UNDEF names
+    // (evaluateSubgroup's undefName rename turned 150k structurally
+    // identical trees into 24k distinct reps at the 10× canary,
+    // degenerating the blocking join). Entity-free subtrees are excluded
+    // up front: the metric scores them 0 even against themselves
+    // (Similarity shortcut), so they can never cluster — seeding their
+    // twins would manufacture clusters the metric forbids.
     val featCol = struct(
       col("height"), col("depth"),
-      expr("transform(levels, l -> struct(l.label, l.isTyped, l.ents))"))
+      expr("transform(levels, l -> struct(CASE WHEN l.isTyped THEN l.label ELSE '' END AS label, l.isTyped, l.ents))"))
     val withFeat = cands
       .filter(size(col("levels")(0)("ents")) > 0)
       .withColumn("feat", featCol)
@@ -473,6 +480,7 @@ object TreeClusterer {
 
     // --- tau-graph: adaptive local/distributed (see LocalTauGraphMaxRepsKey) ---
     val repCount = timed("collapse+count") { repKeys.count() }
+    graft.util.Spark.note("fit-profile", s"repCount=$repCount")
     val small = repCount <= localTauGraphMaxReps(spark)
     // the rep-sized frames (repKeys, labels, incident) are bounded by
     // schema variety when the local path fired; hint the broadcast so

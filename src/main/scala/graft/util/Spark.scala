@@ -8,6 +8,10 @@ object Spark {
   // phase timing to stderr when SPARK_GRAFT_PROFILE is set — dev aid only
   private val profile = sys.env.contains("SPARK_GRAFT_PROFILE")
 
+  /** One-line profile note (sizes, counts) when profiling is enabled. */
+  @inline def note(prefix: String, msg: => String): Unit =
+    if (profile) System.err.println(s"[$prefix] $msg")
+
   /** Time `body` under `[prefix] label` when profiling is enabled. */
   @inline def timed[A](prefix: String, label: String)(body: => A): A =
     if (!profile) body
