@@ -30,6 +30,7 @@ object Cli {
         |           [--min-support K] [--schema-only] [--metrics] [--out DIR]
         |           [--store DIR]                        transactional per-epoch snapshots
         |           [--metrics-log FILE]                 JSONL metric bundle (MLflow-shaped)
+        |           [--mlflow DIR]                       write bundle as an MLflow file-store run
         |  snapshots <storeDir>                          list a forest store's history + HEAD
         |  rollback <storeDir> <name>                    move a store's HEAD to a snapshot
         |  simplify-llm <dir> [--db NAME] [--min-support K] [--vocab-similarity S]
@@ -238,7 +239,8 @@ object Cli {
       // vs the input forest; --metrics-log FILE additionally records the
       // reference's full log_to_mlflow bundle through the MetricsSink
       // seam (JSONL locally; an MLflow-backed sink drops in)
-      if (opts.contains("metrics") || opts.contains("metrics-log")) {
+      if (opts.contains("metrics") || opts.contains("metrics-log") ||
+          opts.contains("mlflow")) {
         val m = new graft.metrics.Metrics(forest, cfg.tau)
         m.update(out)
         println(f"coverage=${m.coverage}%.4f")
@@ -248,6 +250,19 @@ object Cli {
           graft.metrics.MetricsLog.log(m,
             new graft.metrics.JsonlMetricsSink(f), iteration = cfg.epochs, debug = true)
           println(s"logged metric bundle to $f")
+        }
+        // --mlflow DIR: the same bundle into MLflow's file-store layout
+        // (`mlflow ui --backend-store-uri file:DIR` charts it directly)
+        opts.get("mlflow").foreach { root =>
+          val sink = new graft.metrics.MlflowFileStoreSink(root,
+            experimentName = "graft", runName = "simplify")
+          sink.logParams(Map(
+            "tau" -> cfg.tau.toString, "decay" -> cfg.decay.toString,
+            "epochs" -> cfg.epochs.toString,
+            "min_support" -> cfg.minSupport.map(_.toString).getOrElse("auto")))
+          graft.metrics.MetricsLog.log(m, sink, iteration = cfg.epochs, debug = true)
+          sink.endRun()
+          println(s"logged MLflow run ${sink.runDirectory}")
         }
       }
       store.foreach { s =>
