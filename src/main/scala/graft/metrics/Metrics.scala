@@ -67,8 +67,14 @@ final class Metrics(
   private var currentSnapshot: Snapshot = origin
   private var contingencyCache: Option[Map[(String, String), Long]] = None
 
+  /** Re-snapshot the current state. Snapshots are pure functions of an
+    * immutable Dataset, so updating with the very reference that was
+    * snapshotted at construction reuses the origin snapshot instead of
+    * paying a second clustering fit (the no-op-rewrite / self-compare
+    * case).
+    */
   def update(forest: Dataset[TreeRow]): Unit = {
-    currentSnapshot = snapshot(forest)
+    currentSnapshot = if (forest eq source) origin else snapshot(forest)
     contingencyCache = None
   }
   def current: Snapshot = currentSnapshot
