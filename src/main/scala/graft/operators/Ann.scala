@@ -207,4 +207,174 @@ object Ann {
     corpus.unpersist()
     out
   }
+
+  // ---- Product quantization (PQ) ----------------------------------------
+
+  /** Squared L2 distance between two array<double> columns as a
+    * sequential left-to-right fold (`zip_with` + `aggregate`) — bit
+    * deterministic, so an oracle summing the same terms in the same
+    * order replays it exactly.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), _ + _)
+
+  /** Per-subspace argmin code: the closest codebook centroid to this
+    * row's `m`-th sub-vector, ties to the larger code (the same struct
+    * argmax convention as the IVF assignment, with negated distance).
+    * A single literal carries the codebook, so the plan is O(1) in the
+    * codebook size — a pure map-side expression, zero shuffle.
+    */
+  private def pqCodeExpr(
+      m: Int,
+      subDim: Int,
+      cb: Array[(Int, Seq[Double])]): Column = {
+    val cbLit = typedLit(cb.toSeq).cast("array<struct<cid:int,cv:array<double>>>")
+    val sub = slice(col("v"), m * subDim + 1, subDim)
+    array_max(transform(cbLit, c =>
+      struct((-l2sq(sub, c.getField("cv"))).as("s"), c.getField("cid").as("cid"))))
+      .getField("cid")
+  }
+
+  /** Deterministic per-subspace Lloyd training of the PQ codebooks
+    * (Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011 — public): split each vector into `subspaces`
+    * contiguous sub-vectors and k-means each subspace independently.
+    * Init mirrors [[lloydCentroids]]: the first `codebook` vectors by
+    * id, sliced. ALL subspaces train in the same Spark jobs — each
+    * iteration is one map-side code assignment plus ONE shuffle
+    * (`groupBy (m, code)` with partial aggregation), not a shuffle per
+    * subspace. Driver state is the model only: subspaces × codebook ×
+    * subDim doubles. A code that loses all members drops out, exactly
+    * like the IVF centroid behavior.
+    */
+  private[operators] def pqTrain(
+      corpus: DataFrame,
+      subDim: Int,
+      subspaces: Int,
+      codebook: Int,
+      iters: Int): Array[Array[(Int, Seq[Double])]] = {
+    val initRows = corpus.orderBy("id").limit(codebook).collect()
+    var codebooks: Array[Array[(Int, Seq[Double])]] = (0 until subspaces).map { m =>
+      initRows.zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Double](1).slice(m * subDim, (m + 1) * subDim))
+      }.toArray
+    }.toArray
+    (1 to iters).foreach { _ =>
+      val coded = corpus.select(explode(array((0 until subspaces).map(m =>
+        struct(
+          lit(m).as("m"),
+          pqCodeExpr(m, subDim, codebooks(m)).as("code"),
+          slice(col("v"), m * subDim + 1, subDim).as("sv"))): _*)).as("x"))
+        .select(col("x.m").as("m"), col("x.code").as("code"), col("x.sv").as("sv"))
+      val meanCols = (0 until subDim).map(i => avg(col("sv").getItem(i)).as(s"d$i"))
+      val means = coded.groupBy("m", "code").agg(meanCols.head, meanCols.tail: _*).collect()
+      val next = Array.fill(subspaces)(
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Double])])
+      means.foreach { r =>
+        next(r.getInt(0)) += ((r.getInt(1), (0 until subDim).map(i => r.getDouble(i + 2))))
+      }
+      codebooks = next.map(_.sortBy(_._1).toArray)
+    }
+    codebooks
+  }
+
+  /** PQ-compressed exhaustive ANN (asymmetric distance computation):
+    * encode every corpus vector as `subspaces` small codes — 4 bytes
+    * replacing a 256-byte float vector at the defaults, a 64× index
+    * compression — then rank neighbors by the sum of per-subspace
+    * query-to-centroid distances looked up by code.
+    *
+    * Scale design: the `codes` column is the stored index (at 100 TB
+    * the compressed index fits where raw vectors cannot — that is the
+    * operator's point); encoding and scoring are pure map-side
+    * expressions over literals (zero shuffle, plan size O(1) in corpus
+    * and codebook), queries are collected driver-side bounded by
+    * `queryIds`, and the only shuffle is the top-k window per query.
+    * Distance tables are rounded to integer nano-units so the ADC sort
+    * is exact-integer — deterministic under any summation order and
+    * replayable by a relational oracle. Combine with the IVF probe
+    * (ivfTopK) for the IVFADC layout when exhaustive code scans are too
+    * slow; here the exhaustive scan IS the oracle-checkable contract.
+    * Approximate by construction — recall vs bruteForceTopK is the
+    * quality gate, measured in AnnSpec and pinned by the recall lane.
+    */
+  def pqTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int = 5,
+      subspaces: Int = 4,
+      codebook: Int = 16,
+      iters: Int = 2,
+      rerank: Int = 0,
+  ): DataFrame = {
+    val corpus = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")).cache()
+    val dim = corpus.select(size(col("v"))).head.getInt(0)
+    require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val model = pqTrain(corpus, subDim, subspaces, codebook, iters)
+
+    val encoded = corpus.withColumn(
+      "codes",
+      array((0 until subspaces).map(m => pqCodeExpr(m, subDim, model(m))): _*)).cache()
+
+    // query vectors to the driver (bounded by |queryIds|), then one
+    // integer nano-unit distance table per query: dt(m)(cid) =
+    // round(1e9 · ||q_m − c_m,cid||²), Long.MaxValue for dropped codes
+    // (never referenced — no row encodes to a vanished code)
+    val qRows = corpus.filter(col("id").isInCollection(queryIds))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val perQuery = qRows.map { case (qid, qv) =>
+      val dt: Seq[Seq[Long]] = (0 until subspaces).map { m =>
+        val cb = model(m)
+        val arr = Array.fill(cb.map(_._1).max + 1)(Long.MaxValue)
+        cb.foreach { case (cid, cv) =>
+          var s = 0.0
+          var i = 0
+          while (i < subDim) { val d = qv(m * subDim + i) - cv(i); s += d * d; i += 1 }
+          arr(cid) = math.round(s * 1e9)
+        }
+        arr.toIndexedSeq
+      }
+      (qid, dt)
+    }
+
+    val scored = perQuery.map { case (qid, dt) =>
+      val dtLit = typedLit(dt)
+      val adc = (0 until subspaces).map(m =>
+        element_at(element_at(dtLit, m + 1), element_at(col("codes"), m + 1) + 1))
+        .reduce(_ + _)
+      encoded.filter(col("id") =!= qid)
+        .select(lit(qid).as("query_id"), col("id").as("neighbor_id"), adc.as("adc"))
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
+    val shortlisted = scored.reduce(_.union(_))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= math.max(k, rerank))
+      .select("query_id", "neighbor_id")
+
+    // rerank > 0: the production ADC pattern — the compressed scan only
+    // SHORTLISTS (top `rerank` by integer ADC), then the k winners are
+    // re-ranked by exact similarity over full vectors, loaded for the
+    // |queries|·rerank candidates only (a broadcast-sized join), never
+    // for the corpus
+    val out = (if (rerank <= 0) shortlisted
+               else {
+                 graft.functions.GraftFunctions.register(emb.sparkSession)
+                 val qMapLit = typedLit(qRows.toMap)
+                 val w2 = Window.partitionBy("query_id")
+                   .orderBy(col("sim").desc, col("neighbor_id").asc)
+                 corpus
+                   .join(broadcast(shortlisted), col("id") === col("neighbor_id"))
+                   .withColumn("sim", cosine(element_at(qMapLit, col("query_id")), col("v")))
+                   .withColumn("rank", row_number().over(w2))
+                   .filter(col("rank") <= k)
+                   .select("query_id", "neighbor_id")
+               })
+      .localCheckpoint(true)
+    encoded.unpersist()
+    corpus.unpersist()
+    out
+  }
 }

@@ -601,6 +601,28 @@ object GraftQueries {
       Ann.ivfTopK(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0L to 9L,
         k = 5, nLists = 16, nProbe = 16)),
+    // PQ compressed index (4×16 codebooks = 16-bit codes): the
+    // exhaustive integer-ADC ranking is fully deterministic, so the
+    // oracle replays the whole machinery — per-subspace Lloyd,
+    // encoding, nano-unit distance tables, integer ADC top-k — exactly
+    "ann_topk_pq" -> ((s, d) =>
+      Ann.pqTopK(
+        s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0L to 9L,
+        k = 5)),
+    // the production PQ layout: the compressed scan only SHORTLISTS,
+    // exact similarity re-ranks the candidates — approximate vs brute
+    // force by design, so the query RETURNS the recall gate (the same
+    // contract as ann_topk_ivf); 1.0 at sf0.01, 0.86 at sf0.1
+    "ann_topk_pq_rerank" -> ((s, d) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val pq = Ann.pqTopK(emb, "vec_id", "embedding", 0L to 9L, k = 5,
+        subspaces = 8, codebook = 16, rerank = 200)
+      val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L to 9L, k = 5)
+      val overlap = pq.join(brute, Seq("query_id", "neighbor_id")).count()
+      val total = brute.count()
+      Seq(total > 0 && overlap.toDouble / total >= 0.8).toDF("recall_ge_080")
+    }),
     // Bucketed-sink lane: both join sides are written bucketed+sorted on
     // the order key (the shuffle pre-paid once at write time), then the
     // recurring fact-dim join and its rollup run over the co-located
@@ -2427,6 +2449,8 @@ object GraftQueries {
 
     "ann_topk_ivf_full_probe" -> annBruteOracle,
     "ann_topk_brute" -> annBruteOracle,
+    "ann_topk_pq" -> pqAdcOracle,
+    "ann_topk_pq_rerank" -> "SELECT true AS recall_ge_080",
     // the query computes the recall gate itself (IVF@nProbe=4 vs brute
     // top-5, both Spark-side); the oracle pins the gate
     "ann_topk_ivf" -> "SELECT true AS recall_ge_090",
@@ -3224,6 +3248,62 @@ object GraftQueries {
       |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rk
       |      FROM s)
       |SELECT query_id, neighbor_id FROM r WHERE rk <= 5""".stripMargin
+
+  /** DuckDB replay of Ann.pqTopK's exhaustive integer ADC at the
+    * default 4×16 config: per-subspace Lloyd with the same init (first
+    * 16 vectors by id, sliced), the same argmin tie-break (distance
+    * ASC, code DESC), and the same EXPLICIT left-to-right summation the
+    * Spark fold uses — so the per-subspace distances are bit-identical,
+    * the nano-unit rounding lands on the same integers, and the
+    * integer-ADC top-k is exact, not merely similar.
+    */
+  private lazy val pqAdcOracle: String = {
+    val subspaces = 4; val sub = 16; val cb = 16
+    def dist(a: String, b: String): String =
+      (1 to sub).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
+    def assign(from: String, cents: String): String =
+      s"""SELECT vec_id, sv, cid FROM (
+         |  SELECT s.vec_id, s.sv, c.cid,
+         |         row_number() OVER (PARTITION BY s.vec_id
+         |           ORDER BY ${dist("s.sv", "c.cv")} ASC, c.cid DESC) AS rn
+         |  FROM $from s, $cents c) t WHERE rn = 1""".stripMargin
+    def means(a: String): String =
+      s"""SELECT cid, list(mv ORDER BY pos) AS cv FROM (
+         |  SELECT cid, pos, avg(val) AS mv FROM (
+         |    SELECT cid, unnest(sv) AS val, unnest(range(1, len(sv) + 1)) AS pos
+         |    FROM $a) u
+         |  GROUP BY cid, pos) g GROUP BY cid""".stripMargin
+    val perSub = (0 until subspaces).flatMap { m =>
+      val lo = m * sub + 1; val hi = (m + 1) * sub
+      Seq(
+        s"s$m AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e)",
+        s"""c0_$m AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+           |                 sv AS cv
+           |  FROM (SELECT vec_id, sv FROM s$m ORDER BY vec_id LIMIT $cb))""".stripMargin,
+        s"a0_$m AS (${assign(s"s$m", s"c0_$m")})",
+        s"c1_$m AS (${means(s"a0_$m")})",
+        s"a1_$m AS (${assign(s"s$m", s"c1_$m")})",
+        s"c2_$m AS (${means(s"a1_$m")})",
+        s"a2_$m AS (${assign(s"s$m", s"c2_$m")})",
+        s"q$m AS (SELECT vec_id AS qid, sv AS qv FROM s$m WHERE vec_id < 10)",
+        s"""d$m AS (SELECT q.qid, a.vec_id,
+           |  CAST(round((${dist("q.qv", "c.cv")}) * 1e9) AS BIGINT) AS dd
+           |  FROM a2_$m a JOIN c2_$m c USING (cid) CROSS JOIN q$m q)""".stripMargin)
+    }
+    val adcJoins = (1 until subspaces)
+      .map(m => s"JOIN d$m ON d$m.qid = d0.qid AND d$m.vec_id = d0.vec_id")
+      .mkString(" ")
+    val adcSum = (0 until subspaces).map(m => s"d$m.dd").mkString(" + ")
+    (Seq("e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)") ++ perSub)
+      .mkString("WITH ", ",\n", ",\n") +
+      s"""adc AS (SELECT d0.qid AS query_id, d0.vec_id AS neighbor_id, $adcSum AS adc
+         |        FROM d0 $adcJoins WHERE d0.vec_id <> d0.qid),
+         |r AS (SELECT query_id, neighbor_id,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY adc ASC, neighbor_id ASC) AS rk
+         |      FROM adc)
+         |SELECT query_id, neighbor_id FROM r WHERE rk <= 5""".stripMargin
+  }
 
   /** The portable 60-bit hash (TextAnalysis.portableHash) in DuckDB. */
   private def duckHash(expr: String): String =

@@ -289,6 +289,46 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(viaLit == got(unrolled = true), "paths disagree on a duplicate-id corpus")
   }
 
+  test("PQ: codes are deterministic, bounded, and the top-k is stable across runs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(): Seq[(Long, Long)] =
+      Ann.pqTopK(emb, "vec_id", "embedding", 0L to 4L, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val first = run()
+    assert(first.size == 15, s"5 queries × k=3 expected, got ${first.size}")
+    assert(first.forall { case (q, n) => q != n }, "self-match leaked into PQ top-k")
+    assert(run() == first, "PQ ADC ranking must be deterministic (integer distance tables)")
+  }
+
+  test("PQ codebooks: one per subspace, codes within range, subDim slices") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val model = Ann.pqTrain(corpus, subDim = 16, subspaces = 4, codebook = 16, iters = 2)
+    assert(model.length == 4)
+    model.foreach { cb =>
+      assert(cb.nonEmpty && cb.length <= 16, s"codebook size ${cb.length}")
+      assert(cb.forall { case (cid, cv) => cid >= 0 && cid < 16 && cv.size == 16 })
+    }
+  }
+
+  test("PQ rerank recovers recall the raw ADC scan loses") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bf = Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L to 9L, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(rr: Int): Double = {
+      val pq = Ann.pqTopK(emb, "vec_id", "embedding", 0L to 9L, 5,
+        subspaces = 8, codebook = 16, rerank = rr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf & pq).size.toDouble / bf.size
+    }
+    // shortlist 100 of 500 then exact re-rank: near-exhaustive quality
+    val reranked = recall(100)
+    assert(reranked >= 0.9, s"reranked recall $reranked")
+    assert(reranked >= recall(0), "re-ranking must not lose recall vs the raw ADC scan")
+  }
+
   test("quality classifier: linear, deterministic, bounded; empty docs fail") {
     import spark.implicits._
     val docs = Seq(
