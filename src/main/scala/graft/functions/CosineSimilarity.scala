@@ -59,22 +59,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh local names: with non-nullable children nullSafeCodeGen
+      // splices this block UNbraced into the shared method scope, so
+      // several instances in one projection (the unrolled IVF argmax is
+      // exactly that) would collide on fixed names and silently fall the
+      // whole projection back to interpreted eval
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double dot = 0.0, na = 0.0, nb = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    double x = $a.getDouble(i);
-         |    double y = $b.getDouble(i);
-         |    dot += x * y;
-         |    na += x * x;
-         |    nb += y * y;
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $x = $a.getDouble($i);
+         |    double $y = $b.getDouble($i);
+         |    $dot += $x * $y;
+         |    $na += $x * $x;
+         |    $nb += $y * $y;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |  }
          |}
        """.stripMargin
@@ -93,6 +105,16 @@ object GraftFunctions {
     CosineSimilarity(args(0), args(1))
   }
 
+  private[functions] val l2sqBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, s"graft_l2sq requires exactly 2 arguments, got ${args.length}")
+    L2Squared(args(0), args(1))
+  }
+
+  private[functions] val pqAssignBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, s"graft_pq_assign requires exactly 2 arguments, got ${args.length}")
+    PqAssignCode(args(0), args(1))
+  }
+
   /** Idempotent per-session registration so `call_function` can resolve
     * the expression by name. On a cluster deployment the same builder is
     * injected via `SparkSessionExtensions` ([[GraftExtensions]]) instead.
@@ -102,6 +124,10 @@ object GraftFunctions {
       "graft_cosine", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", UnicodeNormalize.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2sq", l2sqBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_assign", pqAssignBuilder, "built-in")
   }
 
   /** Cosine similarity column over two array<double> columns. The
@@ -109,4 +135,18 @@ object GraftFunctions {
     */
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+
+  /** Squared-L2 distance column over two array<double> columns. The
+    * session the plan runs on must have called [[register]].
+    */
+  def l2sq(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_l2sq", a, b)
+
+  /** PQ code assignment: argmin-distance centroid id of a sub-vector
+    * against an `array<struct<cid,cv>>` codebook column (ties to the
+    * larger cid). The session the plan runs on must have called
+    * [[register]].
+    */
+  def pqAssign(sub: Column, codebook: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_pq_assign", sub, codebook)
 }

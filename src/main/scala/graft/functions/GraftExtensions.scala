@@ -23,5 +23,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_nfc"),
         new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_nfc"),
         UnicodeNormalize.builder))
+    extensions.injectFunction(
+      (
+        FunctionIdentifier("graft_l2sq"),
+        new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
+        GraftFunctions.l2sqBuilder))
+    extensions.injectFunction(
+      (
+        FunctionIdentifier("graft_pq_assign"),
+        new ExpressionInfo(classOf[PqAssignCode].getName, "graft_pq_assign"),
+        GraftFunctions.pqAssignBuilder))
   }
 }

@@ -24,7 +24,9 @@ object Ann {
     */
   def cosine(a: Column, b: Column): Column = graft.functions.GraftFunctions.cosine(a, b)
 
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  // array<float> -> array<double> as ONE codegen'd Cast — not
+  // transform(_.cast(...)), whose lambda layer is CodegenFallback
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Exact top-k neighbors for each query id (query rows are taken from
     * the corpus itself). Self-matches excluded; ties broken by neighbor
@@ -210,29 +212,27 @@ object Ann {
 
   // ---- Product quantization (PQ) ----------------------------------------
 
-  /** Squared L2 distance between two array<double> columns as a
-    * sequential left-to-right fold (`zip_with` + `aggregate`) — bit
-    * deterministic, so an oracle summing the same terms in the same
-    * order replays it exactly.
-    */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), _ + _)
-
   /** Per-subspace argmin code: the closest codebook centroid to this
     * row's `m`-th sub-vector, ties to the larger code (the same struct
     * argmax convention as the IVF assignment, with negated distance).
     * A single literal carries the codebook, so the plan is O(1) in the
     * codebook size — a pure map-side expression, zero shuffle.
+    *
+    * The argmin itself is the native codegen'd graft_pq_assign
+    * expression (functions/PqAssignCode.scala) — the previous
+    * `array_max(transform(cbLit, c -> struct(-l2sq(sub, cv), cid)))`
+    * formulation was CodegenFallback at the `transform` layer, paying
+    * interpreted lambda dispatch per row × centroid in the corpus-wide
+    * encode scan. Output is identical (same sequential-sum distances,
+    * same larger-cid tie-break), so the PQ oracles replay unchanged.
     */
-  private def pqCodeExpr(
+  private[operators] def pqCodeExpr(
       m: Int,
       subDim: Int,
       cb: Array[(Int, Seq[Double])]): Column = {
     val cbLit = typedLit(cb.toSeq).cast("array<struct<cid:int,cv:array<double>>>")
     val sub = slice(col("v"), m * subDim + 1, subDim)
-    array_max(transform(cbLit, c =>
-      struct((-l2sq(sub, c.getField("cv"))).as("s"), c.getField("cid").as("cid"))))
-      .getField("cid")
+    graft.functions.GraftFunctions.pqAssign(sub, cbLit)
   }
 
   /** Deterministic per-subspace Lloyd training of the PQ codebooks
@@ -253,6 +253,7 @@ object Ann {
       subspaces: Int,
       codebook: Int,
       iters: Int): Array[Array[(Int, Seq[Double])]] = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val initRows = corpus.orderBy("id").limit(codebook).collect()
     var codebooks: Array[Array[(Int, Seq[Double])]] = (0 until subspaces).map { m =>
       initRows.zipWithIndex.map { case (r, i) =>
@@ -266,12 +267,26 @@ object Ann {
           pqCodeExpr(m, subDim, codebooks(m)).as("code"),
           slice(col("v"), m * subDim + 1, subDim).as("sv"))): _*)).as("x"))
         .select(col("x.m").as("m"), col("x.code").as("code"), col("x.sv").as("sv"))
-      val meanCols = (0 until subDim).map(i => avg(col("sv").getItem(i)).as(s"d$i"))
-      val means = coded.groupBy("m", "code").agg(meanCols.head, meanCols.tail: _*).collect()
+      // centroid means via ORDER-INDEPENDENT integer sums: each member
+      // coordinate quantizes to nano-units (round(x·1e9) as long) before
+      // the sum, so Spark's partial aggregation order cannot shift the
+      // mean by an ulp — float avg here was a latent flaky-oracle risk
+      // (a last-ulp centroid drift can flip the 1e9-rounded ADC integer
+      // near a .5 boundary, and partial-agg order varies run to run).
+      // The mean is then the one fixed expression sumNanos/count/1e9
+      // replayed verbatim by the DuckDB oracle. Long capacity bounds the
+      // design at ~1e9 members per cluster at unit scale — tier the sum
+      // before that at 100 TB.
+      val sumCols = (0 until subDim).map(i =>
+        sum(round(col("sv").getItem(i) * 1e9).cast("long")).as(s"d$i"))
+      val aggCols = sumCols :+ count(lit(1)).as("cnt")
+      val means = coded.groupBy("m", "code").agg(aggCols.head, aggCols.tail: _*).collect()
       val next = Array.fill(subspaces)(
         scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Double])])
       means.foreach { r =>
-        next(r.getInt(0)) += ((r.getInt(1), (0 until subDim).map(i => r.getDouble(i + 2))))
+        val cnt = r.getLong(subDim + 2)
+        next(r.getInt(0)) += ((r.getInt(1),
+          (0 until subDim).map(i => r.getLong(i + 2).toDouble / cnt / 1e9)))
       }
       codebooks = next.map(_.sortBy(_._1).toArray)
     }
@@ -309,6 +324,7 @@ object Ann {
       iters: Int = 2,
       rerank: Int = 0,
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val corpus = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")).cache()
     val dim = corpus.select(size(col("v"))).head.getInt(0)
     require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
@@ -347,6 +363,15 @@ object Ann {
         .reduce(_ + _)
       encoded.filter(col("id") =!= qid)
         .select(lit(qid).as("query_id"), col("id").as("neighbor_id"), adc.as("adc"))
+    }
+    if (perQuery.isEmpty) {
+      // no queryIds present in the corpus: an empty result, like
+      // bruteForceTopK's join would produce (reduce on Nil would throw)
+      val empty = corpus.sparkSession.range(0)
+        .select(col("id").as("query_id"), col("id").as("neighbor_id"))
+      encoded.unpersist()
+      corpus.unpersist()
+      return empty
     }
     val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
     val shortlisted = scored.reduce(_.union(_))

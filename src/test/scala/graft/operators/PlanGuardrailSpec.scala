@@ -64,6 +64,31 @@ class PlanGuardrailSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("HashAggregate"), "assignment must not aggregate")
   }
 
+  test("PQ encode/scoring stages are map-side and fully codegen'd (no CodegenFallback)") {
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = embs.selectExpr(
+      "vec_id as id", "cast(embedding as array<double>) as v")
+    val cb = Array.tabulate(4)(i => (i, Seq.tabulate(8)(d => (i + d).toDouble)))
+    // the encode scan: one code column per subspace over the codebook
+    // literal — the corpus-wide stage that must not pay interpreted
+    // lambda dispatch (the old array_max(transform(...)) formulation was
+    // CodegenFallback; graft_pq_assign is the native replacement)
+    val encoded = corpus.withColumn("codes",
+      org.apache.spark.sql.functions.array(
+        (0 until 2).map(m => Ann.pqCodeExpr(m, 8, cb)): _*))
+    val p = plan(encoded)
+    assert(!p.contains("Join"), s"PQ encode must not join: $p")
+    assert(!p.contains("Exchange"), s"PQ encode must not shuffle: $p")
+    val exec = encoded.queryExecution.executedPlan
+    val fallbacks = exec.collect { case sp =>
+      sp.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback => e
+      })
+    }.flatten
+    assert(fallbacks.isEmpty,
+      s"PQ encode contains CodegenFallback expressions: ${fallbacks.map(_.prettyName)}")
+  }
+
   test("quality classifier stays a scan-level projection") {
     val p = plan(QualityClassifier.score(docs, "doc_id", "text"))
     assert(!p.contains("Exchange"), s"classifier scoring must not shuffle: $p")
