@@ -8,8 +8,8 @@ import org.apache.spark.sql.SparkSession
 /** Command-line entry points mirroring the reference CLI surface
   * (cli/__init__.py:76-187 cleanup/simplify/inspect, cli/export.py:15-39
   * graph/sql, cli/__init__.py:437 generate, cli/__init__.py:189
-  * simplify_llm under the offline client) minus the env-absent lanes
-  * (web UI, MLflow logging, live model endpoints): every command
+  * simplify_llm under the offline client, cli/__init__.py:58-74 `ui`)
+  * minus the env-absent lanes (live model endpoints): every command
   * dispatches to the same library modules the registered queries use.
   *
   *   sbt "runMain graft.Cli inspect /root/testdata/sf0.001"
@@ -41,6 +41,7 @@ object Cli {
         |  export sql|cypher <dir> [--db NAME] [--out DIR]
         |  generate [--size N] [--out DIR]                 synthetic instance from the demo schema
         |  cache-clear <dir>                               remove a corpus parse cache
+        |  ui [--port P] [--bind-all]                      browser workbench (loopback unless --bind-all)
         |  pipeline profile|dedup|sample|pack|rank|quantiles <docs.parquet>
         |           [--id C] [--text C] [--out DIR]
         |           [--method exact|lines|ngram|minhash|simhash]   (dedup)
@@ -421,8 +422,25 @@ object Cli {
       } else println(s"no cache at $dir")
       spark.stop()
 
+    // browser workbench (cli/__init__.py:58-74 `ui` launches streamlit):
+    // serves graft.ui.UiServer on loopback unless --bind-all is passed
+    case "ui" :: rest =>
+      val running = startUi(session(), parseOpts(rest))
+      println(s"graft workbench listening on http://localhost:${running.port}/")
+      // block until interrupted; ^C stops the JVM and with it the server
+      Thread.currentThread().join()
+
     case _ => usage()
   }
+
+  /** The `ui` dispatch body, factored out so CliSpec can exercise the
+    * option wiring against the shared test session (main owns the block
+    * loop; this owns semantics).
+    */
+  private[graft] def startUi(spark: SparkSession, opts: Map[String, String]): graft.ui.UiServer.Running =
+    graft.ui.UiServer.start(spark,
+      port = opts.getOrElse("port", "8501").toInt,
+      bindAll = opts.contains("bind-all"))
 
   /** The `pipeline` subcommand's frame builder, factored out so the
     * dispatch is unit-testable against the shared test session (main

@@ -104,9 +104,9 @@ object CypherExecutor {
     * write needs: indexes, then node MERGEs, then edge MERGEs — edges
     * MATCH their endpoint nodes, so node statements must all land
     * first (the statement Dataset is distinct()ed and carries no
-    * order). Against a real connector each phase is a pass over the
-    * Dataset with one session per partition; the offline session
-    * collects instead, because its state is a driver-side test double.
+    * order). This entry point collects, because the offline double's
+    * state is driver-side; [[runDistributed]] is the per-partition
+    * path a real connector uses.
     */
   def run(export: CypherExporter.CypherExport, session: CypherSession,
       cleanup: Boolean = false): Unit = {
@@ -117,5 +117,52 @@ object CypherExecutor {
     nodeStmts.foreach(session.run)
     edgeStmts.foreach(session.run)
     if (cleanup) export.cleanup.foreach(session.run)
+  }
+
+  /** Distributed execution against a live connector: the same three
+    * phases, but node and edge MERGEs each run as ONE per-partition
+    * pass over the statement Dataset with a session per task — the
+    * factory is invoked on the executor, the statement set never
+    * reaches the driver (reference write path
+    * database/export/cypher.py:89-176 streams batches through a driver
+    * session; at 100 TB the statement stream must stay distributed).
+    *
+    * Phase boundaries are separate Spark actions, so every node MERGE
+    * commits before any edge MERGE starts — edges MATCH their endpoint
+    * nodes. Index statements (bounded by label variety) and the cleanup
+    * tail run once through a driver-side session from the same factory.
+    *
+    * The factory must be serializable (an `object`-held function or a
+    * closure over serializable config — host, credentials — not over a
+    * live connection).
+    */
+  def runDistributed(
+      export: CypherExporter.CypherExport,
+      factory: () => CypherSession,
+      cleanup: Boolean = false): Unit = {
+    val stmts = export.statements.persist()
+    try {
+      val isIndex = (s: String) => s.startsWith("CREATE INDEX")
+      val isNode = (s: String) => s.startsWith("MERGE (n:")
+
+      val driverSession = factory()
+      try stmts.filter(isIndex(_)).collect().foreach(driverSession.run)
+      finally driverSession.close()
+
+      def phase(pred: String => Boolean): Unit =
+        stmts.filter(pred(_)).foreachPartition { (it: Iterator[String]) =>
+          if (it.hasNext) {
+            val s = factory()
+            try it.foreach(s.run) finally s.close()
+          }
+        }
+      phase(s => !isIndex(s) && isNode(s))
+      phase(s => !isIndex(s) && !isNode(s))
+
+      if (cleanup) {
+        val tail = factory()
+        try export.cleanup.foreach(tail.run) finally tail.close()
+      }
+    } finally stmts.unpersist()
   }
 }

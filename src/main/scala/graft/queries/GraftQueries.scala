@@ -1024,8 +1024,18 @@ object GraftQueries {
     "ml_parse_documents" -> ((s, d) => {
       import s.implicits._
       val parser = new graft.nlp.MlTagParser(mlTagModel(s))
-      s.read.parquet(s"$d/documents.parquet")
-        .select("text").as[String]
+      // oracle contract: the dictionary join on the DuckDB side drops
+      // out-of-vocabulary tokens, while the chunker tags every token —
+      // they agree exactly BECAUSE the corpus vocabulary is covered, so
+      // a new corpus word must fail loudly here, not desynchronize the
+      // two sides silently
+      val vocab = graft.nlp.MlTagger.Dictionary.map(_._1).toSet
+      val docsDs = s.read.parquet(s"$d/documents.parquet").select("text").as[String]
+      // same tokenization as MlTagParser.parse (split on runs of whitespace)
+      val oov = docsDs.flatMap(_.split("\\s+").iterator.filter(w => w.nonEmpty && !vocab.contains(w))).take(1)
+      require(oov.isEmpty,
+        s"ml_parse_documents oracle requires full vocabulary coverage; OOV token: '${oov.mkString}'")
+      docsDs
         .flatMap { t =>
           parser.parse(t, "English").toSeq.flatMap(_.children.collect {
             case graft.core.Child.Node(c) => c.label.name
@@ -1298,6 +1308,32 @@ object GraftQueries {
         .filter(col("ok"))
         .select(col("id").as("doc_id"), col("width"), col("height"),
           col("n_samples"), col("sum_luma"))
+    }),
+
+    // REAL WAV decode (JDK javax.sound.sampled — no stub): per document
+    // a deterministic PCM-16 WAV is encoded (rate/channels/frames and
+    // every sample pure functions of doc_id), then decoded back through
+    // the real codec and feature-extracted. WAV PCM is lossless, so the
+    // format fields, the exact integer amplitude sum, and the integer
+    // duration are recomputable arithmetically by the oracle — the
+    // encode→decode→extract loop is what's tested.
+    "audio_features_documents" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val wavs = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id").as[Long]
+        .map { id =>
+          val rate = 8000 * (1 + (id % 3).toInt)
+          val ch = 1 + (id % 2).toInt
+          val frames = 40 + (id % 25).toInt
+          (id, Multimodal.WavCodec.encodePcm16(rate, ch, frames,
+            k => (((id * 17 + k * 13) % 2048) - 1024).toInt))
+        }
+        .toDF("doc_id", "media")
+      Multimodal.audioFeatures(wavs, "doc_id", "media")
+        .filter(col("ok"))
+        .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("n_samples"), col("sum_amplitude"), col("duration_ms"))
     }),
 
     "events_hourly" -> ((s, d) => {
@@ -2488,6 +2524,27 @@ object GraftQueries {
         |WHERE t.k < g.width * g.height
         |GROUP BY g.doc_id, g.width, g.height""".stripMargin,
 
+    // the PCM-16 fixture is pure arithmetic in doc_id: format fields
+    // from the same formulas, amplitude sum = sum over interleaved
+    // sample index k of ((doc_id*17 + k*13) mod 2048) - 1024 — exact
+    // because WAV PCM is lossless. Max samples are 64 frames × 2
+    // channels = 128, so a constant range cross-join covers every k;
+    // duration is integer millisecond arithmetic on both sides.
+    "audio_features_documents" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+        |         CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |         CAST(40 + doc_id % 25 AS BIGINT) AS n_frames
+        |  FROM documents)
+        |SELECT g.doc_id, g.sample_rate, g.channels, g.n_frames,
+        |       CAST(g.n_frames * g.channels AS BIGINT) AS n_samples,
+        |       CAST(sum((g.doc_id * 17 + t.k * 13) % 2048 - 1024) AS BIGINT) AS sum_amplitude,
+        |       CAST(g.n_frames * 1000 // g.sample_rate AS BIGINT) AS duration_ms
+        |FROM g, range(0, 128) t(k)
+        |WHERE t.k < g.n_frames * g.channels
+        |GROUP BY g.doc_id, g.sample_rate, g.channels, g.n_frames""".stripMargin,
+
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type,
@@ -3267,9 +3324,17 @@ object GraftQueries {
          |         row_number() OVER (PARTITION BY s.vec_id
          |           ORDER BY ${dist("s.sv", "c.cv")} ASC, c.cid DESC) AS rn
          |  FROM $from s, $cents c) t WHERE rn = 1""".stripMargin
+    // centroid means replay the Spark side's ORDER-INDEPENDENT integer
+    // formulation (operators/Ann.scala pqTrain): nano-quantized member
+    // coordinates summed as BIGINT, then the one fixed double expression
+    // sumNanos/count/1e9 — float avg would expose partial-aggregation
+    // summation order, where an ulp of centroid drift can flip the
+    // 1e9-rounded ADC integers
     def means(a: String): String =
       s"""SELECT cid, list(mv ORDER BY pos) AS cv FROM (
-         |  SELECT cid, pos, avg(val) AS mv FROM (
+         |  SELECT cid, pos,
+         |         CAST(sum(CAST(round(val * 1e9) AS BIGINT)) AS DOUBLE) / count(*) / 1e9 AS mv
+         |  FROM (
          |    SELECT cid, unnest(sv) AS val, unnest(range(1, len(sv) + 1)) AS pos
          |    FROM $a) u
          |  GROUP BY cid, pos) g GROUP BY cid""".stripMargin

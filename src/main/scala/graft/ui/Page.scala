@@ -110,6 +110,9 @@ private[ui] object Page {
       |</main>
       |<script>
       |function ev(id){return encodeURIComponent(document.getElementById(id).value)}
+      |// labels/values come from imported files — escape before innerHTML
+      |function esc(v){return String(v).replace(/[&<>"']/g,
+      |  c=>({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]))}
       |function show(id){
       |  document.querySelectorAll('section').forEach(s=>s.classList.remove('active'));
       |  document.getElementById(id).classList.add('active');
@@ -141,19 +144,19 @@ private[ui] object Page {
       |  if(s.error){setStatus(s.error,true);return}
       |  let h='<h3>Groups</h3><table><tr><th>group</th><th>entities</th></tr>';
       |  for(const [g,ents] of Object.entries(s.groups))
-      |    h+=`<tr><td>${g}</td><td>${ents.join(', ')}</td></tr>`;
+      |    h+=`<tr><td>${esc(g)}</td><td>${esc(ents.join(', '))}</td></tr>`;
       |  h+='</table><h3>Relations</h3><table><tr><th>relation</th><th>left</th><th>right</th></tr>';
-      |  for(const r of s.relations) h+=`<tr><td>${r.name}</td><td>${r.left}</td><td>${r.right}</td></tr>`;
-      |  h+='</table><h3>Productions</h3><pre>'+s.productions.join('\n')+'</pre>';
+      |  for(const r of s.relations) h+=`<tr><td>${esc(r.name)}</td><td>${esc(r.left)}</td><td>${esc(r.right)}</td></tr>`;
+      |  h+='</table><h3>Productions</h3><pre>'+esc(s.productions.join('\n'))+'</pre>';
       |  document.getElementById('schema').innerHTML=h;
       |}
       |async function instances(){
       |  const g=ev('inst-group'),l=ev('inst-limit');
       |  const d=await (await fetch(`/api/instances?group=${g}&limit=${l}`)).json();
       |  if(d.error){setStatus(d.error,true);return}
-      |  let h='<table><tr>'+d.columns.map(c=>`<th>${c}</th>`).join('')+'</tr>';
+      |  let h='<table><tr>'+d.columns.map(c=>`<th>${esc(c)}</th>`).join('')+'</tr>';
       |  for(const row of d.rows)
-      |    h+='<tr>'+d.columns.map(c=>`<td>${row[c]??''}</td>`).join('')+'</tr>';
+      |    h+='<tr>'+d.columns.map(c=>`<td>${esc(row[c]??'')}</td>`).join('')+'</tr>';
       |  document.getElementById('instances').innerHTML=h+'</table>';
       |}
       |async function rewrite(){

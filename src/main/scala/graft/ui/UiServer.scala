@@ -79,9 +79,18 @@ object UiServer {
     }
   }
 
-  def start(spark: SparkSession, port: Int = 0): Running = {
+  /** Binds loopback unless `bindAll` is set: the API reads and writes
+    * filesystem paths from query parameters, so a wildcard bind would hand
+    * those capabilities to anyone on the network. Non-local exposure is an
+    * explicit opt-in (`Cli ui --bind-all`), mirroring streamlit's own
+    * localhost default.
+    */
+  def start(spark: SparkSession, port: Int = 0, bindAll: Boolean = false): Running = {
     val state = new State(spark)
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val addr =
+      if (bindAll) new InetSocketAddress(port)
+      else new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, port)
+    val server = HttpServer.create(addr, 0)
     server.createContext("/", handler(state))
     server.setExecutor(null) // single-threaded: mutations serialize naturally
     server.start()

@@ -57,4 +57,20 @@ class CliPipelineSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](
       Cli.pipelineFrame("dedup", docs(), Map("method" -> "nope")))
   }
+
+  test("ui dispatch starts the workbench, loopback-bound by default") {
+    val running = Cli.startUi(spark, Map("port" -> "0"))
+    try {
+      // the API reads and writes filesystem paths from query params, so
+      // the default bind MUST be loopback; --bind-all is the opt-in
+      assert(running.server.getAddress.getAddress.isLoopbackAddress,
+        s"ui bound ${running.server.getAddress} instead of loopback")
+      val client = java.net.http.HttpClient.newHttpClient()
+      val body = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${running.port}/")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      assert(body.contains("<h1>graft</h1>"))
+    } finally running.stop()
+  }
 }

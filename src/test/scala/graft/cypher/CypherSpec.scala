@@ -146,4 +146,69 @@ class CypherSpec extends AnyFunSuite with SparkSpec {
       "(GROUP::x (ENT::n 42) (ENT::f 1.5) (ENT::b true) (ENT::s O'Brien))"))
     assert(props.toMap == Map("n" -> "42", "f" -> "1.5", "b" -> "true", "s" -> "'O\\'Brien'"))
   }
+
+  test("distributed executor: per-task factory sessions, phased passes, nothing lost") {
+    val forest = graft.sources.RelationalLoader.load(
+      spark, "/root/testdata/sf0.001", graft.sources.Testdata.customerDb)
+    val schema = Schema.fromForest(Forest.toNodesDF(forest))
+    val ex = CypherExporter.export(forest, schema)
+    val want = ex.statements.collect().toSeq
+
+    RecordingCypherSessions.reset()
+    CypherExecutor.runDistributed(ex, () => RecordingCypherSessions.open(), cleanup = true)
+
+    import scala.jdk.CollectionConverters._
+    val events = RecordingCypherSessions.events.asScala.toSeq.sortBy(_._1)
+    val stmts = events.map(_._2)
+    // exactly the exported script plus the cleanup tail, nothing dropped
+    // or duplicated across tasks
+    assert(stmts.sorted == (want ++ ex.cleanup).sorted)
+
+    // phase barriers: every index statement lands before every node
+    // MERGE, every node MERGE before every edge MERGE, cleanup last —
+    // the property a live bolt write needs (edges MATCH their nodes)
+    def positions(p: String => Boolean) =
+      stmts.zipWithIndex.collect { case (s, i) if p(s) => i }
+    val idx = positions(_.startsWith("CREATE INDEX"))
+    val nodes = positions(_.startsWith("MERGE (n:"))
+    val edges = positions(s => s.startsWith("MATCH (src:"))
+    val tail = positions(s => ex.cleanup.contains(s))
+    assert(idx.nonEmpty && nodes.nonEmpty && edges.nonEmpty && tail.nonEmpty)
+    assert(idx.max < nodes.min, "an index statement ran after a node MERGE")
+    assert(nodes.max < edges.min, "a node MERGE ran after an edge MERGE")
+    assert(edges.max < tail.min, "cleanup ran before the last edge MERGE")
+
+    // session hygiene: every opened session was closed, and the data
+    // phases opened executor-side sessions (not one driver session)
+    assert(RecordingCypherSessions.opened.get() == RecordingCypherSessions.closed.get())
+    assert(RecordingCypherSessions.opened.get() >= 4,
+      s"expected driver + per-task sessions, got ${RecordingCypherSessions.opened.get()}")
+  }
+}
+
+/** Shared-JVM recording double for the distributed executor spec: in
+  * `local[n]` the executors see this object's statics, so per-task
+  * sessions can append to one global, ordered event log. The factory
+  * closure serializes by module reference — exactly the shape a real
+  * bolt factory (closing over host/credentials, not a connection) has.
+  */
+object RecordingCypherSessions {
+  import java.util.concurrent.ConcurrentLinkedQueue
+  import java.util.concurrent.atomic.AtomicLong
+
+  val seq = new AtomicLong(0)
+  val events = new ConcurrentLinkedQueue[(Long, String)]()
+  val opened = new AtomicLong(0)
+  val closed = new AtomicLong(0)
+
+  def reset(): Unit = { seq.set(0); events.clear(); opened.set(0); closed.set(0) }
+
+  def open(): CypherSession = {
+    opened.incrementAndGet()
+    new CypherSession {
+      override def run(statement: String): Unit =
+        events.add((seq.incrementAndGet(), statement))
+      override def close(): Unit = { closed.incrementAndGet(); () }
+    }
+  }
 }

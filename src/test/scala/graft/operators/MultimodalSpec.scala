@@ -97,4 +97,48 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out.values.forall(_.length == 32))
     assert(out(1L).take(11).toSeq == "hello world".getBytes("UTF-8").toSeq)
   }
+
+  test("WavCodec: PCM-16 round trip is bit-exact; header probe matches decode") {
+    val samples = Array.tabulate(100)(k => ((k * 37) % 2048) - 1024)
+    val wav = Multimodal.WavCodec.encodePcm16(16000, 2, 50, samples(_))
+    // header-only probe — no sample decode
+    val info = Multimodal.WavCodec.info(wav)
+    assert(info.contains(Multimodal.WavCodec.WavInfo(16000, 2, 50L)))
+    // full decode recovers the exact integer sum in interleaved order
+    val (dInfo, sum, n) = Multimodal.WavCodec.sumSamples(wav).get
+    assert(dInfo == info.get)
+    assert(n == 100L)
+    assert(sum == samples.map(_.toLong).sum)
+  }
+
+  test("WavCodec: corrupt / empty / non-audio bytes degrade to None, never throw") {
+    for (bad <- Seq(null, Array.empty[Byte], "not a wav at all".getBytes,
+        Multimodal.ImageIoCodec.encodeGrayPng(4, 4, identity))) {
+      assert(Multimodal.WavCodec.info(bad).isEmpty)
+      assert(Multimodal.WavCodec.sumSamples(bad).isEmpty)
+    }
+    // a truncated-but-valid-header WAV must not throw either
+    val wav = Multimodal.WavCodec.encodePcm16(8000, 1, 10, _ => 7)
+    val truncated = wav.take(wav.length - 5)
+    Multimodal.WavCodec.sumSamples(truncated) // any Option is fine; no exception
+  }
+
+  test("audioFeatures: real decode through the batch stage, corrupt rows flagged ok=false") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.WavCodec.encodePcm16(8000, 1, 40, k => k - 20)),
+      (2L, Multimodal.WavCodec.encodePcm16(24000, 2, 60, k => 100 - k)),
+      (3L, "corrupt payload".getBytes))
+      .toDF("id", "media")
+    val out = Multimodal.audioFeatures(rows, "id", "media", batchSize = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1) && out(1L).getInt(2) == 8000 && out(1L).getInt(3) == 1)
+    assert(out(1L).getLong(4) == 40L && out(1L).getLong(5) == 40L)
+    assert(out(1L).getLong(6) == (0 until 40).map(_ - 20).sum.toLong)
+    assert(out(1L).getLong(7) == 5L) // 40 frames / 8000 Hz = 5 ms
+    assert(out(2L).getBoolean(1) && out(2L).getInt(2) == 24000 && out(2L).getInt(3) == 2)
+    assert(out(2L).getLong(4) == 60L && out(2L).getLong(5) == 120L)
+    assert(out(2L).getLong(6) == (0 until 120).map(100 - _).sum.toLong)
+    assert(!out(3L).getBoolean(1) && out(3L).getLong(6) == 0L)
+  }
 }

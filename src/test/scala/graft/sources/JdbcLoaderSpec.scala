@@ -89,4 +89,50 @@ class JdbcLoaderSpec extends AnyFunSuite with SparkSpec {
     assert(Forest.collectTrees(viaPartitioned).map(_.render).sorted ==
       Forest.collectTrees(viaSingle).map(_.render).sorted)
   }
+
+  test("FK-cycle catalog: reflection picks the max-FK cycle member as root; live load equals the parquet path") {
+    // employee <-> department cycle (employee carries MORE FKs, so it is
+    // the designated cycle root per database/loader/sql.py:51-102) plus
+    // an acyclic badge dimension; mutual rows land via a nullable FK +
+    // post-insert UPDATE, the standard cyclic-insert idiom
+    val curl = "jdbc:derby:memory:graftcycle;create=true"
+    val conn = DriverManager.getConnection(curl)
+    try {
+      val st = conn.createStatement()
+      def ddl(sql: String): Unit = st.executeUpdate(sql)
+      ddl("""CREATE TABLE "badge" ("badge_id" INT PRIMARY KEY, "b_kind" VARCHAR(16))""")
+      ddl("""CREATE TABLE "department" ("dept_id" INT PRIMARY KEY, "d_name" VARCHAR(16), "manager_id" INT)""")
+      ddl("""CREATE TABLE "employee" ("emp_id" INT PRIMARY KEY, "e_name" VARCHAR(16),
+            | "dept_id" INT REFERENCES "department" ("dept_id"),
+            | "badge_id" INT REFERENCES "badge" ("badge_id"))""".stripMargin)
+      ddl("""ALTER TABLE "department" ADD FOREIGN KEY ("manager_id") REFERENCES "employee" ("emp_id")""")
+      for (i <- 1 to 3) ddl(s"""INSERT INTO "badge" VALUES ($i, 'kind$i')""")
+      ddl("""INSERT INTO "department" VALUES (10, 'eng', NULL), (20, 'ops', NULL)""")
+      ddl("""INSERT INTO "employee" VALUES (101, 'alice', 10, 1), (102, 'bob', 10, 2), (201, 'carol', 20, 3)""")
+      ddl("""UPDATE "department" SET "manager_id" = 101 WHERE "dept_id" = 10""")
+      ddl("""UPDATE "department" SET "manager_id" = 201 WHERE "dept_id" = 20""")
+      st.close()
+    } finally conn.close()
+
+    val cfg = JdbcCatalog.reflect(curl, "APP")
+    val byName = cfg.tables.map(t => t.name -> t).toMap
+    assert(byName("employee").fks.map(_.refTable).toSet == Set("badge", "department"))
+    assert(byName("department").fks.map(_.refTable) == Seq("employee"))
+    // every table is FK-referenced, so the only roots are cycle roots —
+    // and the cycle designates its max-FK member, employee (2 FKs vs 1)
+    assert(cfg.rootTables.map(_.name) == Seq("employee"))
+
+    val viaJdbc = RelationalLoader.loadJdbc(spark, curl, cfg, dbtable = quoted)
+    val jdbcRendered = Forest.collectTrees(viaJdbc).map(_.render).sorted
+    assert(jdbcRendered.size == 3) // one tree per employee row
+
+    // parquet-path differential: same tables snapshotted to parquet and
+    // loaded through the SAME reflected config must yield the same forest
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cycle").toString
+    for (t <- cfg.tables.map(_.name))
+      spark.read.jdbc(curl, quoted(t), new java.util.Properties())
+        .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    val viaParquet = RelationalLoader.load(spark, tmp, cfg)
+    assert(jdbcRendered == Forest.collectTrees(viaParquet).map(_.render).sorted)
+  }
 }
