@@ -115,6 +115,11 @@ object GraftFunctions {
     PqAssignCode(args(0), args(1))
   }
 
+  private[functions] val cosineArgmaxBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, s"graft_cosine_argmax requires exactly 2 arguments, got ${args.length}")
+    ArgmaxCosine(args(0), args(1))
+  }
+
   /** Idempotent per-session registration so `call_function` can resolve
     * the expression by name. On a cluster deployment the same builder is
     * injected via `SparkSessionExtensions` ([[GraftExtensions]]) instead.
@@ -128,6 +133,8 @@ object GraftFunctions {
       "graft_l2sq", l2sqBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_assign", pqAssignBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine_argmax", cosineArgmaxBuilder, "built-in")
   }
 
   /** Cosine similarity column over two array<double> columns. The
@@ -149,4 +156,12 @@ object GraftFunctions {
     */
   def pqAssign(sub: Column, codebook: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_pq_assign", sub, codebook)
+
+  /** IVF assignment: id of the max-cosine centroid from an
+    * `array<struct<cid,cv>>` column (ties to the larger cid, NaN above
+    * every number). The session the plan runs on must have called
+    * [[register]].
+    */
+  def cosineArgmax(v: Column, centroids: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_cosine_argmax", v, centroids)
 }

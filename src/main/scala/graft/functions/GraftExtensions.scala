@@ -33,5 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_pq_assign"),
         new ExpressionInfo(classOf[PqAssignCode].getName, "graft_pq_assign"),
         GraftFunctions.pqAssignBuilder))
+    extensions.injectFunction(
+      (
+        FunctionIdentifier("graft_cosine_argmax"),
+        new ExpressionInfo(classOf[ArgmaxCosine].getName, "graft_cosine_argmax"),
+        GraftFunctions.cosineArgmaxBuilder))
   }
 }

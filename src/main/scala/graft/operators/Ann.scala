@@ -74,10 +74,15 @@ object Ann {
 
   /** (id, v, cid): closest centroid per corpus vector (columns `id`,
     * `v`). Unrolled: one codegen'd greatest() argmax, plan size
-    * O(nLists). Large path: the same argmax as
-    * `array_max(transform(centroidsLit, …))` — struct ordering on
-    * (s, cid) IS greatest()'s larger-cid tie-break — with the centroid
-    * set embedded as a single literal, so plan size is O(1) in nLists.
+    * O(nLists). Large path: the native graft_cosine_argmax expression
+    * (functions/ArgmaxCosine.scala) over the centroid set embedded as a
+    * single literal — plan size O(1) in nLists AND fully codegen'd; the
+    * previous `array_max(transform(centroidsLit, …))` formulation was
+    * CodegenFallback at the `transform` layer, paying interpreted
+    * lambda dispatch per row × centroid in the corpus-wide assignment
+    * scan (THE 100 TB stage of the index). Same sequential cosine fold
+    * and the same (s, cid) larger-cid tie-break as greatest(), so the
+    * two paths stay bit-identical (pinned by the equivalence spec).
     * Both paths are per-row map-side expressions: zero shuffle, no join,
     * no row-identity key, deterministic under task retry, and a corpus
     * with duplicate ids keeps every row with identical multiplicity.
@@ -88,7 +93,8 @@ object Ann {
   private[operators] def assignToCentroids(
       corpus: DataFrame,
       cents: Array[(Int, Seq[Double])],
-      unrolled: Boolean): DataFrame =
+      unrolled: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     if (cents.length == 1)
       // degenerate but legal (k=1 = "one global cluster"): greatest()
       // needs two arguments, and no argmax is needed anyway
@@ -103,10 +109,8 @@ object Ann {
     } else
       corpus.withColumn(
         "cid",
-        array_max(transform(
-          centroidsLit(cents),
-          c => struct(cosine(col("v"), c.getField("cv")).as("s"), c.getField("cid").as("cid"))))
-          .getField("cid"))
+        graft.functions.GraftFunctions.cosineArgmax(col("v"), centroidsLit(cents)))
+  }
 
   /** Deterministic Lloyd iteration over an (`id`, `v`) corpus: init =
     * the first `k` vectors by id (driver collect bounded by k·dim — the

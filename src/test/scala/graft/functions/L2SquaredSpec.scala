@@ -77,6 +77,33 @@ class L2SquaredSpec extends AnyFunSuite with SparkSpec {
     assert(tie == 5)
   }
 
+  test("graft_cosine_argmax matches the array_max(transform(...)) argmax, ties and NaN included") {
+    GraftFunctions.register(spark)
+    val cb = Seq(
+      (0, Seq(1.0, 0.0, 0.0)),
+      (2, Seq(0.0, 1.0, 0.5)),
+      (5, Seq(0.0, 1.0, 0.5)), // duplicate of cid 2 → tie to larger cid
+      (7, Seq(2.0, 2.0)))      // wrong dimension → never selected
+    val cbLit = typedLit(cb).cast("array<struct<cid:int,cv:array<double>>>")
+    val legacy = array_max(transform(cbLit, c =>
+      struct(GraftFunctions.cosine(col("a"), c.getField("cv")).as("s"), c.getField("cid").as("cid"))))
+      .getField("cid")
+    val rows = vecDf(300, 3)
+      .select(GraftFunctions.cosineArgmax(col("a"), cbLit).as("native"), legacy.as("legacy"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // zero-norm input: every full-length entry scores NaN, which Spark's
+    // double ordering puts above all numbers — both paths resolve the
+    // all-NaN tie to the larger cid (5; the wrong-dimension 7 never wins)
+    val zero = typedLit(Seq(0.0, 0.0, 0.0)).cast("array<double>")
+    val zr = spark.range(1).select(
+      GraftFunctions.cosineArgmax(zero, cbLit).as("n"),
+      array_max(transform(cbLit, c =>
+        struct(GraftFunctions.cosine(zero, c.getField("cv")).as("s"), c.getField("cid").as("cid"))))
+        .getField("cid").as("l")).head
+    assert(zr.getInt(0) == 5 && zr.getInt(1) == 5)
+  }
+
   test("graft_pq_assign degenerate inputs: empty codebook and null element yield null") {
     GraftFunctions.register(spark)
     val emptyCb = typedLit(Seq.empty[(Int, Seq[Double])])

@@ -52,9 +52,10 @@ class PlanGuardrailSpec extends AnyFunSuite with SparkSpec {
   test("large-nLists IVF assignment is a pure per-row expression: no join, no shuffle") {
     graft.functions.GraftFunctions.register(spark)
     val corpus = embs.selectExpr(
-      "vec_id as id", "transform(embedding, x -> cast(x as double)) as v")
+      "vec_id as id", "cast(embedding as array<double>) as v")
     val cents = Array.tabulate(4)(i => (i, Seq.tabulate(8)(d => (i + d).toDouble)))
-    val p = plan(Ann.assignToCentroids(corpus, cents, unrolled = false))
+    val assigned = Ann.assignToCentroids(corpus, cents, unrolled = false)
+    val p = plan(assigned)
     // the centroid set is embedded in one literal; assignment must stay
     // a map-side projection — a join or exchange here means the
     // formulation regressed to something with retry/scale hazards
@@ -62,6 +63,15 @@ class PlanGuardrailSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), "assignment plans a cartesian")
     assert(!p.contains("Exchange"), s"assignment must not shuffle: $p")
     assert(!p.contains("HashAggregate"), "assignment must not aggregate")
+    // ... and fully codegen'd: the old array_max(transform(...)) argmax
+    // was CodegenFallback in this corpus-wide scan
+    val fallbacks = assigned.queryExecution.executedPlan.collect { case sp =>
+      sp.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback => e
+      })
+    }.flatten
+    assert(fallbacks.isEmpty,
+      s"IVF assignment contains CodegenFallback expressions: ${fallbacks.map(_.prettyName)}")
   }
 
   test("PQ encode/scoring stages are map-side and fully codegen'd (no CodegenFallback)") {

@@ -40,6 +40,14 @@ bigger customer database. This is the input the rewrite() fixpoint
 canary needs: rows grow k×, distinct structures don't, so a
 structure-bounded epoch cost must stay ~flat while any per-row
 quadratic term would blow up.
+
+mode "emb" (the ANN-lane canary variant) ALSO scales embeddings
+k-fold: copy i>0 re-keys vec_id (+ i*OFFSET) and shifts every
+coordinate by i·1e-3, so the vector POPULATION genuinely grows (no
+bit-identical clones — clone ties would make the top-k degenerate)
+while query ids 0-9 stay the copy-0 originals. This is the input the
+PQ/IVF canaries need: corpus scan and encode work grow k×, the model
+(codebook/centroid count) doesn't.
 """
 import os
 import shutil
@@ -57,7 +65,7 @@ def main() -> None:
     dst = sys.argv[2] if len(sys.argv) > 2 else "target/sfscale"
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     mode = sys.argv[4] if len(sys.argv) > 4 else "tilde"
-    assert mode in ("tilde", "alpha", "cust"), mode
+    assert mode in ("tilde", "alpha", "cust", "emb"), mode
     if mode == "alpha":
         assert k <= 26, "alpha mode supports k <= 26"
         suffix = "w || 'q' || chr(97 + i::INT)"
@@ -129,6 +137,22 @@ def main() -> None:
             CROSS JOIN (SELECT unnest(range({k})) AS i)
             ORDER BY c_custkey
           ) TO '{dst}/customer.parquet' (FORMAT PARQUET)
+        """)
+    if mode == "emb":
+        # k disjoint vector copies: re-keyed vec_id, coordinates shifted
+        # by i*1e-3 so no copy is a bit-clone of another (clone ties
+        # would degenerate the top-k), queries 0-9 = copy-0 originals
+        copy_tables.remove("embeddings")
+        con.sql(f"""
+          COPY (
+            SELECT vec_id + i * {OFFSET} AS vec_id,
+                   CAST(list_transform(embedding,
+                        x -> CAST(x + i * 0.001 AS FLOAT)) AS FLOAT[]) AS embedding,
+                   label
+            FROM '{src}/embeddings.parquet'
+            CROSS JOIN (SELECT unnest(range({k})) AS i)
+            ORDER BY vec_id
+          ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
         """)
     if mode == "alpha":
         # k disjoint copies of the part<->supplier graph (all three keys
