@@ -32,11 +32,18 @@ final class Snapshot(
   lazy val schema: Schema = schemaThunk()
 }
 
+/** @param sourceSchema optional already-derived schema of `source` —
+  *   callers that hold a memoized `Schema.fromForest` for the SAME
+  *   forest (the query registry, the rewrite loop's epoch hook) thread
+  *   it here so the snapshot's lazy schema does not pay a second full
+  *   nodes derivation; snapshots of OTHER forests always derive fresh.
+  */
 final class Metrics(
     source: Dataset[TreeRow],
     tau: Double = 0.7,
     decay: Double = 2.0,
-    metricName: String = "jaro") {
+    metricName: String = "jaro",
+    sourceSchema: Option[() => Schema] = None) {
 
   @inline private def timed[A](label: String)(body: => A): A =
     graft.util.Spark.timed("metrics-profile", label)(body)
@@ -60,7 +67,11 @@ final class Metrics(
       TreeClusterer.entityLabelsFromTrees(trees, tau, metricName, decay)
     }
     trees.unpersist()
-    new Snapshot(() => Schema.fromForest(Forest.toNodesDF(forest)), oids, labels, clustering)
+    val schemaThunk = sourceSchema match {
+      case Some(thunk) if forest eq source => thunk
+      case _ => () => Schema.fromForest(Forest.toNodesDF(forest))
+    }
+    new Snapshot(schemaThunk, oids, labels, clustering)
   }
 
   val origin: Snapshot = snapshot(source)

@@ -103,7 +103,14 @@ object GraftQueries {
   private def customerMetrics(s: SparkSession, d: String): graft.metrics.Metrics =
     metricsCache.getOrElseUpdate(d, {
       val forest = customerTrees(s, d)
-      val m = new graft.metrics.Metrics(forest, tau = 0.7)
+      // the snapshot's lazy schema (bundle keys schema.*) is the FULL
+      // fromForest derivation (keepUnlabelled = true — customerSchema's
+      // keepUnlabelled=false variant is a different value); thread a
+      // memoized thunk so every consumer of this Metrics instance —
+      // and any later same-dir Metrics — shares ONE derivation pass
+      val m = new graft.metrics.Metrics(forest, tau = 0.7,
+        sourceSchema = Some(() => schemaCache.getOrElseUpdate((d, "customerDb-full"),
+          Schema.fromForest(customerNodes(s, d)))))
       m.update(forest)
       m
     })
