@@ -317,6 +317,38 @@ object Ann {
     * Approximate by construction — recall vs bruteForceTopK is the
     * quality gate, measured in AnnSpec and pinned by the recall lane.
     */
+  /** One integer nano-unit ADC distance table: dt(m)(cid) =
+    * round(1e9 · ||q_m − c_m,cid||²), Long.MaxValue for dropped codes
+    * (never referenced — no row encodes to a vanished code). Shared by
+    * the exhaustive and IVF-probed ADC scans.
+    */
+  private def nanoDistanceTable(
+      qv: Seq[Double],
+      model: Array[Array[(Int, Seq[Double])]],
+      subspaces: Int,
+      subDim: Int): Seq[Seq[Long]] =
+    (0 until subspaces).map { m =>
+      val cb = model(m)
+      val arr = Array.fill(cb.map(_._1).max + 1)(Long.MaxValue)
+      cb.foreach { case (cid, cv) =>
+        var s = 0.0
+        var i = 0
+        while (i < subDim) { val d = qv(m * subDim + i) - cv(i); s += d * d; i += 1 }
+        arr(cid) = math.round(s * 1e9)
+      }
+      arr.toIndexedSeq
+    }
+
+  /** The per-query integer-ADC score column over an `encoded` frame's
+    * `codes` array.
+    */
+  private def adcExpr(dt: Seq[Seq[Long]], subspaces: Int): Column = {
+    val dtLit = typedLit(dt)
+    (0 until subspaces).map(m =>
+      element_at(element_at(dtLit, m + 1), element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _)
+  }
+
   def pqTopK(
       emb: DataFrame,
       idCol: String,
@@ -340,33 +372,17 @@ object Ann {
       array((0 until subspaces).map(m => pqCodeExpr(m, subDim, model(m))): _*)).cache()
 
     // query vectors to the driver (bounded by |queryIds|), then one
-    // integer nano-unit distance table per query: dt(m)(cid) =
-    // round(1e9 · ||q_m − c_m,cid||²), Long.MaxValue for dropped codes
-    // (never referenced — no row encodes to a vanished code)
+    // integer nano-unit distance table per query
     val qRows = corpus.filter(col("id").isInCollection(queryIds))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
     val perQuery = qRows.map { case (qid, qv) =>
-      val dt: Seq[Seq[Long]] = (0 until subspaces).map { m =>
-        val cb = model(m)
-        val arr = Array.fill(cb.map(_._1).max + 1)(Long.MaxValue)
-        cb.foreach { case (cid, cv) =>
-          var s = 0.0
-          var i = 0
-          while (i < subDim) { val d = qv(m * subDim + i) - cv(i); s += d * d; i += 1 }
-          arr(cid) = math.round(s * 1e9)
-        }
-        arr.toIndexedSeq
-      }
-      (qid, dt)
+      (qid, nanoDistanceTable(qv, model, subspaces, subDim))
     }
 
     val scored = perQuery.map { case (qid, dt) =>
-      val dtLit = typedLit(dt)
-      val adc = (0 until subspaces).map(m =>
-        element_at(element_at(dtLit, m + 1), element_at(col("codes"), m + 1) + 1))
-        .reduce(_ + _)
       encoded.filter(col("id") =!= qid)
-        .select(lit(qid).as("query_id"), col("id").as("neighbor_id"), adc.as("adc"))
+        .select(lit(qid).as("query_id"), col("id").as("neighbor_id"),
+          adcExpr(dt, subspaces).as("adc"))
     }
     if (perQuery.isEmpty) {
       // no queryIds present in the corpus: an empty result, like
@@ -391,6 +407,127 @@ object Ann {
     val out = (if (rerank <= 0) shortlisted
                else {
                  graft.functions.GraftFunctions.register(emb.sparkSession)
+                 val qMapLit = typedLit(qRows.toMap)
+                 val w2 = Window.partitionBy("query_id")
+                   .orderBy(col("sim").desc, col("neighbor_id").asc)
+                 corpus
+                   .join(broadcast(shortlisted), col("id") === col("neighbor_id"))
+                   .withColumn("sim", cosine(element_at(qMapLit, col("query_id")), col("v")))
+                   .withColumn("rank", row_number().over(w2))
+                   .filter(col("rank") <= k)
+                   .select("query_id", "neighbor_id")
+               })
+      .localCheckpoint(true)
+    encoded.unpersist()
+    corpus.unpersist()
+    out
+  }
+
+  /** IVFADC — the production compressed-index layout (Jégou/Douze/
+    * Schmid, TPAMI 2011, §IV): the IVF coarse quantizer partitions the
+    * corpus into `nLists` inverted lists AND every vector is
+    * PQ-encoded; a query probes only its `nProbe` closest lists and
+    * ADC-scores the compressed codes found there — the scan touches
+    * `nProbe/nLists` of the corpus and reads codes, not vectors.
+    *
+    * This is the non-residual variant: codes quantize the RAW vectors
+    * with one global codebook set (the paper's residual encoding —
+    * codes over `v − centroid` with per-list distance tables — is the
+    * documented next refinement). Non-residual keeps an exact
+    * equivalence oracle: probing every list makes the candidate set
+    * exhaustive, so `nProbe = nLists` must reproduce [[pqTopK]]'s
+    * integer-ADC ranking bit-for-bit — which is what lets a relational
+    * oracle check the full index machinery (coarse training,
+    * assignment, probe, encode, ADC) end to end, while the approximate
+    * config carries the standard recall gate.
+    *
+    * Scale design: everything [[pqTopK]] says, plus the coarse
+    * assignment is the native codegen'd graft_cosine_argmax over ONE
+    * centroid literal, the per-query probe set is computed driver-side
+    * from the (model-sized) centroid array with the same (sim, cid)
+    * descending order as [[ivfTopK]]'s probe expression, and the list
+    * filter is a scan-level `cid IN (...)` predicate — at 100 TB with
+    * the index stored cid-partitioned, that predicate is partition
+    * pruning, and the scan reads `nProbe` directories of codes.
+    */
+  def ivfAdcTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int = 5,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      subspaces: Int = 4,
+      codebook: Int = 16,
+      iters: Int = 2,
+      rerank: Int = 0,
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")).cache()
+    val dim = corpus.select(size(col("v"))).head.getInt(0)
+    require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val unrolled = nLists <= maxUnrolled(spark)
+
+    val centroids = lloydCentroids(corpus, nLists, iters, unrolled)
+    val model = pqTrain(corpus, subDim, subspaces, codebook, iters)
+    // the stored index: (id, cid, codes) — at scale THIS is the table
+    // that persists (cid-partitioned), raw vectors are only re-read by
+    // the optional exact re-rank
+    val encoded = assignToCentroids(corpus, centroids, unrolled)
+      .withColumn("codes",
+        array((0 until subspaces).map(m => pqCodeExpr(m, subDim, model(m))): _*))
+      .select("id", "cid", "codes")
+      .cache()
+
+    val qRows = corpus.filter(col("id").isInCollection(queryIds))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+
+    // driver-side probe selection, ordered exactly like ivfTopK's
+    // slice(reverse(array_sort(scored))): similarity descending with
+    // Spark's double ordering (NaN above all), ties to the larger cid
+    def probeLists(qv: Seq[Double]): Seq[Int] = {
+      def cmpD(a: Double, b: Double): Int =
+        if (a == b) 0 else java.lang.Double.compare(a, b)
+      centroids.toSeq.map { case (cid, cv) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        val n = math.min(qv.size, cv.size)
+        while (i < n) { val x = qv(i); val y = cv(i); dot += x * y; na += x * x; nb += y * y; i += 1 }
+        (dot / (math.sqrt(na) * math.sqrt(nb)), cid)
+      }.sortWith { case ((s1, c1), (s2, c2)) =>
+        val c = cmpD(s1, s2)
+        c > 0 || (c == 0 && c1 > c2)
+      }.take(nProbe).map(_._2)
+    }
+
+    val perQuery = qRows.map { case (qid, qv) =>
+      (qid, nanoDistanceTable(qv, model, subspaces, subDim), probeLists(qv))
+    }
+    if (perQuery.isEmpty) {
+      val empty = spark.range(0)
+        .select(col("id").as("query_id"), col("id").as("neighbor_id"))
+      encoded.unpersist()
+      corpus.unpersist()
+      return empty
+    }
+
+    val scored = perQuery.map { case (qid, dt, probe) =>
+      encoded
+        .filter(col("cid").isInCollection(probe) && col("id") =!= qid)
+        .select(lit(qid).as("query_id"), col("id").as("neighbor_id"),
+          adcExpr(dt, subspaces).as("adc"))
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
+    val shortlisted = scored.reduce(_.union(_))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= math.max(k, rerank))
+      .select("query_id", "neighbor_id")
+
+    val out = (if (rerank <= 0) shortlisted
+               else {
                  val qMapLit = typedLit(qRows.toMap)
                  val w2 = Window.partitionBy("query_id")
                    .orderBy(col("sim").desc, col("neighbor_id").asc)

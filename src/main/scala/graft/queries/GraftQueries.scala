@@ -630,6 +630,30 @@ object GraftQueries {
       val total = brute.count()
       Seq(total > 0 && overlap.toDouble / total >= 0.8).toDF("recall_ge_080")
     }),
+    // IVFADC at exhaustive probing: with every list probed the candidate
+    // set equals the whole corpus, so the full index machinery — coarse
+    // Lloyd + native-argmax assignment + probe + PQ encode + integer
+    // ADC — must reproduce the exhaustive ADC scan bit-for-bit; the
+    // oracle is therefore the SAME DuckDB replay as ann_topk_pq
+    "ann_topk_ivfadc_full" -> ((s, d) =>
+      Ann.ivfAdcTopK(
+        s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0L to 9L,
+        k = 5, nLists = 16, nProbe = 16)),
+    // the production IVFADC config: probe half the lists, ADC-shortlist
+    // the compressed codes found there, exact re-rank the candidates —
+    // approximate vs brute force by design, so the query RETURNS the
+    // recall gate (same contract as ann_topk_ivf / pq_rerank);
+    // 0.96 at sf0.01, 0.88 at sf0.1
+    "ann_topk_ivfadc" -> ((s, d) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val a = Ann.ivfAdcTopK(emb, "vec_id", "embedding", 0L to 9L, k = 5,
+        nLists = 16, nProbe = 8, subspaces = 8, codebook = 16, rerank = 200)
+      val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L to 9L, k = 5)
+      val overlap = a.join(brute, Seq("query_id", "neighbor_id")).count()
+      val total = brute.count()
+      Seq(total > 0 && overlap.toDouble / total >= 0.8).toDF("recall_ge_080")
+    }),
     // Bucketed-sink lane: both join sides are written bucketed+sorted on
     // the order key (the shuffle pre-paid once at write time), then the
     // recurring fact-dim join and its rollup run over the co-located
@@ -2493,6 +2517,9 @@ object GraftQueries {
     "ann_topk_ivf_full_probe" -> annBruteOracle,
     "ann_topk_brute" -> annBruteOracle,
     "ann_topk_pq" -> pqAdcOracle,
+    // exhaustive probing ≡ the exhaustive ADC scan — same replay
+    "ann_topk_ivfadc_full" -> pqAdcOracle,
+    "ann_topk_ivfadc" -> "SELECT true AS recall_ge_080",
     "ann_topk_pq_rerank" -> "SELECT true AS recall_ge_080",
     // the query computes the recall gate itself (IVF@nProbe=4 vs brute
     // top-5, both Spark-side); the oracle pins the gate

@@ -329,6 +329,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(reranked >= recall(0), "re-ranking must not lose recall vs the raw ADC scan")
   }
 
+  test("IVFADC: exhaustive probing reproduces the exhaustive ADC scan bit-for-bit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = collectSet(Ann.pqTopK(emb, "vec_id", "embedding", 0L to 9L, 5))
+    val full = collectSet(Ann.ivfAdcTopK(emb, "vec_id", "embedding", 0L to 9L, 5,
+      nLists = 16, nProbe = 16))
+    assert(full == pq, "nProbe = nLists must equal the exhaustive ADC ranking")
+  }
+
+  test("IVFADC: probed shortlist + exact re-rank recovers recall; deterministic; empty queries") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = collectSet(Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L to 9L, 5))
+    def run() = collectSet(Ann.ivfAdcTopK(emb, "vec_id", "embedding", 0L to 9L, 5,
+      nLists = 16, nProbe = 8, subspaces = 8, rerank = 100))
+    val first = run()
+    assert(first.size == 50, s"10 queries × k=5 expected, got ${first.size}")
+    val recall = (brute & first).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVFADC reranked recall $recall")
+    assert(run() == first, "IVFADC must be deterministic")
+    assert(Ann.ivfAdcTopK(emb, "vec_id", "embedding", Seq(-1L), 5).count() == 0)
+  }
+
   test("quality classifier: linear, deterministic, bounded; empty docs fail") {
     import spark.implicits._
     val docs = Seq(
