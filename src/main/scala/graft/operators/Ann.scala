@@ -131,12 +131,22 @@ object Ann {
     (1 to iters).foreach { _ =>
       val assigned = assignToCentroids(corpus, centroids, unrolled)
       val dim = centroids.head._2.size
-      val meanCols = (0 until dim).map(i => avg(col("v").getItem(i)).as(s"d$i"))
+      // ORDER-INDEPENDENT integer means, like pqTrain: nano-quantized
+      // coordinate sums as longs, then the one fixed double expression
+      // sumNanos/count/1e9 — float avg exposed Spark's partial-agg
+      // summation order, a latent flaky-oracle risk for every SQL
+      // replay of this model (semantic dedup, the IVF family)
+      val sumCols = (0 until dim).map(i =>
+        sum(round(col("v").getItem(i) * 1e9).cast("long")).as(s"d$i"))
+      val aggCols = sumCols :+ count(lit(1)).as("cnt")
       val means = assigned
         .groupBy("cid")
-        .agg(meanCols.head, meanCols.tail: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
         .collect()
-        .map(r => (r.getInt(0), (0 until dim).map(i => r.getDouble(i + 1))))
+        .map { r =>
+          val cnt = r.getLong(dim + 1)
+          (r.getInt(0), (0 until dim).map(i => r.getLong(i + 1).toDouble / cnt / 1e9))
+        }
       if (means.nonEmpty) centroids = means.map { case (c, v) => (c, v: Seq[Double]) }
     }
     centroids

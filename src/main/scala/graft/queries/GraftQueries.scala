@@ -3265,10 +3265,15 @@ object GraftQueries {
          |           ORDER BY list_cosine_similarity($from.v, $cents.cv) DESC,
          |                    $cents.cid DESC) AS rn
          |  FROM $from, $cents) t WHERE rn = 1""".stripMargin
-    // per-cid dimension means of assignment CTE `a` as the next centroids
+    // per-cid dimension means of assignment CTE `a` as the next
+    // centroids — the ORDER-INDEPENDENT integer formulation
+    // lloydCentroids uses (nano-quantized sums, then sum/count/1e9),
+    // so Spark's partial-aggregation order can never drift the replay
     def means(a: String): String =
       s"""SELECT cid, list(mv ORDER BY pos) AS cv FROM (
-         |  SELECT cid, pos, avg(val) AS mv FROM (
+         |  SELECT cid, pos,
+         |         CAST(sum(CAST(round(val * 1e9) AS BIGINT)) AS DOUBLE) / count(*) / 1e9 AS mv
+         |  FROM (
          |    SELECT cid, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos
          |    FROM $a) u
          |  GROUP BY cid, pos) m GROUP BY cid""".stripMargin
