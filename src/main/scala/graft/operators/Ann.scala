@@ -316,9 +316,11 @@ object Ann {
     * Scale design: the `codes` column is the stored index (at 100 TB
     * the compressed index fits where raw vectors cannot — that is the
     * operator's point); encoding and scoring are pure map-side
-    * expressions over literals (zero shuffle, plan size O(1) in corpus
-    * and codebook), queries are collected driver-side bounded by
-    * `queryIds`, and the only shuffle is the top-k window per query.
+    * expressions (zero shuffle, plan size O(1) in corpus and codebook),
+    * queries are collected driver-side bounded by `queryIds` and ship
+    * back as ONE broadcast (qid, distance-table) frame — a single
+    * corpus × queries plan branch at any batch size — and the only
+    * shuffle is the top-k window per query.
     * Distance tables are rounded to integer nano-units so the ADC sort
     * is exact-integer — deterministic under any summation order and
     * replayable by a relational oracle. Combine with the IVF probe
@@ -349,15 +351,15 @@ object Ann {
       arr.toIndexedSeq
     }
 
-  /** The per-query integer-ADC score column over an `encoded` frame's
-    * `codes` array.
+  /** The integer-ADC score column over an `encoded` frame's `codes`
+    * array, reading the distance table from a `dt` COLUMN (one row per
+    * query from the broadcast query table) — ONE plan branch however
+    * many queries are batched, instead of a per-query union arm.
     */
-  private def adcExpr(dt: Seq[Seq[Long]], subspaces: Int): Column = {
-    val dtLit = typedLit(dt)
+  private def adcColExpr(subspaces: Int): Column =
     (0 until subspaces).map(m =>
-      element_at(element_at(dtLit, m + 1), element_at(col("codes"), m + 1) + 1))
+      element_at(element_at(col("dt"), m + 1), element_at(col("codes"), m + 1) + 1))
       .reduce(_ + _)
-  }
 
   def pqTopK(
       emb: DataFrame,
@@ -382,29 +384,36 @@ object Ann {
       array((0 until subspaces).map(m => pqCodeExpr(m, subDim, model(m))): _*)).cache()
 
     // query vectors to the driver (bounded by |queryIds|), then one
-    // integer nano-unit distance table per query
+    // integer nano-unit distance table per query — shipped back as ONE
+    // broadcast query table (qid, dt), so the ADC scan is a single
+    // corpus × queries plan branch at ANY batch size (a per-query
+    // union would grow the plan linearly in |queryIds|)
     val qRows = corpus.filter(col("id").isInCollection(queryIds))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-    val perQuery = qRows.map { case (qid, qv) =>
-      (qid, nanoDistanceTable(qv, model, subspaces, subDim))
-    }
-
-    val scored = perQuery.map { case (qid, dt) =>
-      encoded.filter(col("id") =!= qid)
-        .select(lit(qid).as("query_id"), col("id").as("neighbor_id"),
-          adcExpr(dt, subspaces).as("adc"))
-    }
-    if (perQuery.isEmpty) {
+    if (qRows.isEmpty) {
       // no queryIds present in the corpus: an empty result, like
-      // bruteForceTopK's join would produce (reduce on Nil would throw)
+      // bruteForceTopK's join would produce
       val empty = corpus.sparkSession.range(0)
         .select(col("id").as("query_id"), col("id").as("neighbor_id"))
       encoded.unpersist()
       corpus.unpersist()
       return empty
     }
+    val perQuery = qRows.toSeq.map { case (qid, qv) =>
+      (qid, nanoDistanceTable(qv, model, subspaces, subDim))
+    }
+    val qTable = {
+      import corpus.sparkSession.implicits._
+      perQuery.toDF("query_id", "dt")
+    }
+
+    val scored = encoded
+      .crossJoin(broadcast(qTable))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        adcColExpr(subspaces).as("adc"))
     val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
-    val shortlisted = scored.reduce(_.union(_))
+    val shortlisted = scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= math.max(k, rerank))
       .select("query_id", "neighbor_id")
@@ -513,25 +522,38 @@ object Ann {
       }.take(nProbe).map(_._2)
     }
 
-    val perQuery = qRows.map { case (qid, qv) =>
-      (qid, nanoDistanceTable(qv, model, subspaces, subDim), probeLists(qv))
-    }
-    if (perQuery.isEmpty) {
+    if (qRows.isEmpty) {
       val empty = spark.range(0)
         .select(col("id").as("query_id"), col("id").as("neighbor_id"))
       encoded.unpersist()
       corpus.unpersist()
       return empty
     }
-
-    val scored = perQuery.map { case (qid, dt, probe) =>
-      encoded
-        .filter(col("cid").isInCollection(probe) && col("id") =!= qid)
-        .select(lit(qid).as("query_id"), col("id").as("neighbor_id"),
-          adcExpr(dt, subspaces).as("adc"))
+    // ONE broadcast query table (qid, dt, probe set) — single
+    // corpus × queries plan branch at any batch size; the probed-list
+    // restriction is a per-pair `cid IN probe` predicate on the scan
+    val perQuery = qRows.toSeq.map { case (qid, qv) =>
+      (qid, nanoDistanceTable(qv, model, subspaces, subDim), probeLists(qv))
     }
+    val qTable = {
+      import spark.implicits._
+      perQuery.toDF("query_id", "dt", "probe")
+    }
+
+    // scan-level pruning first: the UNION of every query's probed lists
+    // as a plain `cid IN (...)` predicate — with a cid-partitioned
+    // stored index that is partition pruning, so the scan reads only
+    // the probed directories; the per-(row, query) membership check
+    // then runs on the surviving fraction
+    val allProbed = perQuery.flatMap(_._3).distinct
+    val scored = encoded
+      .filter(col("cid").isInCollection(allProbed))
+      .crossJoin(broadcast(qTable))
+      .filter(array_contains(col("probe"), col("cid")) && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        adcColExpr(subspaces).as("adc"))
     val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
-    val shortlisted = scored.reduce(_.union(_))
+    val shortlisted = scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= math.max(k, rerank))
       .select("query_id", "neighbor_id")
