@@ -39,6 +39,8 @@ object Cli {
         |  cleanup <dir> [--db NAME] [--out DIR]           keep only schema-valid trees
         |  compare <dirA> <dirB> [--db NAME] [--tau T]     coverage/AMI/completeness between loads
         |  export sql|cypher <dir> [--db NAME] [--out DIR]
+        |         cypher: [--bolt HOST[:PORT]] [--user U] [--password P] [--cleanup]
+        |                                                  execute the export over a live bolt connection
         |  generate [--size N] [--out DIR]                 synthetic instance from the demo schema
         |  cache-clear <dir>                               remove a corpus parse cache
         |  ui [--port P] [--bind-all]                      browser workbench (loopback unless --bind-all)
@@ -359,13 +361,27 @@ object Cli {
           val forest = RelationalLoader.load(spark, dir, cfg)
           val schema = Schema.fromForest(Forest.toNodesDF(forest), keepUnlabelled = false)
           val ex = graft.cypher.CypherExporter.export(forest, schema)
-          opts.get("out") match {
-            case Some(o) =>
+          (opts.get("bolt"), opts.get("out")) match {
+            case (Some(addr), _) =>
+              // live write over the bolt wire: per-task sessions, three
+              // phased passes — the reference's neo4j write path
+              val (host, port) = addr.split(":", 2) match {
+                case Array(h, p) => (h, p.toInt)
+                case _ => (addr, 7687)
+              }
+              graft.cypher.CypherExecutor.runDistributed(ex,
+                new graft.cypher.BoltSessionFactory(host, port,
+                  opts.get("user"), opts.get("password")),
+                cleanup = opts.contains("cleanup"))
+              println(s"executed Cypher export against bolt://$host:$port")
+            case (None, Some(o)) =>
               ex.statements.write.mode("overwrite").text(o)
               println(s"wrote Cypher statements to $o")
-            case None => ex.statements.take(20).foreach(println)
+              ex.cleanup.foreach(println)
+            case (None, None) =>
+              ex.statements.take(20).foreach(println)
+              ex.cleanup.foreach(println)
           }
-          ex.cleanup.foreach(println)
         case other =>
           System.err.println(s"unknown export target $other (sql|cypher)"); sys.exit(2)
       }
