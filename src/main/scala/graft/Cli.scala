@@ -35,7 +35,9 @@ object Cli {
         |  rollback <storeDir> <name>                    move a store's HEAD to a snapshot
         |  simplify-llm <dir> [--db NAME] [--min-support K] [--vocab-similarity S]
         |           [--refining-steps N] [--max-tokens T] [--metrics] [--out DIR]
-        |                                                  LLM-protocol simplify (offline groupify client)
+        |           [--endpoint URL] [--model M] [--api-key K]
+        |                                                  LLM-protocol simplify (offline groupify client,
+        |                                                  or a live chat-completions endpoint via --endpoint)
         |  cleanup <dir> [--db NAME] [--out DIR]           keep only schema-valid trees
         |  compare <dirA> <dirB> [--db NAME] [--tau T]     coverage/AMI/completeness between loads
         |  export sql|cypher <dir> [--db NAME] [--out DIR]
@@ -298,7 +300,15 @@ object Cli {
       println(s"llm-rewriting ${forest.count()} trees with " +
         s"minSupport=${cfg.minSupport.getOrElse("auto")}, vocabSimilarity=${cfg.vocabSimilarity}, " +
         s"refiningSteps=${cfg.refiningSteps}")
-      val out = LlmRewrite.rewrite(forest, new graft.llm.GroupifyLlmClient, cfg)
+      // --endpoint: live OpenAI-compatible chat-completions server;
+      // default: the offline groupify double (same protocol either way)
+      val client: graft.llm.LlmClient = opts.get("endpoint") match {
+        case Some(url) => new graft.llm.HttpLlmClient(url,
+          model = opts.getOrElse("model", "default"),
+          apiKey = opts.get("api-key"))
+        case None => new graft.llm.GroupifyLlmClient
+      }
+      val out = LlmRewrite.rewrite(forest, client, cfg)
       showSchema(Schema.fromForest(Forest.toNodesDF(out), keepUnlabelled = false))
       if (opts.contains("metrics")) {
         val m = new graft.metrics.Metrics(forest, 0.7)

@@ -144,6 +144,75 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(out == Forest.collectTrees(forest))
   }
 
+  test("HTTP llm client against a chat-completions double: wire parity with the in-process client") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.nio.charset.StandardCharsets.UTF_8
+
+    // loopback OpenAI-compatible endpoint double: parses the real JSON
+    // request with an independent reader, answers through the SAME
+    // Groupify logic the offline client uses
+    val inner = new GroupifyLlmClient
+    val requests = new java.util.concurrent.atomic.AtomicLong(0)
+    @volatile var failAll = false
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    server.createContext("/v1/chat/completions", (ex: HttpExchange) => {
+      requests.incrementAndGet()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val req = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+      val resp =
+        if (failAll) {
+          val e = """{"error":{"message":"double refused"}}""".getBytes(UTF_8)
+          ex.sendResponseHeaders(500, e.length.toLong)
+          e
+        } else {
+          assert(req.path("temperature").asDouble() == 0.0)
+          assert(req.path("model").asText() == "graft-test-model")
+          assert(ex.getRequestHeaders.getFirst("Authorization") == "Bearer sk-double")
+          val prompt = req.path("messages").path(0).path("content").asText()
+          val content = inner.complete(prompt)
+          val body =
+            s"""{"id":"cc-double","choices":[{"index":0,"message":{"role":"assistant","content":${graft.util.Json.quote(content)}}}]}"""
+              .getBytes(UTF_8)
+          ex.sendResponseHeaders(200, body.length.toLong)
+          body
+        }
+      val os = ex.getResponseBody
+      try os.write(resp) finally os.close()
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/v1/chat/completions"
+      val http = new HttpLlmClient(url, "graft-test-model", Some("sk-double"))
+
+      val trees = (1 to 6).map { i =>
+        ArchiTree.fromString(s"(ROOT (S (ENT::name p$i) (ENT::age ${20 + i})))")
+      }
+      val forest = Forest.fromTrees(spark, trees)
+      val cfg = LlmRewrite.Config(maxTokens = 100000)
+      val viaHttp = Forest.collectTrees(LlmRewrite.rewrite(forest, http, cfg))
+        .map(_.render).sorted
+      val viaLocal = Forest.collectTrees(LlmRewrite.rewrite(forest, new GroupifyLlmClient, cfg))
+        .map(_.render).sorted
+      assert(viaHttp == viaLocal, "HTTP round trip changed the rewrite result")
+      assert(requests.get() >= 1)
+
+      // endpoint failure → complete throws → the loop's fallback keeps
+      // the original trees, so a broken endpoint is a no-op not a loss
+      failAll = true
+      val fallback = Forest.collectTrees(LlmRewrite.rewrite(forest, http, cfg))
+      assert(fallback.map(_.render).sorted ==
+        Forest.collectTrees(forest).map(_.render).sorted)
+      failAll = false
+
+      // transport-level error detail surfaces on the direct call
+      failAll = true
+      val err = intercept[IllegalStateException](http.complete("1. {}"))
+      assert(err.getMessage.contains("500"))
+    } finally server.stop(0)
+  }
+
   test("labelling: proposals + broadcast rename application") {
     val schema = GraftSchema.fromDescription(
       groups = Set(graft.model.Group("t1", Set("id", "email"))),
