@@ -25,7 +25,9 @@ object Cli {
         |                                                  document files (JSON/XML/CSV/YAML/TOML sniffed)
         |  load graph <nodes.parquet> <edges.parquet> [--out DIR]
         |                                                  property graph (id,label,props / src,dst,tpe,props)
-        |  load corpus <dir> [--cache DIR] [--out DIR]     BRAT .txt/.ann pairs through the NLP pipeline
+        |  load corpus <dir> [--cache DIR] [--out DIR] [--corenlp URL]
+        |                                                  BRAT .txt/.ann pairs through the NLP pipeline
+        |                                                  (whitespace parser, or a live CoreNLP server)
         |  simplify <dir> [--db NAME] [--tau T] [--decay D] [--epochs N]
         |           [--min-support K] [--schema-only] [--metrics] [--out DIR]
         |           [--store DIR]                        transactional per-epoch snapshots
@@ -150,12 +152,17 @@ object Cli {
       spark.stop()
 
     // corpus lane (cli/loader.py:163-187): BRAT .txt/.ann pairs →
-    // sentence split → parse (whitespace floor parser; real parsers are
-    // env-absent) → enrich via NlpOps.processTree; optionally cached
+    // sentence split → parse (whitespace floor parser by default; a
+    // live CoreNLP server via --corenlp URL) → enrich via
+    // NlpOps.processTree; optionally cached
     case "load" :: "corpus" :: dir :: rest =>
       val opts = parseOpts(rest)
       val spark = session()
       import spark.implicits._
+      val parser: graft.nlp.SentenceParser = opts.get("corenlp") match {
+        case Some(url) => new graft.nlp.CoreNlpHttpParser(url)
+        case None      => new graft.nlp.WhitespaceParser()
+      }
       // an archive path (.tar.gz/.tgz/.zip/.tar — or a glob of them)
       // streams entries per archive; a directory globs (txt, ann) pairs
       val isArchive = Seq(".tar.gz", ".tgz", ".zip", ".tar")
@@ -182,7 +189,7 @@ object Cli {
               } yield sentence
             }.toDS()
           }
-        new graft.nlp.WhitespaceParser().parseBatch(sentences)
+        parser.parseBatch(sentences)
       }
       val forest = opts.get("cache") match {
         case Some(cacheDir) =>
@@ -197,7 +204,7 @@ object Cli {
             .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
             .sorted.mkString("\n")
           val key = graft.nlp.CorpusCache.cacheKey(s"$dir\n$fingerprint",
-            Map("parser" -> "whitespace"))
+            Map("parser" -> (if (opts.contains("corenlp")) "corenlp" else "whitespace")))
           graft.nlp.CorpusCache.getOrParse(spark, cacheDir, key)(parse())
         case None => parse()
       }
