@@ -203,8 +203,11 @@ object Cli {
           val fingerprint = Option(fs.globStatus(cpath)).getOrElse(Array.empty)
             .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
             .sorted.mkString("\n")
+          // the key carries the parser IDENTITY including the server
+          // URL — two CoreNLP servers (different versions/models) must
+          // never silently serve each other's cached parses
           val key = graft.nlp.CorpusCache.cacheKey(s"$dir\n$fingerprint",
-            Map("parser" -> (if (opts.contains("corenlp")) "corenlp" else "whitespace")))
+            Map("parser" -> opts.get("corenlp").map(u => s"corenlp:$u").getOrElse("whitespace")))
           graft.nlp.CorpusCache.getOrParse(spark, cacheDir, key)(parse())
         case None => parse()
       }
@@ -378,8 +381,15 @@ object Cli {
           val forest = RelationalLoader.load(spark, dir, cfg)
           val schema = Schema.fromForest(Forest.toNodesDF(forest), keepUnlabelled = false)
           val ex = graft.cypher.CypherExporter.export(forest, schema)
-          (opts.get("bolt"), opts.get("out")) match {
-            case (Some(addr), _) =>
+          // --out and --bolt compose: write the statement file AND/OR
+          // execute live (silently dropping one of two requested
+          // effects would be a lie)
+          opts.get("out").foreach { o =>
+            ex.statements.write.mode("overwrite").text(o)
+            println(s"wrote Cypher statements to $o")
+          }
+          opts.get("bolt") match {
+            case Some(addr) =>
               // live write over the bolt wire: per-task sessions, three
               // phased passes — the reference's neo4j write path
               val (host, port) = addr.split(":", 2) match {
@@ -391,12 +401,8 @@ object Cli {
                   opts.get("user"), opts.get("password")),
                 cleanup = opts.contains("cleanup"))
               println(s"executed Cypher export against bolt://$host:$port")
-            case (None, Some(o)) =>
-              ex.statements.write.mode("overwrite").text(o)
-              println(s"wrote Cypher statements to $o")
-              ex.cleanup.foreach(println)
-            case (None, None) =>
-              ex.statements.take(20).foreach(println)
+            case None =>
+              if (!opts.contains("out")) ex.statements.take(20).foreach(println)
               ex.cleanup.foreach(println)
           }
         case other =>

@@ -103,9 +103,15 @@ final class BoltCypherSession(
     port: Int,
     user: Option[String] = None,
     password: Option[String] = None,
+    timeoutMillis: Int = 120000,
 ) extends CypherSession {
 
-  private val socket = new Socket(host, port)
+  private val socket = new Socket()
+  // bounded connect AND read timeouts: a hung endpoint (accepting TCP
+  // but never answering) must fail the task, not block an executor
+  // forever mid-handshake or mid-PULL
+  socket.connect(new java.net.InetSocketAddress(host, port), timeoutMillis)
+  socket.setSoTimeout(timeoutMillis)
   socket.setTcpNoDelay(true)
   private val out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
   private val in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream))

@@ -100,6 +100,13 @@ final class OfflineGraphSession extends CypherSession {
 
 object CypherExecutor {
 
+  /** Statement-phase classification, shared by the driver and
+    * distributed executors (ONE copy: a new statement kind from
+    * CypherExporter must change phasing here and nowhere else).
+    */
+  private[cypher] def isIndexStmt(s: String): Boolean = s.startsWith("CREATE INDEX")
+  private[cypher] def isNodeStmt(s: String): Boolean = s.startsWith("MERGE (n:")
+
   /** Execute an exported statement set in the three phases a live
     * write needs: indexes, then node MERGEs, then edge MERGEs — edges
     * MATCH their endpoint nodes, so node statements must all land
@@ -111,8 +118,8 @@ object CypherExecutor {
   def run(export: CypherExporter.CypherExport, session: CypherSession,
       cleanup: Boolean = false): Unit = {
     val stmts = export.statements.collect()
-    val (idx, data) = stmts.partition(_.startsWith("CREATE INDEX"))
-    val (nodeStmts, edgeStmts) = data.partition(_.startsWith("MERGE (n:"))
+    val (idx, data) = stmts.partition(isIndexStmt)
+    val (nodeStmts, edgeStmts) = data.partition(isNodeStmt)
     idx.foreach(session.run)
     nodeStmts.foreach(session.run)
     edgeStmts.foreach(session.run)
@@ -142,11 +149,8 @@ object CypherExecutor {
       cleanup: Boolean = false): Unit = {
     val stmts = export.statements.persist()
     try {
-      val isIndex = (s: String) => s.startsWith("CREATE INDEX")
-      val isNode = (s: String) => s.startsWith("MERGE (n:")
-
       val driverSession = factory()
-      try stmts.filter(isIndex(_)).collect().foreach(driverSession.run)
+      try stmts.filter(isIndexStmt(_)).collect().foreach(driverSession.run)
       finally driverSession.close()
 
       def phase(pred: String => Boolean): Unit =
@@ -156,8 +160,8 @@ object CypherExecutor {
             try it.foreach(s.run) finally s.close()
           }
         }
-      phase(s => !isIndex(s) && isNode(s))
-      phase(s => !isIndex(s) && !isNode(s))
+      phase(s => !isIndexStmt(s) && isNodeStmt(s))
+      phase(s => !isIndexStmt(s) && !isNodeStmt(s))
 
       if (cleanup) {
         val tail = factory()

@@ -32,7 +32,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * - ties resolve to the larger cid (struct lexicographic order)
   * - an entry whose vector length differs from the input is never
   *   selected (its cosine was null, sorting below every real score);
-  *   if NO entry qualifies — or the set is empty — the result is null
+  *   if NO entry qualifies — or the set is empty — the result is null.
+  *   DELIBERATE divergence: the replaced `array_max` returned the max
+  *   cid in that degenerate all-null case — a meaningless assignment;
+  *   consumers (lloydCentroids, the ADC scans) filter null out instead
   * - null if either child is null or the vector has a null element
   */
 case class ArgmaxCosine(left: Expression, right: Expression)

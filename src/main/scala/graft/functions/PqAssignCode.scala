@@ -31,7 +31,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * - a codebook entry whose vector length differs from the sub-vector
   *   is never selected (the old `l2sq` returned null for it, sorting it
   *   below every real score); if NO entry matches — or the codebook is
-  *   empty — the result is null
+  *   empty — the result is null. DELIBERATE divergence: the replaced
+  *   `array_max` returned the max cid in that degenerate all-null case —
+  *   a meaningless assignment; consumers (pqTrain, the ADC scans)
+  *   filter null out instead
   * - null if either child is null or the sub-vector has a null element
   *   (null poisoned every fold in the old formulation)
   */

@@ -129,7 +129,11 @@ object Ann {
       .orderBy("id").limit(k).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
     (1 to iters).foreach { _ =>
+      // a row the argmax disqualifies entirely (dim-mismatched vector
+      // against every centroid) carries cid = null — exclude it from
+      // the means instead of crashing the model collect
       val assigned = assignToCentroids(corpus, centroids, unrolled)
+        .filter(col("cid").isNotNull)
       val dim = centroids.head._2.size
       // ORDER-INDEPENDENT integer means, like pqTrain: nano-quantized
       // coordinate sums as longs, then the one fixed double expression
@@ -281,6 +285,9 @@ object Ann {
           pqCodeExpr(m, subDim, codebooks(m)).as("code"),
           slice(col("v"), m * subDim + 1, subDim).as("sv"))): _*)).as("x"))
         .select(col("x.m").as("m"), col("x.code").as("code"), col("x.sv").as("sv"))
+        // null code = the argmin disqualified every entry (degenerate
+        // sub-vector) — exclude from the means, don't crash the collect
+        .filter(col("code").isNotNull)
       // centroid means via ORDER-INDEPENDENT integer sums: each member
       // coordinate quantizes to nano-units (round(x·1e9) as long) before
       // the sum, so Spark's partial aggregation order cannot shift the
@@ -412,6 +419,9 @@ object Ann {
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         adcColExpr(subspaces).as("adc"))
+      // a null ADC (row with a null code) must not outrank real scores
+      // — ascending sort puts nulls FIRST in Spark
+      .filter(col("adc").isNotNull)
     val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
     val shortlisted = scored
       .withColumn("rank", row_number().over(w))
@@ -552,6 +562,9 @@ object Ann {
       .filter(array_contains(col("probe"), col("cid")) && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         adcColExpr(subspaces).as("adc"))
+      // a null ADC (row with a null code) must not outrank real scores
+      // — ascending sort puts nulls FIRST in Spark
+      .filter(col("adc").isNotNull)
     val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
     val shortlisted = scored
       .withColumn("rank", row_number().over(w))

@@ -186,7 +186,12 @@ object Multimodal {
       try {
         val ff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
         val fmt = ff.getFormat
-        Some(WavInfo(fmt.getSampleRate.toInt, fmt.getChannels, ff.getFrameLength.toLong))
+        // a crafted RIFF header can declare rate 0 (or NOT_SPECIFIED =
+        // -1) and still parse — treat it as corrupt, never let a zero
+        // rate reach duration arithmetic
+        if (fmt.getSampleRate <= 0 || fmt.getChannels <= 0) None
+        else Some(WavInfo(fmt.getSampleRate.toInt, fmt.getChannels,
+          math.max(ff.getFrameLength.toLong, 0L)))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
@@ -201,7 +206,8 @@ object Multimodal {
         try {
           val fmt = in.getFormat
           if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
-              fmt.getSampleSizeInBits != 16) return None
+              fmt.getSampleSizeInBits != 16 ||
+              fmt.getSampleRate <= 0 || fmt.getChannels <= 0) return None
           val raw = in.readAllBytes()
           val be = fmt.isBigEndian
           var sum = 0L
@@ -214,7 +220,12 @@ object Multimodal {
             i += 2
           }
           val n = raw.length / 2
-          Some((WavInfo(fmt.getSampleRate.toInt, fmt.getChannels, in.getFrameLength), sum, n.toLong))
+          // frame length can be NOT_SPECIFIED (-1) on streamed input —
+          // derive it from the decoded sample count instead
+          val frames =
+            if (in.getFrameLength >= 0) in.getFrameLength
+            else n.toLong / fmt.getChannels
+          Some((WavInfo(fmt.getSampleRate.toInt, fmt.getChannels, frames), sum, n.toLong))
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
     }

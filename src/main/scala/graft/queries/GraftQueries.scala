@@ -1062,10 +1062,17 @@ object GraftQueries {
       // two sides silently
       val vocab = graft.nlp.MlTagger.Dictionary.map(_._1).toSet
       val docsDs = s.read.parquet(s"$d/documents.parquet").select("text").as[String]
-      // same tokenization as MlTagParser.parse (split on runs of whitespace)
-      val oov = docsDs.flatMap(_.split("\\s+").iterator.filter(w => w.nonEmpty && !vocab.contains(w))).take(1)
-      require(oov.isEmpty,
-        s"ml_parse_documents oracle requires full vocabulary coverage; OOV token: '${oov.mkString}'")
+      // the Spark chunker tokenizes on \s+ runs while the oracle's
+      // string_split(text, ' ') splits on single spaces — so guard BOTH
+      // divergence classes: any non-space whitespace (the tokenizations
+      // would disagree) and any token outside the dictionary (the
+      // oracle's dict join would drop it)
+      val bad = docsDs.flatMap { t =>
+        if (t.exists(c => c.isWhitespace && c != ' ')) Iterator(s"non-space whitespace in: ${t.take(40)}")
+        else t.split(" ").iterator.filter(w => w.nonEmpty && !vocab.contains(w)).map(w => s"OOV token: $w")
+      }.take(1)
+      require(bad.isEmpty,
+        s"ml_parse_documents oracle requires full vocabulary coverage; ${bad.mkString}")
       docsDs
         .flatMap { t =>
           parser.parse(t, "English").toSeq.flatMap(_.children.collect {
