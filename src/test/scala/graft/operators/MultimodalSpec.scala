@@ -121,6 +121,14 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val wav = Multimodal.WavCodec.encodePcm16(8000, 1, 10, _ => 7)
     val truncated = wav.take(wav.length - 5)
     Multimodal.WavCodec.sumSamples(truncated) // any Option is fine; no exception
+
+    // a crafted RIFF header declaring sample rate 0 parses through
+    // javax.sound but must degrade to None, never reach the
+    // duration division (RIFF fmt sample rate = LE uint32 @ offset 24)
+    val zeroRate = wav.clone()
+    for (i <- 24 until 28) zeroRate(i) = 0
+    assert(Multimodal.WavCodec.info(zeroRate).isEmpty)
+    assert(Multimodal.WavCodec.sumSamples(zeroRate).isEmpty)
   }
 
   test("audioFeatures: real decode through the batch stage, corrupt rows flagged ok=false") {
