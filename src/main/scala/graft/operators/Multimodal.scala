@@ -16,19 +16,24 @@ import org.apache.spark.sql.types._
   * 4.1.x (field layout also asserted by MultimodalSpec), re-check on
   * any Spark major upgrade.
   *
-  * The IMAGE half is real: [[Multimodal.ImageIoCodec]] decodes
-  * PNG/JPEG/BMP/GIF through the JDK's `javax.imageio` (header-only
-  * dimension probe, full decode, resize, deterministic gray-PNG
-  * fixture encoder) — no external library needed. The AUDIO half is
-  * real for WAV: [[Multimodal.WavCodec]] decodes RIFF/PCM through the
-  * JDK's `javax.sound.sampled` (header-only format probe, exact
-  * 16-bit sample decode, deterministic fixture encoder). VIDEO codecs
-  * are NOT available in this environment, so their decode step is a
-  * clearly-marked deterministic STUB (`StubCodec`): it fabricates
-  * dimensions/durations as pure functions of the bytes. The Spark-side
-  * contract — schema, batch shape, partition processing, null/empty
-  * handling — is real and tested either way; swapping `StubCodec` for a
-  * JNI/FFmpeg-backed codec changes no plumbing.
+  * All three media halves are REAL, dependency-free:
+  * - IMAGE: [[Multimodal.ImageIoCodec]] decodes PNG/JPEG/BMP/GIF
+  *   through the JDK's `javax.imageio` (header-only dimension probe,
+  *   full decode, resize, deterministic gray-PNG fixture encoder).
+  * - AUDIO: [[Multimodal.WavCodec]] decodes RIFF/WAV PCM through the
+  *   JDK's `javax.sound.sampled` (header-only format probe, exact
+  *   16-bit sample decode, deterministic fixture encoder).
+  * - VIDEO: [[RiffAvi]] walks the RIFF/AVI container (the MJPEG
+  *   convention: one image payload per `00dc` chunk) and each frame
+  *   decodes through the image codec — [[videoFeatures]] /
+  *   [[videoFrameSample]].
+  * Compressed codecs beyond these (MP3/AAC, H.264, …) genuinely are
+  * absent from this environment; [[StubCodec]] remains ONLY as the
+  * deterministic stand-in behind the historical `media_features`
+  * lane's metadata arithmetic. The Spark-side contract — schema, batch
+  * shape, partition processing, null/empty handling — is identical
+  * across all lanes, so an FFmpeg-backed codec drops in without
+  * touching the plumbing.
   */
 object Multimodal {
 
@@ -348,6 +353,95 @@ object Multimodal {
         ImageIoCodec.decode(internal.getBinary(binIdx)) match {
           case Some(img) => Row(id, ImageIoCodec.resizePng(img, w, h))
           case None      => Row(id, null)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** REAL video feature extraction (same partition-batch shape as
+    * [[extractFeatures]], real codecs end to end): the RIFF/AVI
+    * container walk ([[RiffAvi.frames]]) yields the frame payloads,
+    * each decoded through the JDK image codec; features are the frame
+    * count, first-frame dimensions, and the exact integer luminance
+    * sum across every decodable frame. Corrupt containers degrade to
+    * `ok = false` rows; corrupt individual frames are skipped (counted
+    * in `n_frames` as container chunks, excluded from the sums) — at
+    * corpus scale some fraction of scraped media is always broken.
+    * This decodes EVERY frame (the fixtures are small); the 100 TB
+    * shape samples frames first via [[videoFrameSample]], which walks
+    * container structure only.
+    */
+  def videoFeatures(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      batchSize: Int = 16,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ok", BooleanType),
+      StructField("n_frames", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("sum_luma", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rows = df.queryExecution.toRdd.mapPartitions { it =>
+      val fields = it.map(r => (r.getLong(idIdx), r.getBinary(binIdx)))
+      fields.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          RiffAvi.frames(bytes) match {
+            case None => Row(id, false, 0, 0, 0, 0L, 0L)
+            case Some(frameBytes) =>
+              var sum = 0L
+              var samples = 0L
+              var w = 0
+              var h = 0
+              frameBytes.foreach { fb =>
+                ImageIoCodec.decode(fb).foreach { img =>
+                  if (w == 0) { w = img.getWidth; h = img.getHeight }
+                  val (s, n) = ImageIoCodec.sumSamples(img)
+                  sum += s
+                  samples += n
+                }
+              }
+              Row(id, true, frameBytes.length, w, h, samples, sum)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Deterministic frame sampling over a REAL container: every k-th
+    * `00dc`/`00db` payload of the AVI, returned as opaque frame bytes —
+    * container-structure walk only, zero pixel decode (THE scale
+    * operation: select frames first, decode the selection).
+    */
+  def videoFrameSample(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      everyK: Int = 4,
+  ): DataFrame = {
+    require(everyK > 0, s"bad stride $everyK")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rows = df.queryExecution.toRdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        RiffAvi.frames(r.getBinary(binIdx)).iterator.flatMap { fs =>
+          fs.iterator.zipWithIndex.collect {
+            case (fb, i) if i % everyK == 0 => Row(id, i, fb)
+          }
         }
       }
     }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.metrics.{FdMetrics, ForestInspector}
 import graft.model.{Forest, NodeRow, Schema}
-import graft.operators.{Ann, Decontaminate, Dedup, Events, Graph, LmScore, Mixture, Multimodal, Pii, TextAnalysis, Tokenizer}
+import graft.operators.{Ann, Decontaminate, Dedup, Events, Graph, LmScore, Mixture, Multimodal, Pii, RiffAvi, TextAnalysis, Tokenizer}
 import graft.sources.{DbConfig, RelationalLoader, Testdata}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
@@ -1374,6 +1374,34 @@ object GraftQueries {
           col("n_frames"), col("n_samples"), col("sum_amplitude"), col("duration_ms"))
     }),
 
+    // REAL video decode (RIFF/AVI container walk + per-frame JDK image
+    // decode — no stub): per document a deterministic AVI is encoded
+    // (frame count/dims and every pixel pure functions of doc_id and
+    // the frame index, frames stored as lossless gray PNGs per the
+    // container's one-image-per-00dc convention), then the container is
+    // walked back, every frame decoded, and the features extracted —
+    // all recomputable arithmetically by the oracle.
+    "video_features_documents" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val avis = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id").as[Long]
+        .map { id =>
+          val w = 4 + (id % 6).toInt
+          val h = 3 + (id % 5).toInt
+          val nf = 1 + (id % 3).toInt
+          val frames = (0 until nf).map(j =>
+            Multimodal.ImageIoCodec.encodeGrayPng(w, h,
+              k => ((id * 13 + j * 31 + k) % 256).toInt))
+          (id, RiffAvi.encode(frames, w, h))
+        }
+        .toDF("doc_id", "media")
+      Multimodal.videoFeatures(avis, "doc_id", "media")
+        .filter(col("ok"))
+        .select(col("id").as("doc_id"), col("n_frames"), col("width"),
+          col("height"), col("n_samples"), col("sum_luma"))
+    }),
+
     "events_hourly" -> ((s, d) => {
       // ts unit/type varies across testdata generations — probe, don't
       // assume (graft.sources.EventTime)
@@ -2585,6 +2613,26 @@ object GraftQueries {
         |FROM g, range(0, 128) t(k)
         |WHERE t.k < g.n_frames * g.channels
         |GROUP BY g.doc_id, g.sample_rate, g.channels, g.n_frames""".stripMargin,
+
+    // the AVI fixture is pure arithmetic in (doc_id, frame j, pixel k):
+    // dims/frame-count from the same formulas, luminance sum =
+    // sum over j < n_frames, k < width*height of
+    // (doc_id*13 + j*31 + k) mod 256 — exact because the frames are
+    // lossless gray PNGs. Max 3 frames × 63 px, so constant range
+    // cross-joins cover every (j, k).
+    "video_features_documents" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(1 + doc_id % 3 AS INTEGER) AS n_frames,
+        |         CAST(4 + doc_id % 6 AS INTEGER) AS width,
+        |         CAST(3 + doc_id % 5 AS INTEGER) AS height
+        |  FROM documents)
+        |SELECT g.doc_id, g.n_frames, g.width, g.height,
+        |       CAST(g.n_frames * g.width * g.height AS BIGINT) AS n_samples,
+        |       CAST(sum((g.doc_id * 13 + f.j * 31 + t.k) % 256) AS BIGINT) AS sum_luma
+        |FROM g, range(0, 3) f(j), range(0, 63) t(k)
+        |WHERE f.j < g.n_frames AND t.k < g.width * g.height
+        |GROUP BY g.doc_id, g.n_frames, g.width, g.height""".stripMargin,
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

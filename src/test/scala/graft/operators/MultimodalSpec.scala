@@ -131,6 +131,48 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.WavCodec.sumSamples(zeroRate).isEmpty)
   }
 
+  test("RiffAvi: container round trip is byte-exact; corrupt inputs degrade to None") {
+    val f0 = Array[Byte](1, 2, 3, 4, 5) // odd length exercises RIFF padding
+    val f1 = Array[Byte](9, 8, 7, 6)
+    val avi = RiffAvi.encode(Seq(f0, f1), 4, 3)
+    val back = RiffAvi.frames(avi).get
+    assert(back.size == 2)
+    assert(back(0).toSeq == f0.toSeq && back(1).toSeq == f1.toSeq)
+
+    for (bad <- Seq(null, Array.empty[Byte], "not an avi".getBytes,
+        Multimodal.ImageIoCodec.encodeGrayPng(4, 4, identity),
+        Multimodal.WavCodec.encodePcm16(8000, 1, 4, _ => 1))) // RIFF but WAVE, no movi
+      assert(RiffAvi.frames(bad).isEmpty)
+    // truncated mid-chunk: the walk stops cleanly with the frames it has
+    val truncated = RiffAvi.frames(avi.take(avi.length - 3))
+    assert(truncated.forall(_.size <= 2))
+  }
+
+  test("videoFeatures / videoFrameSample: real frame decode, stride sampling, corrupt rows flagged") {
+    import spark.implicits._
+    def png(id: Long, j: Int) =
+      Multimodal.ImageIoCodec.encodeGrayPng(5, 4, k => ((id * 13 + j * 31 + k) % 256).toInt)
+    val rows = Seq(
+      (1L, RiffAvi.encode((0 until 3).map(j => png(1L, j)), 5, 4)),
+      (2L, RiffAvi.encode(Seq(png(2L, 0)), 5, 4)),
+      (3L, "corrupt container".getBytes))
+      .toDF("id", "media")
+    val out = Multimodal.videoFeatures(rows, "id", "media", batchSize = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1) && out(1L).getInt(2) == 3)
+    assert(out(1L).getInt(3) == 5 && out(1L).getInt(4) == 4)
+    assert(out(1L).getLong(5) == 60L)
+    assert(out(1L).getLong(6) ==
+      (for (j <- 0 until 3; k <- 0 until 20) yield (1L * 13 + j * 31 + k) % 256).sum)
+    assert(out(2L).getBoolean(1) && out(2L).getInt(2) == 1)
+    assert(!out(3L).getBoolean(1) && out(3L).getLong(6) == 0L)
+
+    // stride sampling walks the container only: frames 0 and 2 of 3
+    val sampled = Multimodal.videoFrameSample(rows, "id", "media", everyK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(sampled.toSeq == Seq((1L, 0), (1L, 2), (2L, 0)))
+  }
+
   test("audioFeatures: real decode through the batch stage, corrupt rows flagged ok=false") {
     import spark.implicits._
     val rows = Seq(
