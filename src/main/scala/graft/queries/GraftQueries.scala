@@ -584,6 +584,11 @@ object GraftQueries {
     // deterministic sampler.
     "mixture_rebalance_documents" -> ((s, d) =>
       Mixture.uniformRebalance(s.read.parquet(s"$d/documents.parquet"), "lang", "text")),
+    // temperature (α = 0.5) mixture over the source strata: the oracle
+    // replays the exact-isqrt weight, the integer quota min, and both
+    // integer divisions — every intermediate is a BIGINT on both sides
+    "mixture_temperature_documents" -> ((s, d) =>
+      Mixture.temperatureRebalance(s.read.parquet(s"$d/documents.parquet"), "source", "text")),
     "ann_topk_brute" -> ((s, d) =>
       Ann.bruteForceTopK(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0L to 9L, k = 5)),
@@ -3144,6 +3149,25 @@ object GraftQueries {
         |SELECT stratum, n_docs, n_tokens,
         |  CAST(10000 * (SELECT min(n_tokens) FROM s) // n_tokens AS BIGINT) AS keep_bp
         |FROM s""".stripMargin,
+
+    // temperature mixture: same share CTE, then the exact integer sqrt
+    // (double seed + the two ±1 corrections — identical to the Spark
+    // expression, so libm rounding can't diverge the engines), the
+    // per-weight quota min, and the two integer divisions
+    "mixture_temperature_documents" ->
+      """WITH s AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w0 AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS x0 FROM s),
+        |w1 AS (SELECT *, x0 - (CASE WHEN x0 * x0 > n_tokens THEN 1 ELSE 0 END) AS x1 FROM w0),
+        |w2 AS (SELECT *, x1 + (CASE WHEN (x1 + 1) * (x1 + 1) <= n_tokens THEN 1 ELSE 0 END) AS wgt FROM w1),
+        |q AS (SELECT min(n_tokens // wgt) AS quota FROM w2 WHERE n_tokens > 0)
+        |SELECT stratum, n_docs, n_tokens,
+        |  CAST(CASE WHEN n_tokens > 0 THEN wgt * (SELECT quota FROM q) ELSE 0 END AS BIGINT) AS target_tokens,
+        |  CAST(CASE WHEN n_tokens > 0 THEN (10000 * wgt * (SELECT quota FROM q)) // n_tokens
+        |       ELSE 10000 END AS BIGINT) AS keep_bp
+        |FROM w2""".stripMargin,
 
     // window starts at multiples of the stride; count is
     // ceil(max(n - maxLen, 0) / stride) + 1; list slicing rebuilds the

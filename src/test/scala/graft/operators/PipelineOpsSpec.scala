@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pii / Decontaminate / Mixture — the round-8 pipeline lanes. */
@@ -111,6 +112,58 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     val fracs = out.map { case (k, (_, _, bp)) => k -> bp / 10000.0 }
     val sampled = Sampling.stratified(df, "lang", "doc_id", fracs)
     assert(sampled.count() <= df.count())
+  }
+
+  test("mixture: exact isqrt is floor(sqrt) at and around perfect squares") {
+    import spark.implicits._
+    // boundary values where a double sqrt seed is most likely to round
+    // across the integer: k², k²−1, k²+1, plus 0/1/2 and a large value
+    val ns = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 99L, 100L, 101L,
+      999999L, 1000000L, 1000001L, 999999999999L, 1000000000000L)
+    val got = ns.toDF("n")
+      .select(col("n"), Mixture.isqrt(col("n")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach { n =>
+      val expect = java.math.BigInteger.valueOf(n).sqrt().longValue()
+      assert(got(n) == expect, s"isqrt($n): got ${got(n)}, want $expect")
+    }
+  }
+
+  test("mixture: temperature keeps more of large strata than uniform, binding stratum whole") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "web", "a b c d e f g h i j"),     // 10 tokens
+      (2L, "web", "a b c d e f g h i j"),
+      (3L, "web", "a b c d e f g h i j"),
+      (4L, "web", "a b c d e f g h i j"),
+      (5L, "web", "a b c d e f g h i j"),
+      (6L, "web", "a b c d e f g h i j"),
+      (7L, "web", "a b c d e f g h i j"),
+      (8L, "web", "a b c d e f g h i j"),
+      (9L, "web", "a b"),                     // web total 82
+      (10L, "books", "a b c d e f g h i"),    // books total 9
+      (11L, "code", ""))                      // zero-token stratum
+      .toDF("doc_id", "source", "text")
+    val t = Mixture.temperatureRebalance(df, "source", "text").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // weights: isqrt(82)=9, isqrt(9)=3 → quotas 82 div 9 = 9, 9 div 3 = 3
+    // → Q = 3; targets: web 27, books 9 (whole); keep: 10000·27 div 82,
+    // books 10000
+    assert(t("books") == ((9L, 9L, 10000L)))
+    assert(t("web") == ((82L, 27L, 270000L / 82L)))
+    assert(t("code") == ((0L, 0L, 10000L)))
+    // direction vs uniform: web keeps 3292 bp here but only
+    // 10000·9 div 82 = 1097 bp under the uniform rebalance
+    val u = Mixture.uniformRebalance(df.filter(col("source") =!= "code"), "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(t("web")._3 > u("web"))
+    // α = 1/4 (two isqrt applications) flattens even less toward small
+    // strata: the large stratum's keep fraction rises monotonically
+    val t2 = Mixture.temperatureRebalance(df, "source", "text", sqrtApplications = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(t2("web") >= t("web")._3)
+    assert(t2("books") == 10000L)
   }
 
   test("line dedup: corpus-frequent lines removed, blanks and order preserved") {
