@@ -47,6 +47,25 @@ object Packing {
       partitions: Int = 0,
   ): DataFrame = {
     require(budget > 0, "budget must be positive")
+    globalExclusivePrefix(df, idCol, tokenExpr, partitions)
+      .select(
+        col("id"),
+        col("n_tokens"),
+        expr(s"excl_tokens div ${budget}L").as("chunk"))
+  }
+
+  /** The two-phase parallel scan itself: (id, n_tokens, excl_tokens)
+    * where `excl_tokens` is the exclusive global running token sum in
+    * `idCol` order — identical to a single-task `Window.orderBy` prefix
+    * sum for ANY partitioning, without funneling the corpus through one
+    * task. Shared by the packing and shard-balancing sinks.
+    */
+  def globalExclusivePrefix(
+      df: DataFrame,
+      idCol: String,
+      tokenExpr: org.apache.spark.sql.Column,
+      partitions: Int = 0,
+  ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -88,6 +107,6 @@ object Packing {
       .select(
         col("id"),
         col("n_tokens"),
-        expr(s"(local_excl + offset) div ${budget}L").as("chunk"))
+        (col("local_excl") + col("offset")).as("excl_tokens"))
   }
 }

@@ -427,6 +427,27 @@ object GraftQueries {
     "quality_classifier_documents" -> ((s, d) =>
       graft.operators.QualityClassifier.score(
         s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
+    // the trained-model swap-in EXECUTED: label rule count("join") >
+    // count("scan") is exactly a hashed-BoW linear decision, MLlib LR
+    // learns it on the corpus, and the INTEGER milli-weight serving
+    // path (same codegen'd projection, weights as one array literal)
+    // must reproduce it — the query returns the agreement gate, the
+    // same contract as the ANN recall lanes
+    "quality_classifier_trained_documents" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      def cnt(t: String) =
+        size(filter(split(coalesce(col("text"), lit("")), " "), x => x === lit(t)))
+      val labeled = docs.select(col("doc_id"), col("text"),
+        (cnt("join") > cnt("scan")).cast("int").as("label"))
+      val w = graft.operators.QualityClassifier.train(labeled, "doc_id", "text", "label")
+      val scored = graft.operators.QualityClassifier.scoreWith(docs, "doc_id", "text", w)
+      val joined = scored.join(labeled.select("doc_id", "label"), "doc_id")
+      val agree = joined.filter(col("is_quality") === (col("label") === 1)).count()
+      val total = joined.count()
+      Seq(total > 0 && agree.toDouble / total >= 0.9).toDF("accuracy_ge_090")
+    }),
     "fingerprint_documents" -> ((s, d) =>
       TextAnalysis.fingerprint(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")),
     "token_count_documents" -> ((s, d) =>
@@ -684,6 +705,17 @@ object GraftQueries {
     // compact to ~target-sized range-clustered files. The rewrite must
     // be content-lossless — the oracle checks the compacted data, not
     // the layout (the layout contract is pinned in CompactionSpec).
+    // token-balanced training shards: assignment is a pure integer
+    // function of the corpus prefix sums, so the oracle replays it with
+    // a window scan; the returned summary is read BACK from the written
+    // Hive-partitioned layout, proving the files
+    "shard_export_documents" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val base = java.nio.file.Files.createTempDirectory("graft_shard_q").toString
+      graft.sinks.ShardedStore.write(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id",
+        TextAnalysis.tokenCountExpr(col("text")), nShards = 8, path = s"$base/out")
+    }),
     "compact_documents" -> ((s, d) => {
       import graft.sinks.Compaction
       val base = java.nio.file.Files.createTempDirectory("graft_compact_q").toString
@@ -2511,6 +2543,11 @@ object GraftQueries {
          |    FROM documents))""".stripMargin
     },
 
+    // the query computes the train→serve agreement gate itself (MLlib
+    // training is not SQL-replayable); the oracle pins the gate — the
+    // same contract as ann_topk_ivf's recall lane
+    "quality_classifier_trained_documents" -> "SELECT true AS accuracy_ge_090",
+
     "quality_score_documents" ->
       """SELECT doc_id, CAST(
         |  (CASE WHEN nt BETWEEN 10 AND 100000 THEN 25 ELSE 0 END) +
@@ -2718,6 +2755,22 @@ object GraftQueries {
 
     "compact_documents" ->
       "SELECT doc_id, lang, n_chars, md5(text) AS text_md5 FROM documents",
+
+    // shard = min(((excl + max(n,1) − 1) · 8) div T, 7) — the document's
+    // last-token position over the corpus prefix sum, all-BIGINT
+    "shard_export_documents" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n,
+        |  sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS excl
+        |  FROM t),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS T FROM t)
+        |SELECT CAST(shard AS INTEGER) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM (SELECT n, least(((excl + greatest(n, 1) - 1) * 8) // T, 7) AS shard FROM c, tot)
+        |GROUP BY 1""".stripMargin,
 
     "curriculum_rank_documents" ->
       """SELECT doc_id, n_chars,

@@ -381,6 +381,43 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(again == out)
   }
 
+  test("quality classifier: trained weights recover a BoW-linear rule through the integer path") {
+    import spark.implicits._
+    // 40 docs whose label is `count(good) > count(bad)` — exactly a
+    // hashed-BoW linear decision, so LR must recover it and the
+    // quantized integer serving path must reproduce it doc-for-doc.
+    // Filler tokens appear identically in both classes (≈0 weight).
+    val docs = (0 until 40).map { i =>
+      val good = i % 5
+      val bad = (i / 5) % 4
+      val text = (Seq.fill(good)("good") ++ Seq.fill(bad)("bad") ++
+        Seq("filler", s"pad${i % 3}")).mkString(" ")
+      (i.toLong, text, if (good > bad) 1 else 0)
+    }.toDF("doc_id", "text", "label")
+    val w = QualityClassifier.train(docs, "doc_id", "text", "label")
+    assert(w.length == QualityClassifier.Dim)
+    // the learned decision mass sits on the marker buckets, with signs
+    def bucket(tok: String): Int = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md5.take(15), 16) % QualityClassifier.Dim).toInt
+    }
+    assert(w(bucket("good")) > 0, "the positive marker's bucket must carry positive weight")
+    assert(w(bucket("bad")) < 0, "the negative marker's bucket must carry negative weight")
+    // serve through the INTEGER projection: agreement with the rule on
+    // every document (training data is cleanly separable up to ties;
+    // ties have label 0 and w_good ≈ -w_bad keeps them at/below 0)
+    val served = QualityClassifier.scoreWith(docs, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val labels = docs.collect().map(r => r.getLong(0) -> (r.getInt(2) == 1)).toMap
+    val agree = labels.count { case (id, l) => served(id) == l }
+    assert(agree >= 38, s"integer serving path agrees on $agree/40 docs")
+    // a wrongly-sized weight vector must fail loudly, not mis-index
+    intercept[IllegalArgumentException] {
+      QualityClassifier.scoreWith(docs, "doc_id", "text", Array(1L, 2L))
+    }
+  }
+
   test("embedding-cosine LSH pairs equal brute-force cosine pairs; NaN/zero vectors excluded") {
     import spark.implicits._
     // planted structure: 0~1 near-identical, 2 scaled copy of 0 (cosine
