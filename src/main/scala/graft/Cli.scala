@@ -540,9 +540,27 @@ object Cli {
         graft.sinks.ZOrder.cluster(docs, cols,
           bits = opts.getOrElse("bits", "8").toInt,
           numFiles = opts.getOrElse("files", "16").toInt)
+      // per-stratum mixture accounting: uniform (cap to the smallest
+      // stratum) or temperature p^(1/2^k) via --sqrt-apps
+      case "mixture" =>
+        val strata = opts.getOrElse("by", "lang")
+        opts.get("sqrt-apps") match {
+          case Some(k) => Mixture.temperatureRebalance(docs, strata, text, k.toInt)
+          case None    => Mixture.uniformRebalance(docs, strata, text)
+        }
+      // token-balanced training shards; --shard-out writes the
+      // Hive-partitioned layout and reports the read-back summary,
+      // otherwise the assignment frame is returned
+      case "shard" =>
+        val n = opts.getOrElse("shards", "16").toInt
+        val tok = TextAnalysis.tokenCountExpr(org.apache.spark.sql.functions.col(text))
+        opts.get("shard-out") match {
+          case Some(p) => graft.sinks.ShardedStore.write(docs, id, tok, n, p)
+          case None    => graft.sinks.ShardedStore.assignShards(docs, id, tok, n)
+        }
       case other =>
         throw new IllegalArgumentException(
-          s"unknown pipeline op $other (profile|dedup|sample|pack|rank|quantiles|validate|zorder)")
+          s"unknown pipeline op $other (profile|dedup|sample|pack|rank|quantiles|validate|zorder|mixture|shard)")
     }
   }
 

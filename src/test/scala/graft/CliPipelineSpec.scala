@@ -52,6 +52,19 @@ class CliPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(q.count() == 1 && q.columns.contains("p99"))
   }
 
+  test("mixture and shard dispatch with defaults and overrides") {
+    val mu = Cli.pipelineFrame("mixture", docs(), Map.empty)
+    assert(mu.columns.sameElements(Array("stratum", "n_docs", "n_tokens", "keep_bp")))
+    val mt = Cli.pipelineFrame("mixture", docs(), Map("sqrt-apps" -> "1"))
+    assert(mt.columns.contains("target_tokens") && mt.count() == 1)
+    val sh = Cli.pipelineFrame("shard", docs(), Map("shards" -> "2"))
+    assert(sh.count() == 3 && sh.columns.sameElements(Array("id", "n_tokens", "shard")))
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_shard").toString
+    val sw = Cli.pipelineFrame("shard", docs(), Map("shards" -> "2", "shard-out" -> s"$out/s"))
+    assert(sw.columns.sameElements(Array("shard", "n_docs", "n_tokens")))
+    assert(sw.collect().map(_.getLong(1)).sum == 3L)
+  }
+
   test("unknown ops and methods fail loudly") {
     intercept[IllegalArgumentException](Cli.pipelineFrame("nope", docs(), Map.empty))
     intercept[IllegalArgumentException](
