@@ -341,7 +341,7 @@ object Ann {
     * (never referenced — no row encodes to a vanished code). Shared by
     * the exhaustive and IVF-probed ADC scans.
     */
-  private def nanoDistanceTable(
+  private[operators] def nanoDistanceTable(
       qv: Seq[Double],
       model: Array[Array[(Int, Seq[Double])]],
       subspaces: Int,
@@ -363,7 +363,7 @@ object Ann {
     * query from the broadcast query table) — ONE plan branch however
     * many queries are batched, instead of a per-query union arm.
     */
-  private def adcColExpr(subspaces: Int): Column =
+  private[operators] def adcColExpr(subspaces: Int): Column =
     (0 until subspaces).map(m =>
       element_at(element_at(col("dt"), m + 1), element_at(col("codes"), m + 1) + 1))
       .reduce(_ + _)
@@ -479,6 +479,30 @@ object Ann {
     * the index stored cid-partitioned, that predicate is partition
     * pruning, and the scan reads `nProbe` directories of codes.
     */
+  /** Driver-side probe selection, ordered exactly like ivfTopK's
+    * slice(reverse(array_sort(scored))): cosine similarity descending
+    * with Spark's double ordering (NaN above all), ties to the larger
+    * cid. Shared by the inline IVFADC path and the persisted index
+    * ([[AnnIndex]]) so both probe the same lists for the same query.
+    */
+  private[operators] def probeOrder(
+      centroids: Array[(Int, Seq[Double])],
+      qv: Seq[Double],
+      nProbe: Int): Seq[Int] = {
+    def cmpD(a: Double, b: Double): Int =
+      if (a == b) 0 else java.lang.Double.compare(a, b)
+    centroids.toSeq.map { case (cid, cv) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(qv.size, cv.size)
+      while (i < n) { val x = qv(i); val y = cv(i); dot += x * y; na += x * x; nb += y * y; i += 1 }
+      (dot / (math.sqrt(na) * math.sqrt(nb)), cid)
+    }.sortWith { case ((s1, c1), (s2, c2)) =>
+      val c = cmpD(s1, s2)
+      c > 0 || (c == 0 && c1 > c2)
+    }.take(nProbe).map(_._2)
+  }
+
   def ivfAdcTopK(
       emb: DataFrame,
       idCol: String,
@@ -514,23 +538,7 @@ object Ann {
     val qRows = corpus.filter(col("id").isInCollection(queryIds))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
 
-    // driver-side probe selection, ordered exactly like ivfTopK's
-    // slice(reverse(array_sort(scored))): similarity descending with
-    // Spark's double ordering (NaN above all), ties to the larger cid
-    def probeLists(qv: Seq[Double]): Seq[Int] = {
-      def cmpD(a: Double, b: Double): Int =
-        if (a == b) 0 else java.lang.Double.compare(a, b)
-      centroids.toSeq.map { case (cid, cv) =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        val n = math.min(qv.size, cv.size)
-        while (i < n) { val x = qv(i); val y = cv(i); dot += x * y; na += x * x; nb += y * y; i += 1 }
-        (dot / (math.sqrt(na) * math.sqrt(nb)), cid)
-      }.sortWith { case ((s1, c1), (s2, c2)) =>
-        val c = cmpD(s1, s2)
-        c > 0 || (c == 0 && c1 > c2)
-      }.take(nProbe).map(_._2)
-    }
+    def probeLists(qv: Seq[Double]): Seq[Int] = probeOrder(centroids, qv, nProbe)
 
     if (qRows.isEmpty) {
       val empty = spark.range(0)

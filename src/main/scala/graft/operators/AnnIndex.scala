@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVFADC index: build ONCE, query many times.
+  *
+  * Every inline ANN operator in [[Ann]] retrains its model per call —
+  * fine for a one-shot query, wrong for the production serving pattern
+  * where a 100 TB corpus is indexed once and then queried by thousands
+  * of batches. This operator splits the two phases across a durable
+  * parquet layout (reference behavior: ArchiTXT caches derived
+  * per-corpus artifacts once and reuses them across runs,
+  * `nlp/__init__.py` corpus cache; the index structure itself is
+  * Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011, §IV — public):
+  *
+  * {{{
+  *   path/meta/       one row: nLists, subspaces, subDim, dim, codebook
+  *   path/centroids/  (cid, cv)          — coarse quantizer, model-sized
+  *   path/codebooks/  (m, cid, cv)       — PQ codebooks, model-sized
+  *   path/codes/cid=K/ (id, codes)       — the compressed corpus,
+  *                                         PARTITIONED BY the coarse cid
+  * }}}
+  *
+  * Scale design: `codes/` is the only data-sized artifact and it stores
+  * `subspaces` small ints per vector (16 bits at the defaults vs a
+  * 256-byte raw vector). Because it is written `partitionBy("cid")`, a
+  * probe-limited query's `cid IN (probed)` restriction is TRUE partition
+  * pruning — the scan lists `nProbe` directories and never opens the
+  * rest, which is exactly the inverted-list file layout of the paper
+  * expressed as a parquet convention. Training is bit-identical to
+  * [[Ann.ivfAdcTopK]] (same deterministic Lloyd init, same
+  * order-independent nano-unit integer means), so `nProbe = nLists`
+  * against a persisted index must reproduce [[Ann.pqTopK]]'s exhaustive
+  * integer-ADC ranking bit-for-bit — which keeps the whole
+  * build→save→load→query machinery under the same relational oracle.
+  */
+object AnnIndex {
+
+  /** Driver-side model: everything except the compressed corpus. */
+  final case class Model(
+      nLists: Int,
+      subspaces: Int,
+      subDim: Int,
+      dim: Int,
+      codebook: Int,
+      centroids: Array[(Int, Seq[Double])],
+      codebooks: Array[Array[(Int, Seq[Double])]])
+
+  /** Train the coarse quantizer + PQ codebooks on `emb` and persist the
+    * full index layout at `path` (overwriting any previous index).
+    * Training is delegated to the same [[Ann]] internals the inline
+    * operators use, so a persisted index is bit-compatible with them.
+    */
+  def build(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nLists: Int = 16,
+      subspaces: Int = 4,
+      codebook: Int = 16,
+      iters: Int = 2): Unit = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = emb
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .cache()
+    try {
+      val dim = corpus.select(size(col("v"))).head.getInt(0)
+      require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
+      val subDim = dim / subspaces
+      val unrolled = nLists <= Ann.maxUnrolled(spark)
+
+      val centroids = Ann.lloydCentroids(corpus, nLists, iters, unrolled)
+      val model = Ann.pqTrain(corpus, subDim, subspaces, codebook, iters)
+
+      import spark.implicits._
+      Seq((nLists, subspaces, subDim, dim, codebook))
+        .toDF("n_lists", "subspaces", "sub_dim", "dim", "codebook")
+        .write.mode("overwrite").parquet(s"$path/meta")
+      centroids.toSeq.toDF("cid", "cv")
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      model.zipWithIndex.toSeq
+        .flatMap { case (cb, m) => cb.map { case (cid, cv) => (m, cid, cv) } }
+        .toDF("m", "cid", "cv")
+        .write.mode("overwrite").parquet(s"$path/codebooks")
+
+      // the data-sized artifact: coarse assignment + PQ codes, laid out
+      // as one directory per inverted list so probes prune at the
+      // partition level
+      Ann.assignToCentroids(corpus, centroids, unrolled)
+        .withColumn("codes",
+          array((0 until subspaces).map(m => Ann.pqCodeExpr(m, subDim, model(m))): _*))
+        .select("id", "codes", "cid")
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    } finally corpus.unpersist()
+  }
+
+  /** Load the driver-side model (meta + centroids + codebooks — all
+    * model-sized; the compressed corpus stays on disk).
+    */
+  def loadModel(spark: SparkSession, path: String): Model = {
+    val meta = spark.read.parquet(s"$path/meta").head
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val subspaces = meta.getAs[Int]("subspaces")
+    val cbs = (0 until subspaces).map { m =>
+      cbRows.filter(_._1 == m).map { case (_, cid, cv) => (cid, cv) }.sortBy(_._1)
+    }.toArray
+    Model(
+      nLists = meta.getAs[Int]("n_lists"),
+      subspaces = subspaces,
+      subDim = meta.getAs[Int]("sub_dim"),
+      dim = meta.getAs[Int]("dim"),
+      codebook = meta.getAs[Int]("codebook"),
+      centroids = cents,
+      codebooks = cbs)
+  }
+
+  /** Query a persisted index without retraining anything: load the
+    * model, compute each query's integer nano-unit ADC distance table
+    * and probe set driver-side, then scan ONLY the probed `codes/`
+    * partitions. Same semantics as [[Ann.ivfAdcTopK]] from the probe
+    * onward — including the self-exclusion (`id =!= query_id`), the
+    * null-ADC filter, and the (adc asc, neighbor_id asc) tie-break —
+    * so `nProbe = nLists` reproduces [[Ann.pqTopK]] exactly.
+    *
+    * `queries` carries the query vectors (any frame with an id and a
+    * vector column — the corpus itself filtered to the query ids, or an
+    * external batch). With `rerank > 0`, `exact` must supply raw
+    * vectors for the shortlist re-rank (the corpus the index was built
+    * from); the compressed scan then only shortlists `rerank`
+    * candidates and exact cosine picks the final `k`.
+    */
+  def topK(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int = 5,
+      nProbe: Int = 4,
+      rerank: Int = 0,
+      exact: Option[DataFrame] = None,
+      exactIdCol: String = "id",
+      exactVecCol: String = "v"): DataFrame = {
+    require(rerank <= 0 || exact.nonEmpty,
+      "rerank > 0 needs the raw-vector frame (exact=...) for the final ranking")
+    graft.functions.GraftFunctions.register(spark)
+    val model = loadModel(spark, path)
+
+    val qRows = queries
+      .select(col(qidCol).cast("long").as("id"),
+        col(qvecCol).cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    if (qRows.isEmpty)
+      return spark.range(0)
+        .select(col("id").as("query_id"), col("id").as("neighbor_id"))
+
+    val perQuery = qRows.toSeq.map { case (qid, qv) =>
+      require(qv.size == model.dim,
+        s"query $qid has dim ${qv.size}, index expects ${model.dim}")
+      (qid,
+        Ann.nanoDistanceTable(qv, model.codebooks, model.subspaces, model.subDim),
+        Ann.probeOrder(model.centroids, qv, nProbe))
+    }
+    val qTable = {
+      import spark.implicits._
+      perQuery.toDF("query_id", "dt", "probe")
+    }
+
+    // the union of all probed lists as a plain `cid IN (...)` — against
+    // the partitionBy("cid") layout this prunes at directory level (the
+    // plan's PartitionFilters, pinned in AnnIndexSpec)
+    val allProbed = perQuery.flatMap(_._3).distinct
+    val scored = spark.read.parquet(s"$path/codes")
+      .filter(col("cid").isInCollection(allProbed))
+      .crossJoin(broadcast(qTable))
+      .filter(array_contains(col("probe"), col("cid")) && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        Ann.adcColExpr(model.subspaces).as("adc"))
+      .filter(col("adc").isNotNull)
+    val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
+    val shortlisted = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= math.max(k, rerank))
+      .select("query_id", "neighbor_id")
+
+    if (rerank <= 0) shortlisted
+    else {
+      val corpus = exact.get.select(
+        col(exactIdCol).cast("long").as("id"),
+        col(exactVecCol).cast("array<double>").as("v"))
+      val qMapLit = typedLit(qRows.toMap)
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      corpus
+        .join(broadcast(shortlisted), col("id") === col("neighbor_id"))
+        .withColumn("sim", Ann.cosine(element_at(qMapLit, col("query_id")), col("v")))
+        .withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    }
+  }
+}

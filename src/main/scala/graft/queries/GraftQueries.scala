@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.metrics.{FdMetrics, ForestInspector}
 import graft.model.{Forest, NodeRow, Schema}
-import graft.operators.{Ann, Decontaminate, Dedup, Events, Graph, LmScore, Mixture, Multimodal, Pii, RiffAvi, TextAnalysis, Tokenizer}
+import graft.operators.{Ann, AnnIndex, Decontaminate, Dedup, Events, Graph, LmScore, Mixture, Multimodal, Pii, RiffAvi, TextAnalysis, Tokenizer}
 import graft.sources.{DbConfig, RelationalLoader, Testdata}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
@@ -665,6 +665,22 @@ object GraftQueries {
       Ann.ivfAdcTopK(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0L to 9L,
         k = 5, nLists = 16, nProbe = 16)),
+    // persisted IVFADC index: build→save→load→query across the durable
+    // parquet layout (codes partitioned by the coarse cid). Training is
+    // bit-identical to the inline path and full probing makes the
+    // candidate set exhaustive, so the persisted machinery — write,
+    // reload, partition-pruned scan, integer ADC — must reproduce the
+    // exhaustive ADC ranking; the oracle is the SAME DuckDB replay as
+    // ann_topk_pq
+    "ann_index_persisted" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val base = java.nio.file.Files.createTempDirectory("graft_annidx_q").toString
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx")
+      AnnIndex.topK(s, s"$base/idx",
+        emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
+        k = 5, nProbe = 16)
+    }),
     // the production IVFADC config: probe half the lists, ADC-shortlist
     // the compressed codes found there, exact re-rank the candidates —
     // approximate vs brute force by design, so the query RETURNS the
@@ -2596,6 +2612,7 @@ object GraftQueries {
     "ann_topk_pq" -> pqAdcOracle,
     // exhaustive probing ≡ the exhaustive ADC scan — same replay
     "ann_topk_ivfadc_full" -> pqAdcOracle,
+    "ann_index_persisted" -> pqAdcOracle,
     "ann_topk_ivfadc" -> "SELECT true AS recall_ge_080",
     "ann_topk_pq_rerank" -> "SELECT true AS recall_ge_080",
     // the query computes the recall gate itself (IVF@nProbe=4 vs brute

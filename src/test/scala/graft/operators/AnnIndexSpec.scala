@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted IVFADC index: build→save→load→query must be
+  * bit-compatible with the inline [[Ann]] operators (same training,
+  * same probe order, same integer-ADC ranking), and the cid-partitioned
+  * codes layout must prune at the partition level when probed.
+  */
+class AnnIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val emb: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def tmpIdx(): String =
+    java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/idx"
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def queriesOf(ids: Seq[Long]): DataFrame =
+    emb.filter(col("vec_id").isInCollection(ids))
+
+  test("full-probe query over a persisted index reproduces pqTopK bit-for-bit") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val persisted = AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16)
+    val inline = Ann.pqTopK(emb, "vec_id", "embedding", 0L to 9L, k = 5)
+    assert(pairs(persisted) == pairs(inline))
+  }
+
+  test("probe-limited query equals the inline IVFADC path, incl. exact re-rank") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val persisted = AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    val inline = Ann.ivfAdcTopK(emb, "vec_id", "embedding", 0L to 9L, k = 5,
+      nLists = 16, nProbe = 4)
+    assert(pairs(persisted) == pairs(inline))
+
+    val pr = AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 4, rerank = 50,
+      exact = Some(emb), exactIdCol = "vec_id", exactVecCol = "embedding")
+    val ir = Ann.ivfAdcTopK(emb, "vec_id", "embedding", 0L to 9L, k = 5,
+      nLists = 16, nProbe = 4, rerank = 50)
+    assert(pairs(pr) == pairs(ir))
+  }
+
+  test("loadModel round-trips the trained model shapes") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path,
+      nLists = 8, subspaces = 8, codebook = 16, iters = 2)
+    val m = AnnIndex.loadModel(spark, path)
+    assert(m.nLists == 8 && m.subspaces == 8 && m.codebook == 16)
+    assert(m.dim == 64 && m.subDim == 8)
+    assert(m.centroids.nonEmpty && m.centroids.length <= 8)
+    assert(m.codebooks.length == 8)
+    assert(m.codebooks.forall(cb => cb.nonEmpty && cb.length <= 16))
+    assert(m.codebooks.forall(_.forall(_._2.size == 8)))
+    // centroids and codebooks must be exactly what the inline trainers
+    // produce for the same corpus and params — bit-compatibility is the
+    // whole contract
+    val corpus = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    // lloydCentroids returns means in collect order (assignment and
+    // probing are order-independent) — compare cid-sorted
+    val cents = Ann.lloydCentroids(corpus, 8, 2, unrolled = true)
+    assert(m.centroids.toSeq == cents.sortBy(_._1).toSeq)
+    val cbs = Ann.pqTrain(corpus, 8, 8, 16, 2)
+    assert(m.codebooks.map(_.toSeq).toSeq == cbs.map(_.toSeq).toSeq)
+  }
+
+  test("probed query prunes codes partitions at the directory level") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val q = AnnIndex.topK(spark, path, queriesOf(Seq(0L)),
+      "vec_id", "embedding", k = 5, nProbe = 2)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"expected a partition filter on cid:\n$plan")
+    // the same pruning restriction topK builds, pinned at the file level:
+    // only the probed cid directories are listed
+    val m = AnnIndex.loadModel(spark, path)
+    val qv = queriesOf(Seq(0L)).select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0)
+    val probed = Ann.probeOrder(m.centroids, qv, 2)
+    val scan = spark.read.parquet(s"$path/codes")
+      .filter(col("cid").isInCollection(probed))
+    val files = scan.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head.selectedPartitions.toPartitionArray.map(_.urlEncodedPath)
+    assert(files.nonEmpty && files.forall(p => probed.exists(c => p.contains(s"cid=$c"))),
+      s"scan must touch only probed cid dirs, got:\n${files.mkString("\n")}")
+  }
+
+  test("empty query batch yields an empty frame; dim mismatch fails loudly") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    assert(AnnIndex.topK(spark, path, queriesOf(Seq(-1L)),
+      "vec_id", "embedding", k = 5).count() == 0)
+    import spark.implicits._
+    val bad = Seq((0L, Array(1.0, 2.0))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      AnnIndex.topK(spark, path, bad, "vec_id", "embedding", k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.topK(spark, path, queriesOf(Seq(0L)), "vec_id", "embedding",
+        k = 5, rerank = 10)
+    }
+  }
+}
