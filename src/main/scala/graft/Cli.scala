@@ -48,6 +48,12 @@ object Cli {
         |  generate [--size N] [--out DIR]                 synthetic instance from the demo schema
         |  cache-clear <dir>                               remove a corpus parse cache
         |  ui [--port P] [--bind-all]                      browser workbench (loopback unless --bind-all)
+        |  ann build <emb.parquet> --index DIR [--id C] [--vec C]
+        |            [--lists N] [--subspaces M] [--codebook K] [--iters I]
+        |                                                  persist an IVFADC index (train once)
+        |  ann query <emb.parquet> --index DIR --ids 0,1,2 [--id C] [--vec C]
+        |            [--k K] [--probe P] [--rerank R] [--out DIR]
+        |                                                  top-k over a persisted index (no retrain)
         |  pipeline profile|dedup|sample|pack|rank|quantiles <docs.parquet>
         |           [--id C] [--text C] [--out DIR]
         |           [--method exact|lines|ngram|minhash|simhash]   (dedup)
@@ -103,6 +109,37 @@ object Cli {
     // corpus-pipeline lane: the training-data operators over a plain
     // documents parquet (doc_id, text[, lang, …]) — the surface a data
     // engineer drives without touching the metamodel
+    // ANN index lane: build persists the IVFADC layout once; query
+    // serves top-k batches against it without retraining anything
+    case "ann" :: verb :: path :: rest =>
+      val opts = parseOpts(rest)
+      val idx = opts.getOrElse("index", {
+        System.err.println(s"ann $verb needs --index DIR"); sys.exit(2)
+      })
+      val spark = session()
+      val emb = spark.read.parquet(path)
+      verb match {
+        case "build" =>
+          graft.operators.AnnIndex.build(
+            emb, opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"), idx,
+            nLists = opts.getOrElse("lists", "16").toInt,
+            subspaces = opts.getOrElse("subspaces", "4").toInt,
+            codebook = opts.getOrElse("codebook", "16").toInt,
+            iters = opts.getOrElse("iters", "2").toInt)
+          println(s"indexed ${spark.read.parquet(s"$idx/codes").count()} vectors into $idx")
+        case "query" =>
+          val out = annQueryFrame(emb, idx, opts)
+          opts.get("out") match {
+            case Some(o) =>
+              out.write.mode("overwrite").parquet(o)
+              println(s"wrote ${spark.read.parquet(o).count()} rows to $o")
+            case None => out.show(50, truncate = false)
+          }
+        case other =>
+          System.err.println(s"unknown ann verb $other (build|query)"); sys.exit(2)
+      }
+      spark.stop()
+
     case "pipeline" :: op :: path :: rest =>
       val opts = parseOpts(rest)
       val spark = session()
@@ -480,6 +517,33 @@ object Cli {
     graft.ui.UiServer.start(spark,
       port = opts.getOrElse("port", "8501").toInt,
       bindAll = opts.contains("bind-all"))
+
+  /** The `ann query` frame builder, factored out like [[pipelineFrame]]
+    * so the dispatch is unit-testable. `--ids` selects the query rows
+    * from the embeddings frame; `--rerank` re-ranks the compressed
+    * shortlist by exact cosine over the same frame's raw vectors.
+    */
+  private[graft] def annQueryFrame(
+      emb: org.apache.spark.sql.DataFrame,
+      indexPath: String,
+      opts: Map[String, String],
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val idCol = opts.getOrElse("id", "vec_id")
+    val vecCol = opts.getOrElse("vec", "embedding")
+    val ids = opts.getOrElse("ids",
+      throw new IllegalArgumentException("ann query needs --ids N,N,...")
+    ).split(",").map(_.trim.toLong).toSeq
+    val rerank = opts.getOrElse("rerank", "0").toInt
+    graft.operators.AnnIndex.topK(
+      emb.sparkSession, indexPath,
+      emb.filter(col(idCol).isInCollection(ids)), idCol, vecCol,
+      k = opts.getOrElse("k", "5").toInt,
+      nProbe = opts.getOrElse("probe", "4").toInt,
+      rerank = rerank,
+      exact = if (rerank > 0) Some(emb) else None,
+      exactIdCol = idCol, exactVecCol = vecCol)
+  }
 
   /** The `pipeline` subcommand's frame builder, factored out so the
     * dispatch is unit-testable against the shared test session (main

@@ -90,11 +90,16 @@ object AnnIndex {
 
       // the data-sized artifact: coarse assignment + PQ codes, laid out
       // as one directory per inverted list so probes prune at the
-      // partition level
+      // partition level. The repartition co-locates each list before the
+      // write — without it every write task emits a fragment per cid it
+      // touches (tasks × lists files); with it a list is one file per
+      // holding partition, the actual inverted-list layout. One shuffle,
+      // paid once at build time.
       Ann.assignToCentroids(corpus, centroids, unrolled)
         .withColumn("codes",
           array((0 until subspaces).map(m => Ann.pqCodeExpr(m, subDim, model(m))): _*))
         .select("id", "codes", "cid")
+        .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
     } finally corpus.unpersist()
   }
