@@ -51,6 +51,8 @@ object Cli {
         |  ann build <emb.parquet> --index DIR [--id C] [--vec C]
         |            [--lists N] [--subspaces M] [--codebook K] [--iters I]
         |                                                  persist an IVFADC index (train once)
+        |  ann append <emb.parquet> --index DIR [--id C] [--vec C]
+        |                                                  encode new vectors with the frozen model
         |  ann query <emb.parquet> --index DIR --ids 0,1,2 [--id C] [--vec C]
         |            [--k K] [--probe P] [--rerank R] [--out DIR]
         |                                                  top-k over a persisted index (no retrain)
@@ -127,6 +129,10 @@ object Cli {
             codebook = opts.getOrElse("codebook", "16").toInt,
             iters = opts.getOrElse("iters", "2").toInt)
           println(s"indexed ${spark.read.parquet(s"$idx/codes").count()} vectors into $idx")
+        case "append" =>
+          graft.operators.AnnIndex.append(
+            emb, opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"), idx)
+          println(s"index now holds ${spark.read.parquet(s"$idx/codes").count()} vectors")
         case "query" =>
           val out = annQueryFrame(emb, idx, opts)
           opts.get("out") match {
@@ -136,7 +142,7 @@ object Cli {
             case None => out.show(50, truncate = false)
           }
         case other =>
-          System.err.println(s"unknown ann verb $other (build|query)"); sys.exit(2)
+          System.err.println(s"unknown ann verb $other (build|append|query)"); sys.exit(2)
       }
       spark.stop()
 

@@ -104,6 +104,38 @@ object AnnIndex {
     } finally corpus.unpersist()
   }
 
+  /** Append new vectors to an existing index WITHOUT retraining: encode
+    * them with the persisted (frozen) coarse quantizer + PQ codebooks
+    * and append into the cid partitions. This is the incremental-ingest
+    * half of the serving pattern — daily increments join the index as
+    * one encode scan + partitioned append, never a rebuild; queries see
+    * the rows immediately. The frozen model slowly drifts from the data
+    * distribution (standard IVF behavior) — rebuild on your reindex
+    * cadence. Encoding is the exact expression [[build]] uses, so an
+    * appended row is bit-identical to the same row indexed at build
+    * time (pinned in AnnIndexSpec). Id uniqueness across batches is the
+    * caller's contract, as with every loader in this library.
+    */
+  def append(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val model = loadModel(spark, path)
+    val corpus = emb
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val unrolled = model.nLists <= Ann.maxUnrolled(spark)
+    Ann.assignToCentroids(corpus, model.centroids, unrolled)
+      .withColumn("codes",
+        array((0 until model.subspaces).map(m =>
+          Ann.pqCodeExpr(m, model.subDim, model.codebooks(m))): _*))
+      .select("id", "codes", "cid")
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
+  }
+
   /** Load the driver-side model (meta + centroids + codebooks — all
     * model-sized; the compressed corpus stays on disk).
     */

@@ -98,6 +98,44 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       s"scan must touch only probed cid dirs, got:\n${files.mkString("\n")}")
   }
 
+  test("append encodes with the frozen model bit-identically to build") {
+    // same training corpus → same model; path2's codes arrive entirely
+    // through append, so a full-probe query must be bit-equal to the
+    // built index (and to pqTopK, by the first test's transitivity)
+    val p1 = tmpIdx(); val p2 = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", p1)
+    AnnIndex.build(emb, "vec_id", "embedding", p2)
+    val codesDir = java.nio.file.Paths.get(s"$p2/codes")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(codesDir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    AnnIndex.append(emb, "vec_id", "embedding", p2)
+    val q1 = AnnIndex.topK(spark, p1, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16)
+    val q2 = AnnIndex.topK(spark, p2, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16)
+    assert(pairs(q1) == pairs(q2))
+  }
+
+  test("appended rows join the index and are served by queries") {
+    val path = tmpIdx()
+    val half = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    AnnIndex.build(half, "vec_id", "embedding", path)
+    val before = spark.read.parquet(s"$path/codes").count()
+    AnnIndex.append(rest, "vec_id", "embedding", path)
+    val after = spark.read.parquet(s"$path/codes").count()
+    assert(before == 250 && after == 500)
+    // full probe over the appended index = exhaustive frozen-model ADC
+    // over the union: every query still gets k neighbors, and appended
+    // ids are reachable as neighbors
+    val q = AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16)
+    val got = pairs(q)
+    assert(got.size == 50)
+    assert(got.exists(_._2 >= 250), "appended rows must be servable as neighbors")
+  }
+
   test("empty query batch yields an empty frame; dim mismatch fails loudly") {
     val path = tmpIdx()
     AnnIndex.build(emb, "vec_id", "embedding", path)
