@@ -134,24 +134,69 @@ object Ann {
       // the means instead of crashing the model collect
       val assigned = assignToCentroids(corpus, centroids, unrolled)
         .filter(col("cid").isNotNull)
-      val dim = centroids.head._2.size
-      // ORDER-INDEPENDENT integer means, like pqTrain: nano-quantized
-      // coordinate sums as longs, then the one fixed double expression
-      // sumNanos/count/1e9 — float avg exposed Spark's partial-agg
-      // summation order, a latent flaky-oracle risk for every SQL
-      // replay of this model (semantic dedup, the IVF family)
-      val sumCols = (0 until dim).map(i =>
-        sum(round(col("v").getItem(i) * 1e9).cast("long")).as(s"d$i"))
-      val aggCols = sumCols :+ count(lit(1)).as("cnt")
-      val means = assigned
-        .groupBy("cid")
-        .agg(aggCols.head, aggCols.tail: _*)
-        .collect()
-        .map { r =>
-          val cnt = r.getLong(dim + 1)
-          (r.getInt(0), (0 until dim).map(i => r.getLong(i + 1).toDouble / cnt / 1e9))
-        }
-      if (means.nonEmpty) centroids = means.map { case (c, v) => (c, v: Seq[Double]) }
+      // ORDER-INDEPENDENT integer means ([[nanoMeans]]): float avg
+      // exposed Spark's partial-agg summation order, a latent
+      // flaky-oracle risk for every SQL replay of this model
+      val means = nanoMeans(assigned, centroids.head._2.size)
+      if (means.nonEmpty) centroids = means
+    }
+    centroids
+  }
+
+  /** Squared-L2 argmin assignment over a centroid literal (the PQ
+    * machinery's metric and tie-break: distance ASC, larger cid on
+    * ties) — the native codegen'd graft_pq_assign over the FULL vector
+    * instead of a subspace slice. The coarse quantizer for the residual
+    * index layout, where ADC distances are L2 and the coarse metric
+    * must agree with them.
+    */
+  private[operators] def assignL2(
+      corpus: DataFrame,
+      cents: Array[(Int, Seq[Double])]): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cbLit = typedLit(cents.toSeq).cast("array<struct<cid:int,cv:array<double>>>")
+    corpus.withColumn("cid", graft.functions.GraftFunctions.pqAssign(col("v"), cbLit))
+  }
+
+  /** The shared order-independent integer centroid means: nano-quantized
+    * coordinate sums as longs, then the one fixed double expression
+    * sumNanos/count/1e9 — partial-aggregation order cannot shift the
+    * mean by an ulp, so every SQL replay of a Lloyd model is exact.
+    * Returns means in collect order (assignment and probing are
+    * order-independent).
+    */
+  private[operators] def nanoMeans(
+      assigned: DataFrame,
+      dim: Int): Array[(Int, Seq[Double])] = {
+    val sumCols = (0 until dim).map(i =>
+      sum(round(col("v").getItem(i) * 1e9).cast("long")).as(s"d$i"))
+    val aggCols = sumCols :+ count(lit(1)).as("cnt")
+    assigned
+      .groupBy("cid")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+      .map { r =>
+        val cnt = r.getLong(dim + 1)
+        (r.getInt(0), (0 until dim).map(i => r.getLong(i + 1).toDouble / cnt / 1e9): Seq[Double])
+      }
+  }
+
+  /** Deterministic Lloyd under squared L2: same protocol as
+    * [[lloydCentroids]] (init = first `k` vectors by id, integer-nano
+    * means, dropped empty clusters) but assignment is [[assignL2]] —
+    * used by the residual index layout.
+    */
+  private[operators] def lloydCentroidsL2(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int): Array[(Int, Seq[Double])] = {
+    var centroids: Array[(Int, Seq[Double])] = corpus
+      .orderBy("id").limit(k).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    (1 to iters).foreach { _ =>
+      val assigned = assignL2(corpus, centroids).filter(col("cid").isNotNull)
+      val means = nanoMeans(assigned, centroids.head._2.size)
+      if (means.nonEmpty) centroids = means
     }
     centroids
   }
@@ -500,6 +545,27 @@ object Ann {
     }.sortWith { case ((s1, c1), (s2, c2)) =>
       val c = cmpD(s1, s2)
       c > 0 || (c == 0 && c1 > c2)
+    }.take(nProbe).map(_._2)
+  }
+
+  /** Probe selection under squared L2 (the residual layout's metric):
+    * distance ascending, ties to the larger cid — the same ordering
+    * [[assignL2]]'s argmin uses, so a query's own list is always its
+    * first probe.
+    */
+  private[operators] def probeOrderL2(
+      centroids: Array[(Int, Seq[Double])],
+      qv: Seq[Double],
+      nProbe: Int): Seq[Int] = {
+    centroids.toSeq.map { case (cid, cv) =>
+      var s = 0.0
+      var i = 0
+      val n = math.min(qv.size, cv.size)
+      while (i < n) { val d = qv(i) - cv(i); s += d * d; i += 1 }
+      (s, cid)
+    }.sortWith { case ((s1, c1), (s2, c2)) =>
+      val c = java.lang.Double.compare(s1, s2)
+      c < 0 || (c == 0 && c1 > c2)
     }.take(nProbe).map(_._2)
   }
 

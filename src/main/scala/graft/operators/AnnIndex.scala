@@ -39,13 +39,18 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  /** Driver-side model: everything except the compressed corpus. */
+  /** Driver-side model: everything except the compressed corpus.
+    * `residual = true` marks the paper's residual layout (§IV): codes
+    * quantize `v − centroid(cid)` under an L2 coarse quantizer, and
+    * queries use per-(query, probed-list) distance tables.
+    */
   final case class Model(
       nLists: Int,
       subspaces: Int,
       subDim: Int,
       dim: Int,
       codebook: Int,
+      residual: Boolean,
       centroids: Array[(Int, Seq[Double])],
       codebooks: Array[Array[(Int, Seq[Double])]])
 
@@ -62,7 +67,8 @@ object AnnIndex {
       nLists: Int = 16,
       subspaces: Int = 4,
       codebook: Int = 16,
-      iters: Int = 2): Unit = {
+      iters: Int = 2,
+      residual: Boolean = false): Unit = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val corpus = emb
@@ -72,14 +78,25 @@ object AnnIndex {
       val dim = corpus.select(size(col("v"))).head.getInt(0)
       require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
       val subDim = dim / subspaces
-      val unrolled = nLists <= Ann.maxUnrolled(spark)
 
-      val centroids = Ann.lloydCentroids(corpus, nLists, iters, unrolled)
-      val model = Ann.pqTrain(corpus, subDim, subspaces, codebook, iters)
+      // residual layout: L2 coarse quantizer (the metric the ADC
+      // distances live in), PQ codebooks trained on v − centroid(cid);
+      // plain layout: cosine coarse quantizer shared with the inline
+      // IVF family, codebooks on the raw vectors
+      val centroids =
+        if (residual) Ann.lloydCentroidsL2(corpus, nLists, iters)
+        else Ann.lloydCentroids(corpus, nLists, iters,
+          nLists <= Ann.maxUnrolled(spark))
+      val trainCorpus =
+        if (!residual) corpus
+        else residualFrame(corpus, centroids).select("id", "v")
+      val model = Ann.pqTrain(trainCorpus, subDim, subspaces, codebook, iters)
+      val full = Model(nLists, subspaces, subDim, dim, codebook, residual,
+        centroids, model)
 
       import spark.implicits._
-      Seq((nLists, subspaces, subDim, dim, codebook))
-        .toDF("n_lists", "subspaces", "sub_dim", "dim", "codebook")
+      Seq((nLists, subspaces, subDim, dim, codebook, residual))
+        .toDF("n_lists", "subspaces", "sub_dim", "dim", "codebook", "residual")
         .write.mode("overwrite").parquet(s"$path/meta")
       centroids.toSeq.toDF("cid", "cv")
         .write.mode("overwrite").parquet(s"$path/centroids")
@@ -95,13 +112,40 @@ object AnnIndex {
       // touches (tasks × lists files); with it a list is one file per
       // holding partition, the actual inverted-list layout. One shuffle,
       // paid once at build time.
-      Ann.assignToCentroids(corpus, centroids, unrolled)
-        .withColumn("codes",
-          array((0 until subspaces).map(m => Ann.pqCodeExpr(m, subDim, model(m))): _*))
-        .select("id", "codes", "cid")
+      encodedFrame(corpus, full)
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
     } finally corpus.unpersist()
+  }
+
+  /** `(id, cid, v − centroid(cid))` under the L2 coarse assignment —
+    * the frame the residual layout trains and encodes on.
+    */
+  private def residualFrame(
+      corpus: DataFrame,
+      centroids: Array[(Int, Seq[Double])]): DataFrame = {
+    val cMap = typedLit(centroids.toMap)
+    Ann.assignL2(corpus, centroids)
+      .withColumn("v",
+        zip_with(col("v"), element_at(cMap, col("cid")), (x, c) => x - c))
+      .select("id", "cid", "v")
+  }
+
+  /** The `(id, codes, cid)` frame a given model encodes a corpus to —
+    * the single encode path shared by [[build]] and [[append]], so an
+    * appended row is bit-identical to the same row indexed at build
+    * time.
+    */
+  private def encodedFrame(corpus: DataFrame, m: Model): DataFrame = {
+    val assigned =
+      if (m.residual) residualFrame(corpus, m.centroids)
+      else Ann.assignToCentroids(corpus, m.centroids,
+        m.nLists <= Ann.maxUnrolled(corpus.sparkSession))
+    assigned
+      .withColumn("codes",
+        array((0 until m.subspaces).map(i =>
+          Ann.pqCodeExpr(i, m.subDim, m.codebooks(i))): _*))
+      .select("id", "codes", "cid")
   }
 
   /** Append new vectors to an existing index WITHOUT retraining: encode
@@ -126,12 +170,7 @@ object AnnIndex {
     val model = loadModel(spark, path)
     val corpus = emb
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val unrolled = model.nLists <= Ann.maxUnrolled(spark)
-    Ann.assignToCentroids(corpus, model.centroids, unrolled)
-      .withColumn("codes",
-        array((0 until model.subspaces).map(m =>
-          Ann.pqCodeExpr(m, model.subDim, model.codebooks(m))): _*))
-      .select("id", "codes", "cid")
+    encodedFrame(corpus, model)
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
   }
@@ -155,6 +194,8 @@ object AnnIndex {
       subDim = meta.getAs[Int]("sub_dim"),
       dim = meta.getAs[Int]("dim"),
       codebook = meta.getAs[Int]("codebook"),
+      residual = meta.schema.fieldNames.contains("residual") &&
+        meta.getAs[Boolean]("residual"),
       centroids = cents,
       codebooks = cbs)
   }
@@ -199,26 +240,56 @@ object AnnIndex {
       return spark.range(0)
         .select(col("id").as("query_id"), col("id").as("neighbor_id"))
 
-    val perQuery = qRows.toSeq.map { case (qid, qv) =>
+    qRows.foreach { case (qid, qv) =>
       require(qv.size == model.dim,
         s"query $qid has dim ${qv.size}, index expects ${model.dim}")
-      (qid,
-        Ann.nanoDistanceTable(qv, model.codebooks, model.subspaces, model.subDim),
-        Ann.probeOrder(model.centroids, qv, nProbe))
     }
-    val qTable = {
-      import spark.implicits._
-      perQuery.toDF("query_id", "dt", "probe")
-    }
-
-    // the union of all probed lists as a plain `cid IN (...)` — against
-    // the partitionBy("cid") layout this prunes at directory level (the
-    // plan's PartitionFilters, pinned in AnnIndexSpec)
-    val allProbed = perQuery.flatMap(_._3).distinct
-    val scored = spark.read.parquet(s"$path/codes")
-      .filter(col("cid").isInCollection(allProbed))
-      .crossJoin(broadcast(qTable))
-      .filter(array_contains(col("probe"), col("cid")) && col("id") =!= col("query_id"))
+    // plain layout: ONE distance table per query (codes quantize raw
+    // vectors), shipped as (query_id, dt, probe) rows with a per-pair
+    // probe-membership check. Residual layout: one table per (query,
+    // probed list) — dt depends on the list's centroid — shipped as
+    // (query_id, cid, dt) rows, so the probe restriction is the
+    // broadcast equi-join on cid itself.
+    // Either way the union of probed lists is a plain `cid IN (...)` on
+    // the scan — against the partitionBy("cid") layout that prunes at
+    // directory level (the plan's PartitionFilters, pinned in
+    // AnnIndexSpec).
+    val codes = spark.read.parquet(s"$path/codes")
+    val scored = (if (!model.residual) {
+      val perQuery = qRows.toSeq.map { case (qid, qv) =>
+        (qid,
+          Ann.nanoDistanceTable(qv, model.codebooks, model.subspaces, model.subDim),
+          Ann.probeOrder(model.centroids, qv, nProbe))
+      }
+      val qTable = {
+        import spark.implicits._
+        perQuery.toDF("query_id", "dt", "probe")
+      }
+      val allProbed = perQuery.flatMap(_._3).distinct
+      codes
+        .filter(col("cid").isInCollection(allProbed))
+        .crossJoin(broadcast(qTable))
+        .filter(array_contains(col("probe"), col("cid")) && col("id") =!= col("query_id"))
+    } else {
+      val centMap = model.centroids.toMap
+      val perQL = qRows.toSeq.flatMap { case (qid, qv) =>
+        Ann.probeOrderL2(model.centroids, qv, nProbe).map { cidL =>
+          val cL = centMap(cidL)
+          val qr: Seq[Double] = (0 until model.dim).map(i => qv(i) - cL(i))
+          (qid, cidL,
+            Ann.nanoDistanceTable(qr, model.codebooks, model.subspaces, model.subDim))
+        }
+      }
+      val qTable = {
+        import spark.implicits._
+        perQL.toDF("query_id", "cid", "dt")
+      }
+      val allProbed = perQL.map(_._2).distinct
+      codes
+        .filter(col("cid").isInCollection(allProbed))
+        .join(broadcast(qTable), "cid")
+        .filter(col("id") =!= col("query_id"))
+    })
       .select(col("query_id"), col("id").as("neighbor_id"),
         Ann.adcColExpr(model.subspaces).as("adc"))
       .filter(col("adc").isNotNull)

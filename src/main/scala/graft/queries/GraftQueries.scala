@@ -672,6 +672,21 @@ object GraftQueries {
     // reload, partition-pruned scan, integer ADC — must reproduce the
     // exhaustive ADC ranking; the oracle is the SAME DuckDB replay as
     // ann_topk_pq
+    // residual persisted index (Jégou et al. §IV's actual layout: codes
+    // quantize v − centroid under an L2 coarse quantizer, queries use
+    // per-(query, probed-list) distance tables). Full probing keeps it
+    // exhaustive and the whole chain integer-deterministic, so the
+    // oracle replays coarse Lloyd + residuals + per-subspace Lloyd +
+    // per-list integer ADC bit-for-bit
+    "ann_index_residual" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val base = java.nio.file.Files.createTempDirectory("graft_annres_q").toString
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", residual = true)
+      AnnIndex.topK(s, s"$base/idx",
+        emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
+        k = 5, nProbe = 16)
+    }),
     "ann_index_persisted" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val base = java.nio.file.Files.createTempDirectory("graft_annidx_q").toString
@@ -2613,6 +2628,7 @@ object GraftQueries {
     // exhaustive probing ≡ the exhaustive ADC scan — same replay
     "ann_topk_ivfadc_full" -> pqAdcOracle,
     "ann_index_persisted" -> pqAdcOracle,
+    "ann_index_residual" -> residualAdcOracle,
     "ann_topk_ivfadc" -> "SELECT true AS recall_ge_080",
     "ann_topk_pq_rerank" -> "SELECT true AS recall_ge_080",
     // the query computes the recall gate itself (IVF@nProbe=4 vs brute
@@ -3550,6 +3566,90 @@ object GraftQueries {
     (Seq("e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)") ++ perSub)
       .mkString("WITH ", ",\n", ",\n") +
       s"""adc AS (SELECT d0.qid AS query_id, d0.vec_id AS neighbor_id, $adcSum AS adc
+         |        FROM d0 $adcJoins WHERE d0.vec_id <> d0.qid),
+         |r AS (SELECT query_id, neighbor_id,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY adc ASC, neighbor_id ASC) AS rk
+         |      FROM adc)
+         |SELECT query_id, neighbor_id FROM r WHERE rk <= 5""".stripMargin
+  }
+
+  /** DuckDB replay of the RESIDUAL persisted-index query at full probe
+    * (AnnIndex.build(residual = true) + topK, defaults 16×4×16):
+    * L2 coarse Lloyd with the Spark side's exact protocol (init = first
+    * 16 vectors by id, argmin with ties to the larger cid, integer-nano
+    * means), residuals v − centroid(cid) as explicit per-coordinate
+    * subtractions, per-subspace Lloyd over the residuals, and the
+    * per-(query, probed-list) integer ADC — every distance the same
+    * left-to-right summation the Spark kernels use, so the nano-unit
+    * rounding lands on identical integers and the top-k is exact.
+    */
+  private lazy val residualAdcOracle: String = {
+    val nLists = 16; val dim = 64; val subspaces = 4; val sub = 16; val cb = 16
+    def distN(a: String, b: String, n: Int): String =
+      (1 to n).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
+    def assign(from: String, cents: String, vcol: String, n: Int): String =
+      s"""SELECT vec_id, $vcol, cid FROM (
+         |  SELECT s.vec_id, s.$vcol, c.cid,
+         |         row_number() OVER (PARTITION BY s.vec_id
+         |           ORDER BY ${distN(s"s.$vcol", "c.cv", n)} ASC, c.cid DESC) AS rn
+         |  FROM $from s, $cents c) t WHERE rn = 1""".stripMargin
+    def means(a: String, vcol: String): String =
+      s"""SELECT cid, list(mv ORDER BY pos) AS cv FROM (
+         |  SELECT cid, pos,
+         |         CAST(sum(CAST(round(val * 1e9) AS BIGINT)) AS DOUBLE) / count(*) / 1e9 AS mv
+         |  FROM (
+         |    SELECT cid, unnest($vcol) AS val, unnest(range(1, len($vcol) + 1)) AS pos
+         |    FROM $a) u
+         |  GROUP BY cid, pos) g GROUP BY cid""".stripMargin
+    def init(from: String, vcol: String, k: Int): String =
+      s"""SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |       $vcol AS cv
+         |  FROM (SELECT vec_id, $vcol FROM $from ORDER BY vec_id LIMIT $k)""".stripMargin
+    // coarse: two Lloyd rounds under L2 over the full 64-dim vectors
+    val coarse = Seq(
+      "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      s"cc0 AS MATERIALIZED (${init("e", "v", nLists)})",
+      s"ka0 AS MATERIALIZED (${assign("e", "cc0", "v", dim)})",
+      s"cc1 AS MATERIALIZED (${means("ka0", "v")})",
+      s"ka1 AS MATERIALIZED (${assign("e", "cc1", "v", dim)})",
+      s"cc2 AS MATERIALIZED (${means("ka1", "v")})",
+      s"ka2 AS MATERIALIZED (${assign("e", "cc2", "v", dim)})",
+      s"q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)")
+    val perSub = (0 until subspaces).flatMap { m =>
+      val lo = m * sub
+      // residual sub-vector as EXPLICIT per-coordinate subtractions
+      // (a.v[j] − c.cv[j], the double op zip_with performs)
+      val svTerms = (1 to sub).map(i => s"a.v[${lo + i}] - c.cv[${lo + i}]").mkString(", ")
+      // per-(query, vec) ADC distance at this subspace: the vec's list
+      // centroid cc (via its coarse assignment) and its PQ centroid cp,
+      // summed left-to-right like the Spark kernel
+      val ddTerms = (1 to sub).map { i =>
+        val j = lo + i
+        s"((q.qv[$j] - cc.cv[$j]) - cp.cv[$i])*((q.qv[$j] - cc.cv[$j]) - cp.cv[$i])"
+      }.mkString(" + ")
+      Seq(
+        s"s$m AS MATERIALIZED (SELECT a.vec_id, list_value($svTerms) AS sv FROM ka2 a JOIN cc2 c USING (cid))",
+        s"c0_$m AS MATERIALIZED (${init(s"s$m", "sv", cb)})",
+        s"a0_$m AS MATERIALIZED (${assign(s"s$m", s"c0_$m", "sv", sub)})",
+        s"c1_$m AS MATERIALIZED (${means(s"a0_$m", "sv")})",
+        s"a1_$m AS MATERIALIZED (${assign(s"s$m", s"c1_$m", "sv", sub)})",
+        s"c2_$m AS MATERIALIZED (${means(s"a1_$m", "sv")})",
+        s"a2_$m AS MATERIALIZED (${assign(s"s$m", s"c2_$m", "sv", sub)})",
+        s"""d$m AS MATERIALIZED (SELECT q.qid, a.vec_id,
+           |  CAST(round(($ddTerms) * 1e9) AS BIGINT) AS dd
+           |  FROM a2_$m a
+           |  JOIN ka2 kv ON kv.vec_id = a.vec_id
+           |  JOIN cc2 cc ON cc.cid = kv.cid
+           |  JOIN c2_$m cp ON cp.cid = a.cid
+           |  CROSS JOIN q)""".stripMargin)
+    }
+    val adcJoins = (1 until subspaces)
+      .map(m => s"JOIN d$m ON d$m.qid = d0.qid AND d$m.vec_id = d0.vec_id")
+      .mkString(" ")
+    val adcSum = (0 until subspaces).map(m => s"d$m.dd").mkString(" + ")
+    (coarse ++ perSub).mkString("WITH ", ",\n", ",\n") +
+      s"""adc AS MATERIALIZED (SELECT d0.qid AS query_id, d0.vec_id AS neighbor_id, $adcSum AS adc
          |        FROM d0 $adcJoins WHERE d0.vec_id <> d0.qid),
          |r AS (SELECT query_id, neighbor_id,
          |             row_number() OVER (PARTITION BY query_id

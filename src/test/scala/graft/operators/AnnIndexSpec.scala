@@ -136,6 +136,56 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(got.exists(_._2 >= 250), "appended rows must be servable as neighbors")
   }
 
+  test("residual layout: meta round-trip, deterministic rebuild, codes differ from plain") {
+    val p1 = tmpIdx(); val p2 = tmpIdx(); val p3 = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", p1, residual = true)
+    AnnIndex.build(emb, "vec_id", "embedding", p2, residual = true)
+    AnnIndex.build(emb, "vec_id", "embedding", p3)
+    assert(AnnIndex.loadModel(spark, p1).residual)
+    assert(!AnnIndex.loadModel(spark, p3).residual)
+    val q1 = AnnIndex.topK(spark, p1, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16)
+    val q2 = AnnIndex.topK(spark, p2, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16)
+    assert(pairs(q1) == pairs(q2), "residual build+query must be deterministic")
+    // the flag must actually change the stored codes (coarse metric AND
+    // the quantized values both differ)
+    val c1 = spark.read.parquet(s"$p1/codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    val c3 = spark.read.parquet(s"$p3/codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(c1.keySet == c3.keySet && c1 != c3)
+  }
+
+  test("residual append encodes with the frozen model bit-identically to build") {
+    val p1 = tmpIdx(); val p2 = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", p1, residual = true)
+    AnnIndex.build(emb, "vec_id", "embedding", p2, residual = true)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$p2/codes"))
+      .iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    AnnIndex.append(emb, "vec_id", "embedding", p2)
+    val q1 = AnnIndex.topK(spark, p1, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16)
+    val q2 = AnnIndex.topK(spark, p2, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16)
+    assert(pairs(q1) == pairs(q2))
+  }
+
+  test("residual probe-limited query with exact re-rank recovers recall vs brute force") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path,
+      subspaces = 8, residual = true)
+    val res = AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 8, rerank = 200,
+      exact = Some(emb), exactIdCol = "vec_id", exactVecCol = "embedding")
+    val brute = pairs(Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L to 9L, 5))
+    val got = pairs(res)
+    assert(got.forall { case (q, _) => (0L to 9L).contains(q) } && got.size == 50)
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"residual rerank recall $recall < 0.8")
+  }
+
   test("empty query batch yields an empty frame; dim mismatch fails loudly") {
     val path = tmpIdx()
     AnnIndex.build(emb, "vec_id", "embedding", path)
