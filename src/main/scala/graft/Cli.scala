@@ -49,8 +49,9 @@ object Cli {
         |  cache-clear <dir>                               remove a corpus parse cache
         |  ui [--port P] [--bind-all]                      browser workbench (loopback unless --bind-all)
         |  ann build <emb.parquet> --index DIR [--id C] [--vec C]
-        |            [--lists N] [--subspaces M] [--codebook K] [--iters I]
-        |                                                  persist an IVFADC index (train once)
+        |            [--lists N] [--subspaces M] [--codebook K] [--iters I] [--residual]
+        |                                                  persist an IVFADC index (train once;
+        |                                                  --residual = codes over v - centroid)
         |  ann append <emb.parquet> --index DIR [--id C] [--vec C]
         |                                                  encode new vectors with the frozen model
         |  ann query <emb.parquet> --index DIR --ids 0,1,2 [--id C] [--vec C]
@@ -127,7 +128,8 @@ object Cli {
             nLists = opts.getOrElse("lists", "16").toInt,
             subspaces = opts.getOrElse("subspaces", "4").toInt,
             codebook = opts.getOrElse("codebook", "16").toInt,
-            iters = opts.getOrElse("iters", "2").toInt)
+            iters = opts.getOrElse("iters", "2").toInt,
+            residual = opts.contains("residual"))
           println(s"indexed ${spark.read.parquet(s"$idx/codes").count()} vectors into $idx")
         case "append" =>
           graft.operators.AnnIndex.append(
