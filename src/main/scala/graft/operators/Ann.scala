@@ -506,8 +506,9 @@ object Ann {
     *
     * This is the non-residual variant: codes quantize the RAW vectors
     * with one global codebook set (the paper's residual encoding —
-    * codes over `v − centroid` with per-list distance tables — is the
-    * documented next refinement). Non-residual keeps an exact
+    * codes over `v − centroid` with per-list distance tables — is
+    * implemented by the persisted layout, [[AnnIndex.build]] with
+    * `residual = true`). Non-residual keeps an exact
     * equivalence oracle: probing every list makes the candidate set
     * exhaustive, so `nProbe = nLists` must reproduce [[pqTopK]]'s
     * integer-ADC ranking bit-for-bit — which is what lets a relational
