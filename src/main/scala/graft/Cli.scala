@@ -54,6 +54,7 @@ object Cli {
         |                                                  --residual = codes over v - centroid)
         |  ann append <emb.parquet> --index DIR [--id C] [--vec C]
         |                                                  encode new vectors with the frozen model
+        |  ann compact --index DIR                        fold append fragments to one file per list
         |  ann query <emb.parquet> --index DIR --ids 0,1,2 [--id C] [--vec C]
         |            [--k K] [--probe P] [--rerank R] [--out DIR]
         |                                                  top-k over a persisted index (no retrain)
@@ -112,6 +113,17 @@ object Cli {
     // corpus-pipeline lane: the training-data operators over a plain
     // documents parquet (doc_id, text[, lang, …]) — the surface a data
     // engineer drives without touching the metamodel
+    // ANN index maintenance: no embeddings positional, just the index
+    case "ann" :: "compact" :: rest =>
+      val opts = parseOpts(rest)
+      val idx = opts.getOrElse("index", {
+        System.err.println("ann compact needs --index DIR"); sys.exit(2)
+      })
+      val spark = session()
+      val n = graft.operators.AnnIndex.compact(spark, idx)
+      println(s"compacted $idx to $n files")
+      spark.stop()
+
     // ANN index lane: build persists the IVFADC layout once; query
     // serves top-k batches against it without retraining anything
     case "ann" :: verb :: path :: rest =>

@@ -175,6 +175,57 @@ object AnnIndex {
       .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
   }
 
+  /** Rewrite the codes layout back to one file per inverted list.
+    * Every [[append]] lands one file per (batch × touched list), so a
+    * frequently-fed index fragments — and at 100 TB file COUNT, not
+    * byte volume, is what hurts a serving scan (listing latency, one
+    * task per tiny file). Content-lossless: same rows, same layout
+    * contract, fewer files. The rewrite goes to a staged directory
+    * first and swaps in via rename, so a concurrent reader sees either
+    * the old layout or the new one, never a half-written mix.
+    * Returns the parquet file count after compaction.
+    */
+  def compact(spark: SparkSession, path: String): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val staged = new org.apache.hadoop.fs.Path(s"$path/codes_staged")
+    val old = new org.apache.hadoop.fs.Path(s"$path/codes_old")
+    val fs = codes.getFileSystem(hconf)
+    if (fs.exists(staged)) fs.delete(staged, true)
+    spark.read.parquet(codes.toString).select("id", "codes", "cid")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(staged.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(codes, old), s"cannot stage out $codes")
+    require(fs.rename(staged, codes), s"cannot swap $staged into $codes")
+    fs.delete(old, true)
+    val it = fs.listFiles(codes, true)
+    var n = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
+  }
+
+  /** Continuous ingest: run [[append]] on every micro-batch of a
+    * streaming vector source. The model stays frozen (loaded once per
+    * batch from the index — cheap, model-sized) and each batch lands as
+    * one encode scan + partitioned append; run [[compact]] on your
+    * maintenance cadence. The returned query is started; the caller
+    * owns its lifecycle.
+    */
+  def appendStream(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) append(batch, idCol, vecCol, path)
+      }
+      .start()
+
   /** Load the driver-side model (meta + centroids + codebooks — all
     * model-sized; the compressed corpus stays on disk).
     */

@@ -186,6 +186,64 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"residual rerank recall $recall < 0.8")
   }
 
+  test("compact folds append fragments back to one file per list, results unchanged") {
+    val path = tmpIdx()
+    AnnIndex.build(emb.filter(col("vec_id") < 300), "vec_id", "embedding", path)
+    AnnIndex.append(emb.filter(col("vec_id").between(300, 399)), "vec_id", "embedding", path)
+    AnnIndex.append(emb.filter(col("vec_id") >= 400), "vec_id", "embedding", path)
+    def files(): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/codes"))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    val before = AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16)
+    val beforePairs = pairs(before)
+    val fragmented = files()
+    val m = AnnIndex.loadModel(spark, path)
+    val lists = spark.read.parquet(s"$path/codes").select("cid").distinct.count().toInt
+    assert(fragmented > lists, s"expected fragmentation, got $fragmented files for $lists lists")
+    val n = AnnIndex.compact(spark, path)
+    assert(n == lists && files() == lists)
+    assert(spark.read.parquet(s"$path/codes").count() == 500)
+    val after = AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16)
+    assert(pairs(after) == beforePairs)
+    assert(m.nLists == AnnIndex.loadModel(spark, path).nLists)
+  }
+
+  test("appendStream feeds the index continuously through foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tmpIdx()
+    AnnIndex.build(emb.filter(col("vec_id") < 400), "vec_id", "embedding", path)
+    val rows = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val src = MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_annstream_ck").toString
+    val q = AnnIndex.appendStream(
+      src.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", path, ckpt)
+    try {
+      src.addData(rows.take(50).toSeq: _*)
+      q.processAllAvailable()
+      src.addData(rows.drop(50).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$path/codes").count() == 500)
+    // streamed rows must be bit-identical to a batch append of the same
+    // vectors (same frozen model, same encode path)
+    val p2 = tmpIdx()
+    AnnIndex.build(emb.filter(col("vec_id") < 400), "vec_id", "embedding", p2)
+    AnnIndex.append(emb.filter(col("vec_id") >= 400), "vec_id", "embedding", p2)
+    val c1 = spark.read.parquet(s"$path/codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2))).toSet
+    val c2 = spark.read.parquet(s"$p2/codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2))).toSet
+    assert(c1 == c2)
+  }
+
   test("empty query batch yields an empty frame; dim mismatch fails loudly") {
     val path = tmpIdx()
     AnnIndex.build(emb, "vec_id", "embedding", path)
