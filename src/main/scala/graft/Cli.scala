@@ -55,6 +55,7 @@ object Cli {
         |  ann append <emb.parquet> --index DIR [--id C] [--vec C]
         |                                                  encode new vectors with the frozen model
         |  ann compact --index DIR                        fold append fragments to one file per list
+        |  ann stats --index DIR                          per-list occupancy histogram
         |  ann query <emb.parquet> --index DIR --ids 0,1,2 [--id C] [--vec C]
         |            [--k K] [--probe P] [--rerank R] [--out DIR]
         |                                                  top-k over a persisted index (no retrain)
@@ -122,6 +123,15 @@ object Cli {
       val spark = session()
       val n = graft.operators.AnnIndex.compact(spark, idx)
       println(s"compacted $idx to $n files")
+      spark.stop()
+
+    case "ann" :: "stats" :: rest =>
+      val opts = parseOpts(rest)
+      val idx = opts.getOrElse("index", {
+        System.err.println("ann stats needs --index DIR"); sys.exit(2)
+      })
+      val spark = session()
+      graft.operators.AnnIndex.stats(spark, idx).orderBy("cid").show(1000, truncate = false)
       spark.stop()
 
     // ANN index lane: build persists the IVFADC layout once; query

@@ -205,6 +205,15 @@ object AnnIndex {
     n
   }
 
+  /** Per-list occupancy of the index: `(cid, n_vectors)`. The serving
+    * health metric — a skewed histogram means hot lists dominate probe
+    * cost (retrain with more lists, or split the hot region); scan cost
+    * is one count over the codes table's partition column.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/codes")
+      .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+
   /** Continuous ingest: run [[append]] on every micro-batch of a
     * streaming vector source. The model stays frozen (loaded once per
     * batch from the index — cheap, model-sized) and each batch lands as

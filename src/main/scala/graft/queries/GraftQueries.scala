@@ -687,6 +687,16 @@ object GraftQueries {
         emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
         k = 5, nProbe = 16)
     }),
+    // per-list occupancy of a residual index — the serving-health
+    // histogram. Oracled by replaying ONLY the coarse L2 Lloyd chain and
+    // counting the final assignment per cid, which pins the stored cid
+    // partition values themselves (not just query results) against SQL
+    "ann_index_stats" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_annstat_q").toString
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", residual = true)
+      AnnIndex.stats(s, s"$base/idx")
+    }),
     "ann_index_persisted" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val base = java.nio.file.Files.createTempDirectory("graft_annidx_q").toString
@@ -2629,6 +2639,8 @@ object GraftQueries {
     "ann_topk_ivfadc_full" -> pqAdcOracle,
     "ann_index_persisted" -> pqAdcOracle,
     "ann_index_residual" -> residualAdcOracle,
+    "ann_index_stats" -> (annCoarseL2Ctes(16, 64).mkString("WITH ", ",\n", "\n") +
+      "SELECT cid, count(*) AS n_vectors FROM ka2 GROUP BY cid"),
     "ann_topk_ivfadc" -> "SELECT true AS recall_ge_080",
     "ann_topk_pq_rerank" -> "SELECT true AS recall_ge_080",
     // the query computes the recall gate itself (IVF@nProbe=4 vs brute
@@ -3584,38 +3596,50 @@ object GraftQueries {
     * left-to-right summation the Spark kernels use, so the nano-unit
     * rounding lands on identical integers and the top-k is exact.
     */
+  // ---- shared generators for the residual-index oracles ----
+  private def annDistN(a: String, b: String, n: Int): String =
+    (1 to n).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
+  private def annAssign(from: String, cents: String, vcol: String, n: Int): String =
+    s"""SELECT vec_id, $vcol, cid FROM (
+       |  SELECT s.vec_id, s.$vcol, c.cid,
+       |         row_number() OVER (PARTITION BY s.vec_id
+       |           ORDER BY ${annDistN(s"s.$vcol", "c.cv", n)} ASC, c.cid DESC) AS rn
+       |  FROM $from s, $cents c) t WHERE rn = 1""".stripMargin
+  private def annMeans(a: String, vcol: String): String =
+    s"""SELECT cid, list(mv ORDER BY pos) AS cv FROM (
+       |  SELECT cid, pos,
+       |         CAST(sum(CAST(round(val * 1e9) AS BIGINT)) AS DOUBLE) / count(*) / 1e9 AS mv
+       |  FROM (
+       |    SELECT cid, unnest($vcol) AS val, unnest(range(1, len($vcol) + 1)) AS pos
+       |    FROM $a) u
+       |  GROUP BY cid, pos) g GROUP BY cid""".stripMargin
+  private def annInit(from: String, vcol: String, k: Int): String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+       |       $vcol AS cv
+       |  FROM (SELECT vec_id, $vcol FROM $from ORDER BY vec_id LIMIT $k)""".stripMargin
+  /** The L2 coarse Lloyd replay (two rounds over full vectors) ending
+    * in `ka2` = the final (vec_id, v, cid) assignment. Every CTE
+    * MATERIALIZED — DuckDB's inliner otherwise re-expands the shared
+    * chain per downstream reference and OOMs the planner.
+    */
+  private def annCoarseL2Ctes(nLists: Int, dim: Int): Seq[String] = Seq(
+    "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+    s"cc0 AS MATERIALIZED (${annInit("e", "v", nLists)})",
+    s"ka0 AS MATERIALIZED (${annAssign("e", "cc0", "v", dim)})",
+    s"cc1 AS MATERIALIZED (${annMeans("ka0", "v")})",
+    s"ka1 AS MATERIALIZED (${annAssign("e", "cc1", "v", dim)})",
+    s"cc2 AS MATERIALIZED (${annMeans("ka1", "v")})",
+    s"ka2 AS MATERIALIZED (${annAssign("e", "cc2", "v", dim)})")
+
   private lazy val residualAdcOracle: String = {
     val nLists = 16; val dim = 64; val subspaces = 4; val sub = 16; val cb = 16
-    def distN(a: String, b: String, n: Int): String =
-      (1 to n).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
     def assign(from: String, cents: String, vcol: String, n: Int): String =
-      s"""SELECT vec_id, $vcol, cid FROM (
-         |  SELECT s.vec_id, s.$vcol, c.cid,
-         |         row_number() OVER (PARTITION BY s.vec_id
-         |           ORDER BY ${distN(s"s.$vcol", "c.cv", n)} ASC, c.cid DESC) AS rn
-         |  FROM $from s, $cents c) t WHERE rn = 1""".stripMargin
-    def means(a: String, vcol: String): String =
-      s"""SELECT cid, list(mv ORDER BY pos) AS cv FROM (
-         |  SELECT cid, pos,
-         |         CAST(sum(CAST(round(val * 1e9) AS BIGINT)) AS DOUBLE) / count(*) / 1e9 AS mv
-         |  FROM (
-         |    SELECT cid, unnest($vcol) AS val, unnest(range(1, len($vcol) + 1)) AS pos
-         |    FROM $a) u
-         |  GROUP BY cid, pos) g GROUP BY cid""".stripMargin
-    def init(from: String, vcol: String, k: Int): String =
-      s"""SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-         |       $vcol AS cv
-         |  FROM (SELECT vec_id, $vcol FROM $from ORDER BY vec_id LIMIT $k)""".stripMargin
+      annAssign(from, cents, vcol, n)
+    def means(a: String, vcol: String): String = annMeans(a, vcol)
+    def init(from: String, vcol: String, k: Int): String = annInit(from, vcol, k)
     // coarse: two Lloyd rounds under L2 over the full 64-dim vectors
-    val coarse = Seq(
-      "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-      s"cc0 AS MATERIALIZED (${init("e", "v", nLists)})",
-      s"ka0 AS MATERIALIZED (${assign("e", "cc0", "v", dim)})",
-      s"cc1 AS MATERIALIZED (${means("ka0", "v")})",
-      s"ka1 AS MATERIALIZED (${assign("e", "cc1", "v", dim)})",
-      s"cc2 AS MATERIALIZED (${means("ka1", "v")})",
-      s"ka2 AS MATERIALIZED (${assign("e", "cc2", "v", dim)})",
-      s"q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)")
+    val coarse = annCoarseL2Ctes(nLists, dim) :+
+      s"q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)"
     val perSub = (0 until subspaces).flatMap { m =>
       val lo = m * sub
       // residual sub-vector as EXPLICIT per-coordinate subtractions
