@@ -152,11 +152,11 @@ object Cli {
             codebook = opts.getOrElse("codebook", "16").toInt,
             iters = opts.getOrElse("iters", "2").toInt,
             residual = opts.contains("residual"))
-          println(s"indexed ${spark.read.parquet(s"$idx/codes").count()} vectors into $idx")
+          println(s"indexed ${spark.read.parquet(graft.operators.AnnIndex.codesPath(spark, idx)).count()} vectors into $idx")
         case "append" =>
           graft.operators.AnnIndex.append(
             emb, opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"), idx)
-          println(s"index now holds ${spark.read.parquet(s"$idx/codes").count()} vectors")
+          println(s"index now holds ${spark.read.parquet(graft.operators.AnnIndex.codesPath(spark, idx)).count()} vectors")
         case "query" =>
           val out = annQueryFrame(emb, idx, opts)
           opts.get("out") match {

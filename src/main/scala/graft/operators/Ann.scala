@@ -538,9 +538,14 @@ object Ann {
     def cmpD(a: Double, b: Double): Int =
       if (a == b) 0 else java.lang.Double.compare(a, b)
     centroids.toSeq.map { case (cid, cv) =>
+      // fail fast on a query/centroid dim mismatch — truncating would
+      // probe arbitrary lists while the assignment kernels disqualify
+      // mismatched entries (all centroids share the trained dim)
+      require(qv.size == cv.size,
+        s"query dim ${qv.size} != centroid dim ${cv.size} (cid=$cid)")
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
-      val n = math.min(qv.size, cv.size)
+      val n = cv.size
       while (i < n) { val x = qv(i); val y = cv(i); dot += x * y; na += x * x; nb += y * y; i += 1 }
       (dot / (math.sqrt(na) * math.sqrt(nb)), cid)
     }.sortWith { case ((s1, c1), (s2, c2)) =>
@@ -559,9 +564,11 @@ object Ann {
       qv: Seq[Double],
       nProbe: Int): Seq[Int] = {
     centroids.toSeq.map { case (cid, cv) =>
+      require(qv.size == cv.size,
+        s"query dim ${qv.size} != centroid dim ${cv.size} (cid=$cid)")
       var s = 0.0
       var i = 0
-      val n = math.min(qv.size, cv.size)
+      val n = cv.size
       while (i < n) { val d = qv(i) - cv(i); s += d * d; i += 1 }
       (s, cid)
     }.sortWith { case ((s1, c1), (s2, c2)) =>

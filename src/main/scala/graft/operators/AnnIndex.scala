@@ -20,9 +20,22 @@ import org.apache.spark.sql.functions._
   *   path/meta/       one row: nLists, subspaces, subDim, dim, codebook
   *   path/centroids/  (cid, cv)          — coarse quantizer, model-sized
   *   path/codebooks/  (m, cid, cv)       — PQ codebooks, model-sized
-  *   path/codes/cid=K/ (id, codes)       — the compressed corpus,
+  *   path/CODES       pointer file naming the live codes directory
+  *   path/codes_vN/cid=K/ (id, codes)    — the compressed corpus,
   *                                         PARTITIONED BY the coarse cid
   * }}}
+  *
+  * The codes directory is VERSIONED behind an atomically-published
+  * pointer file (the [[graft.model.ForestStore]] HEAD pattern):
+  * [[build]] and [[compact]] write a complete `codes_v{N}` layout and
+  * then flip `CODES` via tmp-file + overwriting atomic rename, so a
+  * reader resolving at any instant gets a complete layout and a crash
+  * at any step leaves the previous pointer valid (the orphaned staging
+  * directory is reclaimed by the next maintenance pass). A legacy
+  * pointerless index (plain `codes/`) stays readable and is migrated to
+  * the versioned layout by its first compact. Maintenance writers
+  * ([[append]]/[[compact]]/[[split]]) are single-writer among
+  * themselves; readers need no coordination.
   *
   * Scale design: `codes/` is the only data-sized artifact and it stores
   * `subspaces` small ints per vector (16 bits at the defaults vs a
@@ -53,6 +66,78 @@ object AnnIndex {
       residual: Boolean,
       centroids: Array[(Int, Seq[Double])],
       codebooks: Array[Array[(Int, Seq[Double])]])
+
+  // ---- versioned codes directory, published through a pointer file ----
+
+  private def fsFor(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def pointerFile(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/CODES")
+
+  /** Name of the live codes directory: the `CODES` pointer's content,
+    * or the legacy pointerless `codes` when no pointer exists.
+    */
+  private def codesDirName(spark: SparkSession, path: String): String = {
+    val (fs, _) = fsFor(spark, path)
+    val ptr = pointerFile(path)
+    if (!fs.exists(ptr)) "codes"
+    else {
+      val in = fs.open(ptr)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      require(s.matches("codes(_v\\d+)?"), s"corrupt CODES pointer: '$s'")
+      s
+    }
+  }
+
+  /** Resolved filesystem path of the live codes directory — the one
+    * every reader (and [[append]]) must go through. Public so external
+    * tooling (CLI counts, specs) never hardcodes a layout version.
+    */
+  def codesPath(spark: SparkSession, path: String): String =
+    s"$path/${codesDirName(spark, path)}"
+
+  private def versionOf(name: String): Int =
+    if (name == "codes") 0 else name.stripPrefix("codes_v").toInt
+
+  /** Atomically publish `name` as the live codes directory: write a tmp
+    * pointer then rename with OVERWRITE (same recipe as ForestStore's
+    * HEAD), so a concurrent reader sees the old pointer or the new one,
+    * never a missing or half-written file.
+    */
+  private def publishCodes(spark: SparkSession, path: String, name: String): Unit = {
+    val (fs, _) = fsFor(spark, path)
+    val ptr = pointerFile(path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/CODES.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      ptr.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Delete every codes* directory except `keep` (the live one and,
+    * when a maintenance pass retains it for in-flight readers, its
+    * immediate predecessor) — crash-orphaned staging directories and
+    * superseded versions are reclaimed here, never left to strand the
+    * index.
+    */
+  private def sweepStaleCodes(
+      spark: SparkSession, path: String, keep: Set[String]): Unit = {
+    val (fs, root) = fsFor(spark, path)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      val stale = st.isDirectory &&
+        (n.matches("codes(_v\\d+)?") || n == "codes_staged" || n == "codes_old") &&
+        !keep.contains(n)
+      if (stale) fs.delete(st.getPath, true)
+    }
+  }
 
   /** Train the coarse quantizer + PQ codebooks on `emb` and persist the
     * full index layout at `path` (overwriting any previous index).
@@ -111,10 +196,15 @@ object AnnIndex {
       // write — without it every write task emits a fragment per cid it
       // touches (tasks × lists files); with it a list is one file per
       // holding partition, the actual inverted-list layout. One shuffle,
-      // paid once at build time.
+      // paid once at build time. Written to a fresh version directory
+      // and published through the CODES pointer, so a rebuild over a
+      // live index is atomic to readers too.
+      val nextName = s"codes_v${versionOf(codesDirName(spark, path)) + 1}"
       encodedFrame(corpus, full)
         .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$nextName")
+      publishCodes(spark, path, nextName)
+      sweepStaleCodes(spark, path, keep = Set(nextName))
     } finally corpus.unpersist()
   }
 
@@ -137,9 +227,19 @@ object AnnIndex {
     * time.
     */
   private def encodedFrame(corpus: DataFrame, m: Model): DataFrame = {
+    // dim guard IN the encode scan (no extra pass): a ragged vector
+    // would otherwise take cid=null from the disqualifying argmax and
+    // land in a partition no probe ever reads — silent data loss on
+    // ingest. raise_error fails the job before the write commits.
+    val checked = corpus.withColumn("v",
+      when(size(col("v")) === lit(m.dim), col("v"))
+        .otherwise(raise_error(concat(
+          lit("ingested vector id="), col("id").cast("string"),
+          lit(" has dim "), size(col("v")).cast("string"),
+          lit(s", index expects ${m.dim}")))))
     val assigned =
-      if (m.residual) residualFrame(corpus, m.centroids)
-      else Ann.assignToCentroids(corpus, m.centroids,
+      if (m.residual) residualFrame(checked, m.centroids)
+      else Ann.assignToCentroids(checked, m.centroids,
         m.nLists <= Ann.maxUnrolled(corpus.sparkSession))
     assigned
       .withColumn("codes",
@@ -172,7 +272,7 @@ object AnnIndex {
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     encodedFrame(corpus, model)
       .repartition(col("cid"))
-      .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
+      .write.mode("append").partitionBy("cid").parquet(codesPath(spark, path))
   }
 
   /** Rewrite the codes layout back to one file per inverted list.
@@ -180,26 +280,38 @@ object AnnIndex {
     * frequently-fed index fragments — and at 100 TB file COUNT, not
     * byte volume, is what hurts a serving scan (listing latency, one
     * task per tiny file). Content-lossless: same rows, same layout
-    * contract, fewer files. The rewrite goes to a staged directory
-    * first and swaps in via rename, so a concurrent reader sees either
-    * the old layout or the new one, never a half-written mix.
-    * Returns the parquet file count after compaction.
+    * contract, fewer files.
+    *
+    * The rewrite lands in a fresh `codes_v{N+1}` directory and the
+    * CODES pointer flips atomically, so a reader resolving at ANY
+    * instant gets a complete layout and a crash at any step leaves the
+    * previous pointer valid. The superseded version is RETAINED for
+    * readers that resolved just before the flip and are still
+    * mid-scan; it is reclaimed by the next compact (pass
+    * `retainPrevious = false` to reclaim immediately when no reader
+    * can be in flight). Returns the parquet file count after
+    * compaction.
     */
-  def compact(spark: SparkSession, path: String): Int = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
-    val staged = new org.apache.hadoop.fs.Path(s"$path/codes_staged")
-    val old = new org.apache.hadoop.fs.Path(s"$path/codes_old")
-    val fs = codes.getFileSystem(hconf)
-    if (fs.exists(staged)) fs.delete(staged, true)
-    spark.read.parquet(codes.toString).select("id", "codes", "cid")
+  def compact(
+      spark: SparkSession,
+      path: String,
+      retainPrevious: Boolean = true): Int = {
+    val (fs, _) = fsFor(spark, path)
+    val curName = codesDirName(spark, path)
+    val cur = new org.apache.hadoop.fs.Path(s"$path/$curName")
+    require(fs.exists(cur), s"no codes directory to compact at $path")
+    val nextName = s"codes_v${versionOf(curName) + 1}"
+    // reclaim crash leftovers first: anything that is neither the live
+    // version nor the target (a failed prior compact's staging dir with
+    // this same name is overwritten by the write below)
+    sweepStaleCodes(spark, path, keep = Set(curName, nextName))
+    spark.read.parquet(cur.toString).select("id", "codes", "cid")
       .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(staged.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(codes, old), s"cannot stage out $codes")
-    require(fs.rename(staged, codes), s"cannot swap $staged into $codes")
-    fs.delete(old, true)
-    val it = fs.listFiles(codes, true)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$nextName")
+    publishCodes(spark, path, nextName)
+    sweepStaleCodes(spark, path,
+      keep = if (retainPrevious) Set(nextName, curName) else Set(nextName))
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/$nextName"), true)
     var n = 0
     while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
     n
@@ -207,11 +319,11 @@ object AnnIndex {
 
   /** Per-list occupancy of the index: `(cid, n_vectors)`. The serving
     * health metric — a skewed histogram means hot lists dominate probe
-    * cost (retrain with more lists, or split the hot region); scan cost
-    * is one count over the codes table's partition column.
+    * cost (retrain with more lists, or [[split]] the hot region); scan
+    * cost is one count over the codes table's partition column.
     */
   def stats(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/codes")
+    spark.read.parquet(codesPath(spark, path))
       .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
 
   /** Continuous ingest: run [[append]] on every micro-batch of a
@@ -314,7 +426,7 @@ object AnnIndex {
     // the scan — against the partitionBy("cid") layout that prunes at
     // directory level (the plan's PartitionFilters, pinned in
     // AnnIndexSpec).
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = spark.read.parquet(codesPath(spark, path))
     val scored = (if (!model.residual) {
       val perQuery = qRows.toSeq.map { case (qid, qv) =>
         (qid,

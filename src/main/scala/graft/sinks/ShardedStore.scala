@@ -70,6 +70,11 @@ object ShardedStore {
       nShards: Int,
       path: String,
   ): DataFrame = {
+    // the join below would otherwise produce two ambiguous 'shard'
+    // columns and fail at partitionBy time with an opaque error
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column — rename it before ShardedStore.write " +
+        "(the sink owns that name for the partition layout)")
     val assigned = assignShards(df, idCol, tokenExpr, nShards)
       .withColumnRenamed("id", idCol)
       .drop("n_tokens")

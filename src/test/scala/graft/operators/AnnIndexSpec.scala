@@ -89,7 +89,7 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     val qv = queriesOf(Seq(0L)).select(col("embedding").cast("array<double>"))
       .head.getSeq[Double](0)
     val probed = Ann.probeOrder(m.centroids, qv, 2)
-    val scan = spark.read.parquet(s"$path/codes")
+    val scan = spark.read.parquet(AnnIndex.codesPath(spark, path))
       .filter(col("cid").isInCollection(probed))
     val files = scan.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
@@ -105,7 +105,7 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     val p1 = tmpIdx(); val p2 = tmpIdx()
     AnnIndex.build(emb, "vec_id", "embedding", p1)
     AnnIndex.build(emb, "vec_id", "embedding", p2)
-    val codesDir = java.nio.file.Paths.get(s"$p2/codes")
+    val codesDir = java.nio.file.Paths.get(AnnIndex.codesPath(spark, p2))
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(codesDir).iterator().asScala.toSeq.reverse
       .foreach(java.nio.file.Files.delete)
@@ -122,9 +122,9 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     val half = emb.filter(col("vec_id") < 250)
     val rest = emb.filter(col("vec_id") >= 250)
     AnnIndex.build(half, "vec_id", "embedding", path)
-    val before = spark.read.parquet(s"$path/codes").count()
+    val before = spark.read.parquet(AnnIndex.codesPath(spark, path)).count()
     AnnIndex.append(rest, "vec_id", "embedding", path)
-    val after = spark.read.parquet(s"$path/codes").count()
+    val after = spark.read.parquet(AnnIndex.codesPath(spark, path)).count()
     assert(before == 250 && after == 500)
     // full probe over the appended index = exhaustive frozen-model ADC
     // over the union: every query still gets k neighbors, and appended
@@ -150,9 +150,9 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(pairs(q1) == pairs(q2), "residual build+query must be deterministic")
     // the flag must actually change the stored codes (coarse metric AND
     // the quantized values both differ)
-    val c1 = spark.read.parquet(s"$p1/codes").collect()
+    val c1 = spark.read.parquet(AnnIndex.codesPath(spark, p1)).collect()
       .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
-    val c3 = spark.read.parquet(s"$p3/codes").collect()
+    val c3 = spark.read.parquet(AnnIndex.codesPath(spark, p3)).collect()
       .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
     assert(c1.keySet == c3.keySet && c1 != c3)
   }
@@ -162,7 +162,7 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     AnnIndex.build(emb, "vec_id", "embedding", p1, residual = true)
     AnnIndex.build(emb, "vec_id", "embedding", p2, residual = true)
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$p2/codes"))
+    java.nio.file.Files.walk(java.nio.file.Paths.get(AnnIndex.codesPath(spark, p2)))
       .iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
     AnnIndex.append(emb, "vec_id", "embedding", p2)
     val q1 = AnnIndex.topK(spark, p1, queriesOf(0L to 9L),
@@ -193,7 +193,7 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     AnnIndex.append(emb.filter(col("vec_id") >= 400), "vec_id", "embedding", path)
     def files(): Int = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/codes"))
+      java.nio.file.Files.walk(java.nio.file.Paths.get(AnnIndex.codesPath(spark, path)))
         .iterator().asScala.count(_.toString.endsWith(".parquet"))
     }
     val before = AnnIndex.topK(spark, path, queriesOf(0L to 9L),
@@ -201,11 +201,11 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     val beforePairs = pairs(before)
     val fragmented = files()
     val m = AnnIndex.loadModel(spark, path)
-    val lists = spark.read.parquet(s"$path/codes").select("cid").distinct.count().toInt
+    val lists = spark.read.parquet(AnnIndex.codesPath(spark, path)).select("cid").distinct.count().toInt
     assert(fragmented > lists, s"expected fragmentation, got $fragmented files for $lists lists")
     val n = AnnIndex.compact(spark, path)
     assert(n == lists && files() == lists)
-    assert(spark.read.parquet(s"$path/codes").count() == 500)
+    assert(spark.read.parquet(AnnIndex.codesPath(spark, path)).count() == 500)
     val after = AnnIndex.topK(spark, path, queriesOf(0L to 9L),
       "vec_id", "embedding", k = 5, nProbe = 16)
     assert(pairs(after) == beforePairs)
@@ -231,17 +231,104 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       src.addData(rows.drop(50).toSeq: _*)
       q.processAllAvailable()
     } finally q.stop()
-    assert(spark.read.parquet(s"$path/codes").count() == 500)
+    assert(spark.read.parquet(AnnIndex.codesPath(spark, path)).count() == 500)
     // streamed rows must be bit-identical to a batch append of the same
     // vectors (same frozen model, same encode path)
     val p2 = tmpIdx()
     AnnIndex.build(emb.filter(col("vec_id") < 400), "vec_id", "embedding", p2)
     AnnIndex.append(emb.filter(col("vec_id") >= 400), "vec_id", "embedding", p2)
-    val c1 = spark.read.parquet(s"$path/codes").collect()
+    val c1 = spark.read.parquet(AnnIndex.codesPath(spark, path)).collect()
       .map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2))).toSet
-    val c2 = spark.read.parquet(s"$p2/codes").collect()
+    val c2 = spark.read.parquet(AnnIndex.codesPath(spark, p2)).collect()
       .map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2))).toSet
     assert(c1 == c2)
+  }
+
+  test("compact publishes through the pointer: a reader mid-compact always resolves a complete layout") {
+    val path = tmpIdx()
+    AnnIndex.build(emb.filter(col("vec_id") < 400), "vec_id", "embedding", path)
+    AnnIndex.append(emb.filter(col("vec_id") >= 400), "vec_id", "embedding", path)
+    val expected = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    assert(AnnIndex.codesPath(spark, path).endsWith("codes_v1"))
+
+    // simulate the state a reader observes DURING a compact: the staged
+    // codes_v2 exists (here: partial — worst case) but the pointer has
+    // not flipped. Resolution must ignore the staging entirely.
+    val staged = java.nio.file.Paths.get(s"$path/codes_v2/cid=0")
+    java.nio.file.Files.createDirectories(staged)
+    assert(AnnIndex.codesPath(spark, path).endsWith("codes_v1"))
+    val during = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    assert(during == expected, "reader mid-compact must see the OLD complete layout")
+
+    // a crash between staging and flip strands nothing: rerunning
+    // compact reclaims the partial staging and completes the swap
+    val n = AnnIndex.compact(spark, path)
+    assert(AnnIndex.codesPath(spark, path).endsWith("codes_v2"))
+    assert(n > 0)
+    val after = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    assert(after == expected)
+    // the superseded version is RETAINED for in-flight readers that
+    // resolved just before the flip...
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")))
+    // ...and reclaimed by the NEXT compact
+    AnnIndex.compact(spark, path)
+    assert(AnnIndex.codesPath(spark, path).endsWith("codes_v3"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v2")))
+  }
+
+  test("rebuild over a live index publishes atomically and reclaims the old version") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val v1 = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    assert(AnnIndex.codesPath(spark, path).endsWith("codes_v2"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")))
+    val v2 = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    assert(v1 == v2, "deterministic rebuild must serve identical results")
+  }
+
+  test("legacy pointerless codes/ layout stays readable and migrates on first compact") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val expected = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    // devolve to the pre-pointer layout: codes_v1 -> codes, no CODES file
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$path/codes_v1"),
+      java.nio.file.Paths.get(s"$path/codes"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$path/CODES"))
+    assert(AnnIndex.codesPath(spark, path).endsWith("/codes"))
+    val legacy = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    assert(legacy == expected)
+    AnnIndex.compact(spark, path)
+    assert(AnnIndex.codesPath(spark, path).endsWith("codes_v1"))
+    val migrated = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    assert(migrated == expected)
+  }
+
+  test("append rejects ragged vectors loudly before anything commits") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val before = spark.read.parquet(AnnIndex.codesPath(spark, path)).count()
+    import spark.implicits._
+    val bad = Seq((9001L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      AnnIndex.append(bad, "vec_id", "embedding", path)
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + messages(t.getCause)
+    assert(messages(ex).contains("index expects 64"),
+      s"want the dim-guard message, got: ${messages(ex)}")
+    assert(spark.read.parquet(AnnIndex.codesPath(spark, path)).count() == before,
+      "a failed append must not commit rows")
   }
 
   test("empty query batch yields an empty frame; dim mismatch fails loudly") {
