@@ -413,6 +413,89 @@ object Ann {
       element_at(element_at(col("dt"), m + 1), element_at(col("codes"), m + 1) + 1))
       .reduce(_ + _)
 
+  // ---- executor-side query preparation (large-batch serving path) -------
+
+  /** Session conf: largest query batch whose ADC distance tables and
+    * probe sets are computed DRIVER-side (the reference-shaped pattern:
+    * tens of queries, one broadcast). Above it — the 100 TB serving
+    * pattern where the query batch is itself a dataset — the same
+    * tables are computed as executor-side columns over the query frame
+    * and the probe restriction becomes an equi-join, so nothing on the
+    * driver grows with the batch. `-1` forces the distributed path
+    * (the equivalence specs pin bit-equality of the two).
+    */
+  private val LocalDtMaxQueriesConf = "spark.graft.ann.localDtMaxQueries"
+  private val LocalDtMaxQueriesDefault = 1024
+
+  private[operators] def localDtMaxQueries(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get(LocalDtMaxQueriesConf, LocalDtMaxQueriesDefault.toString).toInt
+
+  /** [[nanoDistanceTable]] as a COLUMN over a query-vector expression:
+    * dt[m][cid] = round(1e9 · l2sq(sub_m(v), c_m,cid)) via the codegen'd
+    * graft_l2sq kernel (same sequential accumulation as the driver
+    * loop, so the doubles agree bit-for-bit), Long.MaxValue at dropped
+    * codes. Plan size is O(model) — subspaces × codebook kernel calls —
+    * matching the driver table's shape, evaluated once per QUERY row.
+    */
+  private[operators] def dtColExpr(
+      model: Array[Array[(Int, Seq[Double])]],
+      subDim: Int,
+      vCol: Column): Column =
+    array(model.zipWithIndex.map { case (cb, m) =>
+      val byCid = cb.toMap
+      val sub = slice(vCol, m * subDim + 1, subDim)
+      array((0 to cb.map(_._1).max).map { c =>
+        byCid.get(c) match {
+          case Some(cv) =>
+            round(graft.functions.GraftFunctions.l2sq(
+              sub, typedLit(cv).cast("array<double>")) * 1e9).cast("long")
+          case None => lit(Long.MaxValue)
+        }
+      }: _*)
+    }: _*)
+
+  /** [[probeOrder]] as a column: the nProbe closest centroid cids by
+    * (cosine desc, cid desc) — the exact sort/slice ivfTopK's probe
+    * expression uses, over the single centroid literal.
+    */
+  private[operators] def probeColExpr(
+      centroids: Array[(Int, Seq[Double])],
+      nProbe: Int,
+      vCol: Column): Column =
+    slice(
+      reverse(array_sort(transform(
+        centroidsLit(centroids),
+        c => struct(cosine(vCol, c.getField("cv")).as("s"), c.getField("cid").as("cid"))))),
+      1, nProbe)("cid")
+
+  /** [[probeOrderL2]] as a column: distance ASC, ties to the larger cid
+    * (encoded as ascending sort on (dist, -cid)).
+    */
+  private[operators] def probeColExprL2(
+      centroids: Array[(Int, Seq[Double])],
+      nProbe: Int,
+      vCol: Column): Column = {
+    graft.functions.GraftFunctions // touch: callers must have registered
+    val scored = transform(
+      centroidsLit(centroids),
+      c => struct(
+        graft.functions.GraftFunctions.l2sq(vCol, c.getField("cv")).as("d"),
+        (-c.getField("cid")).as("negcid")))
+    transform(slice(array_sort(scored), 1, nProbe), s => -s.getField("negcid"))
+  }
+
+  /** Loud in-plan dim guard for a distributed query frame: any vector
+    * whose length differs from the trained dim fails the job before a
+    * null cosine/l2sq could silently mis-probe (the distributed
+    * counterpart of the driver path's per-row `require`).
+    */
+  private[operators] def dimGuard(vCol: Column, idCol: Column, dim: Int): Column =
+    when(size(vCol) === lit(dim), vCol)
+      .otherwise(raise_error(concat(
+        lit("query id="), idCol.cast("string"),
+        lit(" has dim "), size(vCol).cast("string"),
+        lit(s", index expects $dim"))))
+
   def pqTopK(
       emb: DataFrame,
       idCol: String,
@@ -435,63 +518,93 @@ object Ann {
       "codes",
       array((0 until subspaces).map(m => pqCodeExpr(m, subDim, model(m))): _*)).cache()
 
-    // query vectors to the driver (bounded by |queryIds|), then one
-    // integer nano-unit distance table per query — shipped back as ONE
-    // broadcast query table (qid, dt), so the ADC scan is a single
-    // corpus × queries plan branch at ANY batch size (a per-query
-    // union would grow the plan linearly in |queryIds|)
-    val qRows = corpus.filter(col("id").isInCollection(queryIds))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-    if (qRows.isEmpty) {
-      // no queryIds present in the corpus: an empty result, like
-      // bruteForceTopK's join would produce
-      val empty = corpus.sparkSession.range(0)
-        .select(col("id").as("query_id"), col("id").as("neighbor_id"))
-      encoded.unpersist()
-      corpus.unpersist()
-      return empty
-    }
-    val perQuery = qRows.toSeq.map { case (qid, qv) =>
-      (qid, nanoDistanceTable(qv, model, subspaces, subDim))
-    }
-    val qTable = {
-      import corpus.sparkSession.implicits._
-      perQuery.toDF("query_id", "dt")
-    }
+    val spark = corpus.sparkSession
+    val localMax = localDtMaxQueries(spark)
+    val useLocal = localMax >= 0 && queryIds.size <= localMax
 
-    val scored = encoded
-      .crossJoin(broadcast(qTable))
-      .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        adcColExpr(subspaces).as("adc"))
-      // a null ADC (row with a null code) must not outrank real scores
-      // — ascending sort puts nulls FIRST in Spark
-      .filter(col("adc").isNotNull)
+    val shortlistCap = math.max(k, rerank)
     val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
-    val shortlisted = scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= math.max(k, rerank))
-      .select("query_id", "neighbor_id")
+    val w2 = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
 
-    // rerank > 0: the production ADC pattern — the compressed scan only
-    // SHORTLISTS (top `rerank` by integer ADC), then the k winners are
-    // re-ranked by exact similarity over full vectors, loaded for the
-    // |queries|·rerank candidates only (a broadcast-sized join), never
-    // for the corpus
-    val out = (if (rerank <= 0) shortlisted
-               else {
-                 graft.functions.GraftFunctions.register(emb.sparkSession)
-                 val qMapLit = typedLit(qRows.toMap)
-                 val w2 = Window.partitionBy("query_id")
-                   .orderBy(col("sim").desc, col("neighbor_id").asc)
-                 corpus
-                   .join(broadcast(shortlisted), col("id") === col("neighbor_id"))
-                   .withColumn("sim", cosine(element_at(qMapLit, col("query_id")), col("v")))
-                   .withColumn("rank", row_number().over(w2))
-                   .filter(col("rank") <= k)
-                   .select("query_id", "neighbor_id")
-               })
-      .localCheckpoint(true)
+    val result = if (useLocal) {
+      // query vectors to the driver (bounded by |queryIds|), then one
+      // integer nano-unit distance table per query — shipped back as ONE
+      // broadcast query table (qid, dt), so the ADC scan is a single
+      // corpus × queries plan branch at ANY batch size (a per-query
+      // union would grow the plan linearly in |queryIds|)
+      val qRows = corpus.filter(col("id").isInCollection(queryIds))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      if (qRows.isEmpty) {
+        // no queryIds present in the corpus: an empty result, like
+        // bruteForceTopK's join would produce
+        spark.range(0).select(col("id").as("query_id"), col("id").as("neighbor_id"))
+      } else {
+        val perQuery = qRows.toSeq.map { case (qid, qv) =>
+          (qid, nanoDistanceTable(qv, model, subspaces, subDim))
+        }
+        val qTable = {
+          import spark.implicits._
+          perQuery.toDF("query_id", "dt")
+        }
+        val scored = encoded
+          .crossJoin(broadcast(qTable))
+          .filter(col("id") =!= col("query_id"))
+          .select(col("query_id"), col("id").as("neighbor_id"),
+            adcColExpr(subspaces).as("adc"))
+          // a null ADC (row with a null code) must not outrank real scores
+          // — ascending sort puts nulls FIRST in Spark
+          .filter(col("adc").isNotNull)
+        val shortlisted = scored
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= shortlistCap)
+          .select("query_id", "neighbor_id")
+
+        // rerank > 0: the production ADC pattern — the compressed scan only
+        // SHORTLISTS (top `rerank` by integer ADC), then the k winners are
+        // re-ranked by exact similarity over full vectors, loaded for the
+        // |queries|·rerank candidates only (a broadcast-sized join), never
+        // for the corpus
+        if (rerank <= 0) shortlisted
+        else {
+          val qMapLit = typedLit(qRows.toMap)
+          corpus
+            .join(broadcast(shortlisted), col("id") === col("neighbor_id"))
+            .withColumn("sim", cosine(element_at(qMapLit, col("query_id")), col("v")))
+            .withColumn("rank", row_number().over(w2))
+            .filter(col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        }
+      }
+    } else {
+      // LARGE-BATCH path: the distance tables are columns over the query
+      // frame — nothing on the driver grows with the batch. Bit-equal to
+      // the driver path (same kernels, same rounding, same tie-breaks),
+      // pinned by the equivalence spec.
+      val qFrame = corpus.filter(col("id").isInCollection(queryIds))
+        .select(col("id").as("query_id"),
+          dimGuard(col("v"), col("id"), dim).as("qv"))
+      val qTable = qFrame.select(col("query_id"),
+        dtColExpr(model, subDim, col("qv")).as("dt"))
+      val scored = encoded
+        .crossJoin(qTable)
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          adcColExpr(subspaces).as("adc"))
+        .filter(col("adc").isNotNull)
+      val shortlisted = scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= shortlistCap)
+        .select("query_id", "neighbor_id")
+      if (rerank <= 0) shortlisted
+      else corpus
+        .join(shortlisted, col("id") === col("neighbor_id"))
+        .join(qFrame, Seq("query_id"))
+        .withColumn("sim", cosine(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    }
+    val out = result.localCheckpoint(true)
     encoded.unpersist()
     corpus.unpersist()
     out
@@ -609,63 +722,94 @@ object Ann {
       .select("id", "cid", "codes")
       .cache()
 
-    val qRows = corpus.filter(col("id").isInCollection(queryIds))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-
-    def probeLists(qv: Seq[Double]): Seq[Int] = probeOrder(centroids, qv, nProbe)
-
-    if (qRows.isEmpty) {
-      val empty = spark.range(0)
-        .select(col("id").as("query_id"), col("id").as("neighbor_id"))
-      encoded.unpersist()
-      corpus.unpersist()
-      return empty
-    }
-    // ONE broadcast query table (qid, dt, probe set) — single
-    // corpus × queries plan branch at any batch size; the probed-list
-    // restriction is a per-pair `cid IN probe` predicate on the scan
-    val perQuery = qRows.toSeq.map { case (qid, qv) =>
-      (qid, nanoDistanceTable(qv, model, subspaces, subDim), probeLists(qv))
-    }
-    val qTable = {
-      import spark.implicits._
-      perQuery.toDF("query_id", "dt", "probe")
-    }
-
-    // scan-level pruning first: the UNION of every query's probed lists
-    // as a plain `cid IN (...)` predicate — with a cid-partitioned
-    // stored index that is partition pruning, so the scan reads only
-    // the probed directories; the per-(row, query) membership check
-    // then runs on the surviving fraction
-    val allProbed = perQuery.flatMap(_._3).distinct
-    val scored = encoded
-      .filter(col("cid").isInCollection(allProbed))
-      .crossJoin(broadcast(qTable))
-      .filter(array_contains(col("probe"), col("cid")) && col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        adcColExpr(subspaces).as("adc"))
-      // a null ADC (row with a null code) must not outrank real scores
-      // — ascending sort puts nulls FIRST in Spark
-      .filter(col("adc").isNotNull)
+    val localMax = localDtMaxQueries(spark)
+    val useLocal = localMax >= 0 && queryIds.size <= localMax
+    val shortlistCap = math.max(k, rerank)
     val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
-    val shortlisted = scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= math.max(k, rerank))
-      .select("query_id", "neighbor_id")
+    val w2 = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
 
-    val out = (if (rerank <= 0) shortlisted
-               else {
-                 val qMapLit = typedLit(qRows.toMap)
-                 val w2 = Window.partitionBy("query_id")
-                   .orderBy(col("sim").desc, col("neighbor_id").asc)
-                 corpus
-                   .join(broadcast(shortlisted), col("id") === col("neighbor_id"))
-                   .withColumn("sim", cosine(element_at(qMapLit, col("query_id")), col("v")))
-                   .withColumn("rank", row_number().over(w2))
-                   .filter(col("rank") <= k)
-                   .select("query_id", "neighbor_id")
-               })
-      .localCheckpoint(true)
+    val result = if (useLocal) {
+      val qRows = corpus.filter(col("id").isInCollection(queryIds))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      if (qRows.isEmpty) {
+        spark.range(0).select(col("id").as("query_id"), col("id").as("neighbor_id"))
+      } else {
+        // ONE broadcast query table (qid, dt, probe set) — single
+        // corpus × queries plan branch at any batch size; the probed-list
+        // restriction is a per-pair `cid IN probe` predicate on the scan
+        val perQuery = qRows.toSeq.map { case (qid, qv) =>
+          (qid, nanoDistanceTable(qv, model, subspaces, subDim),
+            probeOrder(centroids, qv, nProbe))
+        }
+        val qTable = {
+          import spark.implicits._
+          perQuery.toDF("query_id", "dt", "probe")
+        }
+        // scan-level pruning first: the UNION of every query's probed lists
+        // as a plain `cid IN (...)` predicate — with a cid-partitioned
+        // stored index that is partition pruning, so the scan reads only
+        // the probed directories; the per-(row, query) membership check
+        // then runs on the surviving fraction
+        val allProbed = perQuery.flatMap(_._3).distinct
+        val scored = encoded
+          .filter(col("cid").isInCollection(allProbed))
+          .crossJoin(broadcast(qTable))
+          .filter(array_contains(col("probe"), col("cid")) && col("id") =!= col("query_id"))
+          .select(col("query_id"), col("id").as("neighbor_id"),
+            adcColExpr(subspaces).as("adc"))
+          // a null ADC (row with a null code) must not outrank real scores
+          // — ascending sort puts nulls FIRST in Spark
+          .filter(col("adc").isNotNull)
+        val shortlisted = scored
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= shortlistCap)
+          .select("query_id", "neighbor_id")
+        if (rerank <= 0) shortlisted
+        else {
+          val qMapLit = typedLit(qRows.toMap)
+          corpus
+            .join(broadcast(shortlisted), col("id") === col("neighbor_id"))
+            .withColumn("sim", cosine(element_at(qMapLit, col("query_id")), col("v")))
+            .withColumn("rank", row_number().over(w2))
+            .filter(col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        }
+      }
+    } else {
+      // LARGE-BATCH path: distance tables and probe sets are columns
+      // over the query frame, the probe restriction is an equi-join on
+      // cid — driver state stays O(model) at any batch size. The only
+      // driver-sided piece left is the DISTINCT probed-cid set (bounded
+      // by nLists), collected for the scan-level pruning predicate.
+      val qFrame = corpus.filter(col("id").isInCollection(queryIds))
+        .select(col("id").as("query_id"),
+          dimGuard(col("v"), col("id"), dim).as("qv"))
+      val ql = qFrame.select(
+        col("query_id"),
+        dtColExpr(model, subDim, col("qv")).as("dt"),
+        explode(probeColExpr(centroids, nProbe, col("qv"))).as("cid"))
+      val allProbed = ql.select("cid").distinct().collect().map(_.getInt(0)).toSeq
+      val scored = encoded
+        .filter(col("cid").isInCollection(allProbed))
+        .join(ql, Seq("cid"))
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          adcColExpr(subspaces).as("adc"))
+        .filter(col("adc").isNotNull)
+      val shortlisted = scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= shortlistCap)
+        .select("query_id", "neighbor_id")
+      if (rerank <= 0) shortlisted
+      else corpus
+        .join(shortlisted, col("id") === col("neighbor_id"))
+        .join(qFrame, Seq("query_id"))
+        .withColumn("sim", cosine(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    }
+    val out = result.localCheckpoint(true)
     encoded.unpersist()
     corpus.unpersist()
     out

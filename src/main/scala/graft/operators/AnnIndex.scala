@@ -404,87 +404,151 @@ object AnnIndex {
     graft.functions.GraftFunctions.register(spark)
     val model = loadModel(spark, path)
 
-    val qRows = queries
+    val qSel = queries
       .select(col(qidCol).cast("long").as("id"),
         col(qvecCol).cast("array<double>").as("v"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-    if (qRows.isEmpty)
-      return spark.range(0)
-        .select(col("id").as("query_id"), col("id").as("neighbor_id"))
+    // adaptive: batches up to the localDtMaxQueries threshold prepare
+    // distance tables driver-side (ONE broadcast, the reference-shaped
+    // pattern); larger batches — the 1M-query serving case — prepare
+    // them as executor-side columns so driver state stays O(model).
+    // The threshold probe is the decision AND the data: one limit-k+1
+    // collect, reused as the driver path's query rows.
+    val localMax = Ann.localDtMaxQueries(spark)
+    val head =
+      if (localMax < 0) Array.empty[org.apache.spark.sql.Row]
+      else qSel.limit(localMax + 1).collect()
+    val useLocal = localMax >= 0 && head.length <= localMax
 
-    qRows.foreach { case (qid, qv) =>
-      require(qv.size == model.dim,
-        s"query $qid has dim ${qv.size}, index expects ${model.dim}")
-    }
-    // plain layout: ONE distance table per query (codes quantize raw
-    // vectors), shipped as (query_id, dt, probe) rows with a per-pair
-    // probe-membership check. Residual layout: one table per (query,
-    // probed list) — dt depends on the list's centroid — shipped as
-    // (query_id, cid, dt) rows, so the probe restriction is the
-    // broadcast equi-join on cid itself.
-    // Either way the union of probed lists is a plain `cid IN (...)` on
-    // the scan — against the partitionBy("cid") layout that prunes at
-    // directory level (the plan's PartitionFilters, pinned in
-    // AnnIndexSpec).
     val codes = spark.read.parquet(codesPath(spark, path))
-    val scored = (if (!model.residual) {
-      val perQuery = qRows.toSeq.map { case (qid, qv) =>
-        (qid,
-          Ann.nanoDistanceTable(qv, model.codebooks, model.subspaces, model.subDim),
-          Ann.probeOrder(model.centroids, qv, nProbe))
-      }
-      val qTable = {
-        import spark.implicits._
-        perQuery.toDF("query_id", "dt", "probe")
-      }
-      val allProbed = perQuery.flatMap(_._3).distinct
-      codes
-        .filter(col("cid").isInCollection(allProbed))
-        .crossJoin(broadcast(qTable))
-        .filter(array_contains(col("probe"), col("cid")) && col("id") =!= col("query_id"))
-    } else {
-      val centMap = model.centroids.toMap
-      val perQL = qRows.toSeq.flatMap { case (qid, qv) =>
-        Ann.probeOrderL2(model.centroids, qv, nProbe).map { cidL =>
-          val cL = centMap(cidL)
-          val qr: Seq[Double] = (0 until model.dim).map(i => qv(i) - cL(i))
-          (qid, cidL,
-            Ann.nanoDistanceTable(qr, model.codebooks, model.subspaces, model.subDim))
-        }
-      }
-      val qTable = {
-        import spark.implicits._
-        perQL.toDF("query_id", "cid", "dt")
-      }
-      val allProbed = perQL.map(_._2).distinct
-      codes
-        .filter(col("cid").isInCollection(allProbed))
-        .join(broadcast(qTable), "cid")
-        .filter(col("id") =!= col("query_id"))
-    })
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        Ann.adcColExpr(model.subspaces).as("adc"))
-      .filter(col("adc").isNotNull)
     val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
-    val shortlisted = scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= math.max(k, rerank))
-      .select("query_id", "neighbor_id")
+    val w2 = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
 
-    if (rerank <= 0) shortlisted
-    else {
-      val corpus = exact.get.select(
-        col(exactIdCol).cast("long").as("id"),
-        col(exactVecCol).cast("array<double>").as("v"))
-      val qMapLit = typedLit(qRows.toMap)
-      val w2 = Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("neighbor_id").asc)
-      corpus
-        .join(broadcast(shortlisted), col("id") === col("neighbor_id"))
-        .withColumn("sim", Ann.cosine(element_at(qMapLit, col("query_id")), col("v")))
-        .withColumn("rank", row_number().over(w2))
-        .filter(col("rank") <= k)
+    if (useLocal) {
+      val qRows = head.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      if (qRows.isEmpty)
+        return spark.range(0)
+          .select(col("id").as("query_id"), col("id").as("neighbor_id"))
+      qRows.foreach { case (qid, qv) =>
+        require(qv.size == model.dim,
+          s"query $qid has dim ${qv.size}, index expects ${model.dim}")
+      }
+      // plain layout: ONE distance table per query (codes quantize raw
+      // vectors), shipped as (query_id, dt, probe) rows with a per-pair
+      // probe-membership check. Residual layout: one table per (query,
+      // probed list) — dt depends on the list's centroid — shipped as
+      // (query_id, cid, dt) rows, so the probe restriction is the
+      // broadcast equi-join on cid itself.
+      // Either way the union of probed lists is a plain `cid IN (...)` on
+      // the scan — against the partitionBy("cid") layout that prunes at
+      // directory level (the plan's PartitionFilters, pinned in
+      // AnnIndexSpec).
+      val scored = (if (!model.residual) {
+        val perQuery = qRows.toSeq.map { case (qid, qv) =>
+          (qid,
+            Ann.nanoDistanceTable(qv, model.codebooks, model.subspaces, model.subDim),
+            Ann.probeOrder(model.centroids, qv, nProbe))
+        }
+        val qTable = {
+          import spark.implicits._
+          perQuery.toDF("query_id", "dt", "probe")
+        }
+        val allProbed = perQuery.flatMap(_._3).distinct
+        codes
+          .filter(col("cid").isInCollection(allProbed))
+          .crossJoin(broadcast(qTable))
+          .filter(array_contains(col("probe"), col("cid")) && col("id") =!= col("query_id"))
+      } else {
+        val centMap = model.centroids.toMap
+        val perQL = qRows.toSeq.flatMap { case (qid, qv) =>
+          Ann.probeOrderL2(model.centroids, qv, nProbe).map { cidL =>
+            val cL = centMap(cidL)
+            val qr: Seq[Double] = (0 until model.dim).map(i => qv(i) - cL(i))
+            (qid, cidL,
+              Ann.nanoDistanceTable(qr, model.codebooks, model.subspaces, model.subDim))
+          }
+        }
+        val qTable = {
+          import spark.implicits._
+          perQL.toDF("query_id", "cid", "dt")
+        }
+        val allProbed = perQL.map(_._2).distinct
+        codes
+          .filter(col("cid").isInCollection(allProbed))
+          .join(broadcast(qTable), "cid")
+          .filter(col("id") =!= col("query_id"))
+      })
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          Ann.adcColExpr(model.subspaces).as("adc"))
+        .filter(col("adc").isNotNull)
+      val shortlisted = scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= math.max(k, rerank))
         .select("query_id", "neighbor_id")
+
+      if (rerank <= 0) shortlisted
+      else {
+        val corpus = exact.get.select(
+          col(exactIdCol).cast("long").as("id"),
+          col(exactVecCol).cast("array<double>").as("v"))
+        val qMapLit = typedLit(qRows.toMap)
+        corpus
+          .join(broadcast(shortlisted), col("id") === col("neighbor_id"))
+          .withColumn("sim", Ann.cosine(element_at(qMapLit, col("query_id")), col("v")))
+          .withColumn("rank", row_number().over(w2))
+          .filter(col("rank") <= k)
+          .select("query_id", "neighbor_id")
+      }
+    } else {
+      // LARGE-BATCH serving path: same semantics, distance tables and
+      // probe sets computed as columns over the query frame, probe
+      // restriction as an equi-join on cid. The only driver-sided piece
+      // is the DISTINCT probed-cid set (bounded by nLists) for the
+      // partition-pruning predicate. Bit-equal to the driver path,
+      // pinned by the equivalence spec.
+      val qFrame = qSel.select(col("id").as("query_id"),
+        Ann.dimGuard(col("v"), col("id"), model.dim).as("qv"))
+      val ql = if (!model.residual) {
+        // dt computed BEFORE the probe explode: one table per query row,
+        // duplicated (not recomputed) per probed list by the generator
+        qFrame.select(col("query_id"),
+          Ann.dtColExpr(model.codebooks, model.subDim, col("qv")).as("dt"),
+          explode(Ann.probeColExpr(model.centroids, nProbe, col("qv"))).as("cid"))
+      } else {
+        val centMapLit = typedLit(model.centroids.toMap)
+        qFrame
+          .select(col("query_id"), col("qv"),
+            explode(Ann.probeColExprL2(model.centroids, nProbe, col("qv"))).as("cid"))
+          .withColumn("qr",
+            zip_with(col("qv"), element_at(centMapLit, col("cid")), (x, c) => x - c))
+          .select(col("query_id"), col("cid"),
+            Ann.dtColExpr(model.codebooks, model.subDim, col("qr")).as("dt"))
+      }
+      val allProbed = ql.select("cid").distinct().collect().map(_.getInt(0)).toSeq
+      val scored = codes
+        .filter(col("cid").isInCollection(allProbed))
+        .join(ql, Seq("cid"))
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          Ann.adcColExpr(model.subspaces).as("adc"))
+        .filter(col("adc").isNotNull)
+      val shortlisted = scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= math.max(k, rerank))
+        .select("query_id", "neighbor_id")
+
+      if (rerank <= 0) shortlisted
+      else {
+        val corpus = exact.get.select(
+          col(exactIdCol).cast("long").as("id"),
+          col(exactVecCol).cast("array<double>").as("v"))
+        corpus
+          .join(shortlisted, col("id") === col("neighbor_id"))
+          .join(qFrame, Seq("query_id"))
+          .withColumn("sim", Ann.cosine(col("qv"), col("v")))
+          .withColumn("rank", row_number().over(w2))
+          .filter(col("rank") <= k)
+          .select("query_id", "neighbor_id")
+      }
     }
   }
 }
