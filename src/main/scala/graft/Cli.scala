@@ -56,6 +56,7 @@ object Cli {
         |                                                  encode new vectors with the frozen model
         |  ann compact --index DIR                        fold append fragments to one file per list
         |  ann stats --index DIR                          per-list occupancy histogram
+        |  ann split <emb.parquet> --index DIR [--cid N] [--k K]   split a hot list in place
         |  ann query <emb.parquet> --index DIR --ids 0,1,2 [--id C] [--vec C]
         |            [--k K] [--probe P] [--rerank R] [--out DIR]
         |                                                  top-k over a persisted index (no retrain)
@@ -165,8 +166,21 @@ object Cli {
               println(s"wrote ${spark.read.parquet(o).count()} rows to $o")
             case None => out.show(50, truncate = false)
           }
+        case "split" =>
+          // hot-list maintenance: --cid picks the list (default: the
+          // hottest by occupancy, ties to the larger cid), --k the
+          // number of sub-lists; the positional parquet supplies the
+          // raw vectors (codes are lossy)
+          val cid = opts.get("cid").map(_.toInt)
+            .getOrElse(graft.operators.AnnIndex.hottestList(spark, idx))
+          graft.operators.AnnIndex.split(
+            spark, idx, cid, opts.getOrElse("k", "4").toInt,
+            emb, opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"))
+          println(s"split list $cid; occupancy now:")
+          graft.operators.AnnIndex.stats(spark, idx)
+            .orderBy("cid").show(1000, truncate = false)
         case other =>
-          System.err.println(s"unknown ann verb $other (build|append|query)"); sys.exit(2)
+          System.err.println(s"unknown ann verb $other (build|append|query|split)"); sys.exit(2)
       }
       spark.stop()
 

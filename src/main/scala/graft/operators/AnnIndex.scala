@@ -139,6 +139,65 @@ object AnnIndex {
     }
   }
 
+  // ---- versioned model (meta + centroids) behind the MODEL pointer ----
+  // [[split]] changes the centroid set of a LIVE index; the update must
+  // be atomic to readers (a half-written centroids table is a corrupt
+  // model, worse than a missing codes dir). Same recipe as CODES: the
+  // new meta/centroids land in `meta_v{N}`/`centroids_v{N}` and the
+  // MODEL pointer flips via tmp + overwriting rename. Codebooks are
+  // immutable after build and stay unversioned.
+
+  private def modelPointerFile(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/MODEL")
+
+  /** "" for the legacy/built layout (`meta/`, `centroids/`), or
+    * "_v{N}" naming the split-updated model directories.
+    */
+  private def modelSuffix(spark: SparkSession, path: String): String = {
+    val (fs, _) = fsFor(spark, path)
+    val ptr = modelPointerFile(path)
+    if (!fs.exists(ptr)) ""
+    else {
+      val in = fs.open(ptr)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      require(s.matches("v\\d+"), s"corrupt MODEL pointer: '$s'")
+      "_" + s
+    }
+  }
+
+  private def modelVersionOf(sfx: String): Int =
+    if (sfx.isEmpty) 0 else sfx.stripPrefix("_v").toInt
+
+  private def publishModel(spark: SparkSession, path: String, sfx: String): Unit = {
+    val (fs, _) = fsFor(spark, path)
+    val ptr = modelPointerFile(path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/MODEL.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(sfx.stripPrefix("_").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      ptr.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Reset to the legacy (unversioned) model layout — [[build]] rewrites
+    * `meta/`/`centroids/` in place, so a stale MODEL pointer from a
+    * previous index generation must not shadow them.
+    */
+  private def clearModelVersions(spark: SparkSession, path: String, keep: Set[String]): Unit = {
+    val (fs, root) = fsFor(spark, path)
+    if (keep.isEmpty && fs.exists(modelPointerFile(path)))
+      fs.delete(modelPointerFile(path), false)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.matches("(meta|centroids)_v\\d+") &&
+        !keep.exists(sfx => n == s"meta$sfx" || n == s"centroids$sfx"))
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** Train the coarse quantizer + PQ codebooks on `emb` and persist the
     * full index layout at `path` (overwriting any previous index).
     * Training is delegated to the same [[Ann]] internals the inline
@@ -185,6 +244,9 @@ object AnnIndex {
         .write.mode("overwrite").parquet(s"$path/meta")
       centroids.toSeq.toDF("cid", "cv")
         .write.mode("overwrite").parquet(s"$path/centroids")
+      // a stale MODEL pointer from a previous generation's splits must
+      // not shadow the freshly built meta/centroids
+      clearModelVersions(spark, path, keep = Set.empty)
       model.zipWithIndex.toSeq
         .flatMap { case (cb, m) => cb.map { case (cid, cv) => (m, cid, cv) } }
         .toDF("m", "cid", "cv")
@@ -326,6 +388,136 @@ object AnnIndex {
     spark.read.parquet(codesPath(spark, path))
       .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
 
+  /** The hottest list of the index: max occupancy, ties to the larger
+    * cid — the deterministic selection rule the split oracle replays
+    * (`ORDER BY n DESC, cid DESC LIMIT 1`).
+    */
+  def hottestList(spark: SparkSession, path: String): Int =
+    stats(spark, path)
+      .orderBy(col("n_vectors").desc, col("cid").desc)
+      .head.getInt(0)
+
+  /** Split one over-full inverted list into `k` new lists — the
+    * maintenance move [[stats]]' skew histogram calls for when a hot
+    * region dominates probe cost. Re-runs Lloyd WITHIN the list only
+    * (same deterministic protocol as the coarse trainer: first-k-by-id
+    * init, `iters` rounds, order-independent integer-nano means, under
+    * the layout's coarse metric), assigns the members among the `k` new
+    * centroids `maxCid+1 … maxCid+k`, and rewrites ONLY that list's
+    * partitions — the rest of the corpus is untouched, which is the
+    * point at 100 TB.
+    *
+    * PQ codes are frozen: in the plain layout they quantize raw vectors,
+    * so the stored codes move to their new list UNCHANGED (a full-probe
+    * query is bit-equal before/after — pinned in AnnIndexSpec); in the
+    * residual layout codes are re-encoded against the new centroids
+    * with the same frozen codebooks (`build`'s exact encode expression).
+    *
+    * `corpus` supplies the raw vectors for the list's members (codes
+    * are lossy — same convention as [[topK]]'s `exact` re-rank frame);
+    * the members are located by an id join against ONE pruned codes
+    * partition, never a corpus-wide recompute.
+    *
+    * Publication order makes every step reader-safe and crash
+    * recoverable: (1) the updated meta+centroids land in fresh
+    * `meta_v{N}`/`centroids_v{N}` dirs; (2) the new list partitions are
+    * appended (invisible — no live centroid references them); (3) the
+    * MODEL pointer flips atomically; (4) the old list directory is
+    * reclaimed. A reader resolves either the old model (probing the old
+    * list, still on disk through step 3) or the new one (probing only
+    * the new lists). A crash before (3) leaves the index exactly as it
+    * was; a crash between (3) and (4) leaves an orphan directory that a
+    * re-run of `split` for the same cid reclaims. Single maintenance
+    * writer, like [[append]]/[[compact]].
+    */
+  def split(
+      spark: SparkSession,
+      path: String,
+      cid: Int,
+      k: Int,
+      corpus: DataFrame,
+      idCol: String = "id",
+      vecCol: String = "v",
+      iters: Int = 2): Unit = {
+    require(k >= 2, s"split needs k >= 2 target lists, got $k")
+    graft.functions.GraftFunctions.register(spark)
+    val model = loadModel(spark, path)
+    val (fs, _) = fsFor(spark, path)
+    val codesDir = codesPath(spark, path)
+    val oldListDir = new org.apache.hadoop.fs.Path(s"$codesDir/cid=$cid")
+    if (!model.centroids.exists(_._1 == cid)) {
+      // recovery half: a previous split of this cid crashed after its
+      // pointer flip but before reclaiming the old list directory
+      require(fs.exists(oldListDir), s"cid $cid is not a list of this index")
+      fs.delete(oldListDir, true)
+      return
+    }
+    val memberIds = spark.read.parquet(codesDir)
+      .filter(col("cid") === cid).select("id", "codes")
+    val members = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .join(memberIds.select("id"), "id")
+      .cache()
+    try {
+      val nList = memberIds.count()
+      val nMembers = members.count()
+      require(nMembers == nList,
+        s"corpus supplies raw vectors for $nMembers of the list's $nList members " +
+          "— split needs every one (codes are lossy)")
+      require(nMembers >= k, s"list $cid holds $nMembers vectors, cannot split into $k")
+
+      val sub =
+        if (model.residual) Ann.lloydCentroidsL2(members, k, iters)
+        else Ann.lloydCentroids(members, k, iters, k <= Ann.maxUnrolled(spark))
+      val base = model.centroids.map(_._1).max + 1
+      val newCents = sub.map { case (i, cv) => (base + i, cv) }
+
+      val newRows =
+        if (model.residual)
+          // residuals move with the centroid: re-encode v − newCentroid
+          // under the frozen codebooks (build's exact encode expression)
+          residualFrame(members, newCents)
+            .withColumn("codes",
+              array((0 until model.subspaces).map(i =>
+                Ann.pqCodeExpr(i, model.subDim, model.codebooks(i))): _*))
+            .select("id", "codes", "cid")
+        else {
+          // plain layout: codes quantize raw vectors — they move UNCHANGED,
+          // only the list assignment is recomputed
+          val reassigned = Ann.assignToCentroids(members, newCents,
+            newCents.length <= Ann.maxUnrolled(spark)).select("id", "cid")
+          memberIds.join(reassigned, "id").select("id", "codes", "cid")
+        }
+
+      // (1) stage the updated model in a fresh version
+      val curSfx = modelSuffix(spark, path)
+      val nextSfx = s"_v${modelVersionOf(curSfx) + 1}"
+      val updatedCents = model.centroids.filterNot(_._1 == cid) ++ newCents
+      import spark.implicits._
+      Seq((updatedCents.length, model.subspaces, model.subDim, model.dim,
+        model.codebook, model.residual))
+        .toDF("n_lists", "subspaces", "sub_dim", "dim", "codebook", "residual")
+        .write.mode("overwrite").parquet(s"$path/meta$nextSfx")
+      updatedCents.toSeq.toDF("cid", "cv")
+        .write.mode("overwrite").parquet(s"$path/centroids$nextSfx")
+      // (2) new list partitions (reclaiming any crash leftovers first —
+      // a rerun after a crash here must not double-append)
+      newCents.foreach { case (c, _) =>
+        val d = new org.apache.hadoop.fs.Path(s"$codesDir/cid=$c")
+        if (fs.exists(d)) fs.delete(d, true)
+      }
+      newRows.repartition(col("cid"))
+        .write.mode("append").partitionBy("cid").parquet(codesDir)
+      // (3) atomic flip; (4) reclaim; retain the previous model version
+      // one cycle for in-flight readers (like compact's codes retention)
+      publishModel(spark, path, nextSfx)
+      fs.delete(oldListDir, true)
+      clearModelVersions(spark, path,
+        keep = Set(curSfx, nextSfx).filter(_.nonEmpty))
+    } finally members.unpersist()
+  }
+
   /** Continuous ingest: run [[append]] on every micro-batch of a
     * streaming vector source. The model stays frozen (loaded once per
     * batch from the index — cheap, model-sized) and each batch lands as
@@ -351,8 +543,9 @@ object AnnIndex {
     * model-sized; the compressed corpus stays on disk).
     */
   def loadModel(spark: SparkSession, path: String): Model = {
-    val meta = spark.read.parquet(s"$path/meta").head
-    val cents = spark.read.parquet(s"$path/centroids").collect()
+    val sfx = modelSuffix(spark, path)
+    val meta = spark.read.parquet(s"$path/meta$sfx").head
+    val cents = spark.read.parquet(s"$path/centroids$sfx").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     val cbRows = spark.read.parquet(s"$path/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))

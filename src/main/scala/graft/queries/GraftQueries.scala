@@ -697,6 +697,20 @@ object GraftQueries {
       AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", residual = true)
       AnnIndex.stats(s, s"$base/idx")
     }),
+    // hot-list maintenance: split the hottest list (max occupancy, ties
+    // to the larger cid) of a residual index into 4 sub-lists and return
+    // the occupancy after. Oracled by extending the coarse-Lloyd replay
+    // with the deterministic within-list re-Lloyd (same first-k-by-id
+    // init, L2 argmin with larger-cid ties, integer-nano means), so the
+    // oracle pins the split membership itself, not just row counts
+    "ann_index_split" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_annsplit_q").toString
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", residual = true)
+      val hot = AnnIndex.hottestList(s, s"$base/idx")
+      AnnIndex.split(s, s"$base/idx", hot, k = 4, emb, "vec_id", "embedding")
+      AnnIndex.stats(s, s"$base/idx")
+    }),
     "ann_index_persisted" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val base = java.nio.file.Files.createTempDirectory("graft_annidx_q").toString
@@ -2641,6 +2655,7 @@ object GraftQueries {
     "ann_index_residual" -> residualAdcOracle,
     "ann_index_stats" -> (annCoarseL2Ctes(16, 64).mkString("WITH ", ",\n", "\n") +
       "SELECT cid, count(*) AS n_vectors FROM ka2 GROUP BY cid"),
+    "ann_index_split" -> annSplitOracle,
     "ann_topk_ivfadc" -> "SELECT true AS recall_ge_080",
     "ann_topk_pq_rerank" -> "SELECT true AS recall_ge_080",
     // the query computes the recall gate itself (IVF@nProbe=4 vs brute
@@ -3630,6 +3645,36 @@ object GraftQueries {
     s"ka1 AS MATERIALIZED (${annAssign("e", "cc1", "v", dim)})",
     s"cc2 AS MATERIALIZED (${annMeans("ka1", "v")})",
     s"ka2 AS MATERIALIZED (${annAssign("e", "cc2", "v", dim)})")
+
+  /** Occupancy after AnnIndex.split of the hottest list (k = 4) on a
+    * residual index: the coarse replay's final assignment ka2 minus the
+    * hottest list (max n, ties larger cid), plus a within-list L2 Lloyd
+    * replay of its members re-based at max(cid)+1 — the same
+    * deterministic protocol (first-k-by-id init, dist-asc/cid-desc
+    * argmin, integer-nano means) as the coarse chain, one level down.
+    */
+  private lazy val annSplitOracle: String = {
+    val ctes = annCoarseL2Ctes(16, 64) ++ Seq(
+      "occ AS MATERIALIZED (SELECT cid, count(*) AS n FROM ka2 GROUP BY cid)",
+      "hot AS MATERIALIZED (SELECT cid FROM occ ORDER BY n DESC, cid DESC LIMIT 1)",
+      """mem AS MATERIALIZED (SELECT e.vec_id, e.v FROM e
+        |  JOIN ka2 k ON k.vec_id = e.vec_id
+        |  WHERE k.cid = (SELECT cid FROM hot))""".stripMargin,
+      s"sc0 AS MATERIALIZED (${annInit("mem", "v", 4)})",
+      s"sa0 AS MATERIALIZED (${annAssign("mem", "sc0", "v", 64)})",
+      s"sc1 AS MATERIALIZED (${annMeans("sa0", "v")})",
+      s"sa1 AS MATERIALIZED (${annAssign("mem", "sc1", "v", 64)})",
+      s"sc2 AS MATERIALIZED (${annMeans("sa1", "v")})",
+      s"sa2 AS MATERIALIZED (${annAssign("mem", "sc2", "v", 64)})",
+      "b AS MATERIALIZED (SELECT max(cid) + 1 AS base FROM cc2)")
+    ctes.mkString("WITH ", ",\n", "\n") +
+      """SELECT cid, n_vectors FROM (
+        |  SELECT o.cid AS cid, o.n AS n_vectors FROM occ o
+        |  WHERE o.cid <> (SELECT cid FROM hot)
+        |  UNION ALL
+        |  SELECT (SELECT base FROM b) + s.cid AS cid, count(*) AS n_vectors
+        |  FROM sa2 s GROUP BY s.cid)""".stripMargin
+  }
 
   private lazy val residualAdcOracle: String = {
     val nLists = 16; val dim = 64; val subspaces = 4; val sub = 16; val cb = 16

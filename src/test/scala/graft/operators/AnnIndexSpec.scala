@@ -331,6 +331,97 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       "a failed append must not commit rows")
   }
 
+  test("split (plain layout): occupancy conserved, codes move unchanged, full probe bit-equal") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val statsBefore = AnnIndex.stats(spark, path).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val before = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    val hot = AnnIndex.hottestList(spark, path)
+    // the deterministic rule: max occupancy, ties to the larger cid
+    assert(statsBefore(hot) == statsBefore.values.max)
+
+    AnnIndex.split(spark, path, hot, k = 4, emb, "vec_id", "embedding")
+
+    val m = AnnIndex.loadModel(spark, path)
+    assert(!m.centroids.exists(_._1 == hot), "the split cid must leave the model")
+    val newCids = m.centroids.map(_._1).filter(_ > statsBefore.keys.max)
+    assert(newCids.nonEmpty && newCids.length <= 4)
+    assert(m.nLists == m.centroids.length)
+    val statsAfter = AnnIndex.stats(spark, path).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(!statsAfter.contains(hot))
+    assert(newCids.map(statsAfter).sum == statsBefore(hot),
+      "the split lists must hold exactly the old list's members")
+    (statsBefore - hot).foreach { case (c, n) =>
+      assert(statsAfter(c) == n, s"untouched list $c changed occupancy")
+    }
+    // codes moved UNCHANGED (plain layout quantizes raw vectors), so an
+    // exhaustive probe is bit-equal to the pre-split index
+    val after = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = m.centroids.length))
+    assert(after == before)
+    // and only that list's partitions were rewritten on disk
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${AnnIndex.codesPath(spark, path)}/cid=$hot")))
+    newCids.foreach { c =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"${AnnIndex.codesPath(spark, path)}/cid=$c")))
+    }
+  }
+
+  test("split (residual layout): codes re-encode against the new centroids, recall holds") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path, subspaces = 8, residual = true)
+    val hot = AnnIndex.hottestList(spark, path)
+    val nBefore = AnnIndex.stats(spark, path)
+      .agg(sum(col("n_vectors"))).head.getLong(0)
+    AnnIndex.split(spark, path, hot, k = 3, emb, "vec_id", "embedding")
+    val m = AnnIndex.loadModel(spark, path)
+    assert(m.residual && !m.centroids.exists(_._1 == hot))
+    val nAfter = AnnIndex.stats(spark, path)
+      .agg(sum(col("n_vectors"))).head.getLong(0)
+    assert(nAfter == nBefore)
+    val res = AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 8, rerank = 200,
+      exact = Some(emb), exactIdCol = "vec_id", exactVecCol = "embedding")
+    val brute = pairs(Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L to 9L, 5))
+    val got = pairs(res)
+    assert(got.size == 50)
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"post-split rerank recall $recall < 0.8")
+  }
+
+  test("split is deterministic and crash-recoverable") {
+    val p1 = tmpIdx(); val p2 = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", p1)
+    AnnIndex.build(emb, "vec_id", "embedding", p2)
+    val hot = AnnIndex.hottestList(spark, p1)
+    AnnIndex.split(spark, p1, hot, k = 4, emb, "vec_id", "embedding")
+    AnnIndex.split(spark, p2, hot, k = 4, emb, "vec_id", "embedding")
+    val s1 = AnnIndex.stats(spark, p1).collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val s2 = AnnIndex.stats(spark, p2).collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(s1 == s2, "identical inputs must split identically")
+
+    // crash-between-flip-and-reclaim: the old list dir survives as an
+    // orphan; a re-run for the same cid completes the reclaim
+    val orphan = java.nio.file.Paths.get(
+      s"${AnnIndex.codesPath(spark, p1)}/cid=$hot")
+    java.nio.file.Files.createDirectories(orphan)
+    AnnIndex.split(spark, p1, hot, k = 4, emb, "vec_id", "embedding")
+    assert(!java.nio.file.Files.exists(orphan))
+    // with nothing left to recover, the same call is a loud error
+    intercept[IllegalArgumentException] {
+      AnnIndex.split(spark, p1, hot, k = 4, emb, "vec_id", "embedding")
+    }
+    // rebuild resets the model pointer: a stale versioned model from
+    // this generation must not shadow the fresh build
+    AnnIndex.build(emb, "vec_id", "embedding", p1)
+    val m = AnnIndex.loadModel(spark, p1)
+    assert(m.nLists == 16 && m.centroids.exists(_._1 == hot))
+  }
+
   test("empty query batch yields an empty frame; dim mismatch fails loudly") {
     val path = tmpIdx()
     AnnIndex.build(emb, "vec_id", "embedding", path)
