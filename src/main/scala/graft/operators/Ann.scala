@@ -168,8 +168,16 @@ object Ann {
   private[operators] def nanoMeans(
       assigned: DataFrame,
       dim: Int): Array[(Int, Seq[Double])] = {
+    // TIERED sums: each member coordinate quantizes to a nano-unit
+    // integer as before, but the accumulator is decimal(20,0) → Spark
+    // sums it exactly in 128-bit (decimal(30,0)), so the ~1e9-members-
+    // per-cluster bound of a raw long sum is gone (capacity ~1e21
+    // members at unit scale). The value is bit-identical where a long
+    // would not overflow — both are exact integers and both convert to
+    // double by correct rounding — so every SQL replay (DuckDB sums to
+    // HUGEINT, also exact) is unchanged.
     val sumCols = (0 until dim).map(i =>
-      sum(round(col("v").getItem(i) * 1e9).cast("long")).as(s"d$i"))
+      sum(round(col("v").getItem(i) * 1e9).cast("decimal(20,0)")).as(s"d$i"))
     val aggCols = sumCols :+ count(lit(1)).as("cnt")
     assigned
       .groupBy("cid")
@@ -177,7 +185,8 @@ object Ann {
       .collect()
       .map { r =>
         val cnt = r.getLong(dim + 1)
-        (r.getInt(0), (0 until dim).map(i => r.getLong(i + 1).toDouble / cnt / 1e9): Seq[Double])
+        (r.getInt(0), (0 until dim).map(i =>
+          r.getDecimal(i + 1).toBigInteger.doubleValue / cnt / 1e9): Seq[Double])
       }
   }
 
@@ -334,17 +343,19 @@ object Ann {
         // sub-vector) — exclude from the means, don't crash the collect
         .filter(col("code").isNotNull)
       // centroid means via ORDER-INDEPENDENT integer sums: each member
-      // coordinate quantizes to nano-units (round(x·1e9) as long) before
-      // the sum, so Spark's partial aggregation order cannot shift the
-      // mean by an ulp — float avg here was a latent flaky-oracle risk
-      // (a last-ulp centroid drift can flip the 1e9-rounded ADC integer
-      // near a .5 boundary, and partial-agg order varies run to run).
-      // The mean is then the one fixed expression sumNanos/count/1e9
-      // replayed verbatim by the DuckDB oracle. Long capacity bounds the
-      // design at ~1e9 members per cluster at unit scale — tier the sum
-      // before that at 100 TB.
+      // coordinate quantizes to nano-units (round(x·1e9) as an exact
+      // integer) before the sum, so Spark's partial aggregation order
+      // cannot shift the mean by an ulp — float avg here was a latent
+      // flaky-oracle risk (a last-ulp centroid drift can flip the
+      // 1e9-rounded ADC integer near a .5 boundary, and partial-agg
+      // order varies run to run). The mean is then the one fixed
+      // expression sumNanos/count/1e9 replayed verbatim by the DuckDB
+      // oracle. The accumulator is decimal(20,0) — an exact 128-bit sum
+      // like DuckDB's HUGEINT, bit-identical to the former long sum
+      // wherever that didn't overflow, without its ~1e9-members-per-
+      // cluster capacity bound.
       val sumCols = (0 until subDim).map(i =>
-        sum(round(col("sv").getItem(i) * 1e9).cast("long")).as(s"d$i"))
+        sum(round(col("sv").getItem(i) * 1e9).cast("decimal(20,0)")).as(s"d$i"))
       val aggCols = sumCols :+ count(lit(1)).as("cnt")
       val means = coded.groupBy("m", "code").agg(aggCols.head, aggCols.tail: _*).collect()
       val next = Array.fill(subspaces)(
@@ -352,7 +363,8 @@ object Ann {
       means.foreach { r =>
         val cnt = r.getLong(subDim + 2)
         next(r.getInt(0)) += ((r.getInt(1),
-          (0 until subDim).map(i => r.getLong(i + 2).toDouble / cnt / 1e9)))
+          (0 until subDim).map(i =>
+            r.getDecimal(i + 2).toBigInteger.doubleValue / cnt / 1e9)))
       }
       codebooks = next.map(_.sortBy(_._1).toArray)
     }
