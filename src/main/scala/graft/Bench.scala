@@ -20,25 +20,54 @@ object Bench {
 
     // optional comma-separated subset for local iteration; unset = all
     val only = SparkEntry.querySubset()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+
+    def time(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, sfDir).count(); None }
+        try { SparkEntry.queries(name)(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(e.toString.linesIterator.next().take(200)) }
-      val secs = (System.nanoTime() - t0) / 1e9
-      (name, if (err.isEmpty) secs else -1.0, err)
+      (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
     }
+
+    // same-run CONTROL lane, executed FIRST: a fixed cheap query whose
+    // time moves with host noise (CPU steal, cold page cache) but not
+    // with any code under test. Per-query ratios against it let a
+    // reviewer adjudicate "lane got slower" vs "host was slow" from the
+    // artifact itself instead of re-running (the round-12 calm-bench
+    // protocol, emitted by default).
+    val controlName = "ann_topk_brute"
+    val controlSec: Double =
+      if (!SparkEntry.queries.contains(controlName)) -1.0
+      else {
+        // first execution absorbs JVM/codegen warm-up (measured 8×
+        // slower than warm) — discard it and take the second as the
+        // steady-state control, which also warms the suite uniformly
+        time(controlName)
+        time(controlName)._1
+      }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, _) =>
+        val (secs, err) = time(name)
+        (name, secs, err)
+      }
 
     val qs = results.map { case (k, v, _) => graft.util.Json.quote(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val ratios =
+      if (controlSec <= 0) "{}"
+      else results.collect { case (k, v, None) =>
+        graft.util.Json.quote(k) + ":" + f"${v / controlSec}%.3f"
+      }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       graft.util.Json.quote(k) + ":" + graft.util.Json.quote(e)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
+    val control =
+      s"""{"name":${graft.util.Json.quote(controlName)},"sec":${f"$controlSec%.3f"}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${graft.util.Json.quote(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"control":$control,"ratios":$ratios,"errors":$errs,"sf":${graft.util.Json.quote(sfDir)}}"""
     println(line)
     // stdout tail-capture has truncated this (long) line before, losing
     // the parsed totals — persist a copy so the full timing map is
