@@ -120,6 +120,116 @@ class BoltSpec extends AnyFunSuite with SparkSpec {
     } finally server.stop()
   }
 
+  // ---- canned real-protocol fixtures -----------------------------------
+  // The double above answers with frames built by OUR packer; these
+  // cases instead replay HAND-DERIVED byte sequences transcribed from
+  // the public Bolt/PackStream specifications — the exact bytes a real
+  // server puts on the wire — so vendor-shaped negotiation and failure
+  // frames are pinned without a live server.
+
+  /** One canned-conversation server: replies to the handshake with
+    * `negotiation`, then answers each subsequent chunked message with
+    * the next canned response in `responses`.
+    */
+  private def cannedServer(
+      negotiation: Array[Byte],
+      responses: Seq[Array[Byte]]): (Int, () => Unit) = {
+    val ss = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try {
+        val s = ss.accept()
+        val in = new DataInputStream(new BufferedInputStream(s.getInputStream))
+        val out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
+        val hs = new Array[Byte](20) // magic + 4 proposals
+        in.readFully(hs)
+        out.write(negotiation); out.flush()
+        responses.foreach { r =>
+          Bolt.readMessage(in) // consume the client's next message
+          out.write(r); out.flush()
+        }
+        // linger for the client's GOODBYE/close
+        try Bolt.readMessage(in) catch { case _: Throwable => () }
+        s.close()
+      } catch { case _: Throwable => () }
+    }, "bolt-canned")
+    t.setDaemon(true); t.start()
+    (ss.getLocalPort, () => ss.close())
+  }
+
+  /** Chunked framing: [uint16 size][bytes] 0x0000 (bolt spec). */
+  private def chunk(msg: Array[Byte]): Array[Byte] = {
+    require(msg.length <= 0xFFFF)
+    Array[Byte]((msg.length >> 8).toByte, (msg.length & 0xFF).toByte) ++
+      msg ++ Array[Byte](0, 0)
+  }
+
+  private def str(s: String): Array[Byte] = {
+    val b = s.getBytes("UTF-8")
+    // tiny string (0x80|len) below 16, D0+len8 below 256 — PackStream spec
+    if (b.length < 16) Array((0x80 | b.length).toByte) ++ b
+    else Array(0xD0.toByte, b.length.toByte) ++ b
+  }
+
+  test("canned negotiation fixtures: a 5.x pick and the no-overlap reply are rejected loudly") {
+    // a server answering the 4.4-only proposal with Bolt 5.4
+    // (00 00 04 05: minor 4, major 5 — the handshake's version layout)
+    val (p1, stop1) = cannedServer(Array[Byte](0, 0, 4, 5), Seq.empty)
+    try {
+      val e1 = intercept[IllegalArgumentException](
+        new BoltCypherSession("127.0.0.1", p1))
+      assert(e1.getMessage.contains("0x00000405"), e1.getMessage)
+    } finally stop1()
+    // a real Neo4j 5-only server with no overlapping version replies
+    // all-zero, per the spec ("no supported version")
+    val (p2, stop2) = cannedServer(Array[Byte](0, 0, 0, 0), Seq.empty)
+    try {
+      val e2 = intercept[IllegalArgumentException](
+        new BoltCypherSession("127.0.0.1", p2))
+      assert(e2.getMessage.contains("0x00000000"), e2.getMessage)
+    } finally stop2()
+  }
+
+  test("canned FAILURE and IGNORED frames surface the vendor metadata") {
+    // hand-derived from the PackStream spec:
+    //   SUCCESS {server:"Neo4j/4.4.42", connection_id:"bolt-1023"}
+    val helloSuccess = chunk(
+      Array(0xB1.toByte, Bolt.SUCCESS, 0xA2.toByte) ++
+        str("server") ++ str("Neo4j/4.4.42") ++
+        str("connection_id") ++ str("bolt-1023"))
+    //   FAILURE {code:"Neo.ClientError.Statement.SyntaxError",
+    //            message:"Invalid input 'FROB'"} — the real failure
+    //   metadata shape a Neo4j server returns for a syntax error
+    val failure = chunk(
+      Array(0xB1.toByte, Bolt.FAILURE, 0xA2.toByte) ++
+        str("code") ++ str("Neo.ClientError.Statement.SyntaxError") ++
+        str("message") ++ str("Invalid input 'FROB'"))
+    val (p1, stop1) = cannedServer(Array[Byte](0, 0, 4, 4),
+      Seq(helloSuccess, failure))
+    try {
+      val s = new BoltCypherSession("127.0.0.1", p1)
+      val e = intercept[IllegalStateException](s.run("FROB oops"))
+      assert(e.getMessage.contains("Neo.ClientError.Statement.SyntaxError"),
+        s"vendor code must reach the operator: ${e.getMessage}")
+      assert(e.getMessage.contains("Invalid input 'FROB'"), e.getMessage)
+      s.close()
+    } finally stop1()
+
+    //   RUN accepted (SUCCESS {fields:[]}) but PULL answered IGNORED
+    //   (B0 7E — the empty-struct frame a failed-state connection sends)
+    val runSuccess = chunk(
+      Array(0xB1.toByte, Bolt.SUCCESS, 0xA1.toByte) ++
+        str("fields") ++ Array(0x90.toByte))
+    val ignored = chunk(Array(0xB0.toByte, Bolt.IGNORED))
+    val (p2, stop2) = cannedServer(Array[Byte](0, 0, 4, 4),
+      Seq(helloSuccess, runSuccess, ignored))
+    try {
+      val s = new BoltCypherSession("127.0.0.1", p2)
+      val e = intercept[IllegalStateException](s.run("RETURN 1"))
+      assert(e.getMessage.contains("IGNORED"), e.getMessage)
+      s.close()
+    } finally stop2()
+  }
+
   test("distributed export writes the customer graph over real per-task TCP sessions") {
     val forest = graft.sources.RelationalLoader.load(
       spark, "/root/testdata/sf0.001", graft.sources.Testdata.customerDb)

@@ -213,6 +213,76 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     } finally server.stop(0)
   }
 
+  test("canned real chat-completions payloads: full shape, finish_reason variants, error body") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.nio.charset.StandardCharsets.UTF_8
+    // fixtures transcribed from the openly documented chat-completions
+    // response contract — the exact field set (incl. everything the
+    // client must IGNORE: usage, logprobs, system_fingerprint) and the
+    // vendor variants the loopback double above never exercises
+    val fullStop =
+      """{"id":"chatcmpl-9x1AbCdEfGh","object":"chat.completion","created":1719874041,
+        |"model":"gpt-4o-2024-05-13","system_fingerprint":"fp_4e2b2da518",
+        |"choices":[{"index":0,
+        |  "message":{"role":"assistant","content":"1. {\"label\":\"ROOT\"}"},
+        |  "logprobs":null,"finish_reason":"stop"}],
+        |"usage":{"prompt_tokens":57,"completion_tokens":17,"total_tokens":74}}""".stripMargin
+    val lengthTruncated =
+      """{"id":"chatcmpl-9x1Truncat","object":"chat.completion","created":1719874042,
+        |"model":"gpt-4o-2024-05-13",
+        |"choices":[{"index":0,
+        |  "message":{"role":"assistant","content":"1. {\"label\":\"RO"},
+        |  "logprobs":null,"finish_reason":"length"}],
+        |"usage":{"prompt_tokens":57,"completion_tokens":4096,"total_tokens":4153}}""".stripMargin
+    // a tool-calling model answering with tool_calls and NULL content —
+    // the client must fail loudly, not return the string "null"
+    val toolCalls =
+      """{"id":"chatcmpl-9x1ToolCal","object":"chat.completion","created":1719874043,
+        |"model":"gpt-4o-2024-05-13",
+        |"choices":[{"index":0,
+        |  "message":{"role":"assistant","content":null,
+        |    "tool_calls":[{"id":"call_abc123","type":"function",
+        |      "function":{"name":"rewrite_trees","arguments":"{\"trees\":[]}"}}]},
+        |  "logprobs":null,"finish_reason":"tool_calls"}],
+        |"usage":{"prompt_tokens":57,"completion_tokens":21,"total_tokens":78}}""".stripMargin
+    // the documented error envelope (here: a 429 rate limit)
+    val rateLimited =
+      """{"error":{"message":"Rate limit reached for gpt-4o in organization org-x on tokens per min",
+        |"type":"tokens","param":null,"code":"rate_limit_exceeded"}}""".stripMargin
+
+    @volatile var fixture: (Int, String) = (200, fullStop)
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    server.createContext("/v1/chat/completions", (ex: HttpExchange) => {
+      val b = fixture._2.getBytes(UTF_8)
+      ex.sendResponseHeaders(fixture._1, b.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(b) finally os.close()
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/v1/chat/completions"
+      val http = new HttpLlmClient(url, "graft-test-model")
+
+      assert(http.complete("p") == "1. {\"label\":\"ROOT\"}")
+
+      fixture = (200, lengthTruncated)
+      // truncation is caller-visible through the (partial) text; the
+      // rewrite loop's parse-failure fallback handles it per tree
+      assert(http.complete("p") == "1. {\"label\":\"RO")
+
+      fixture = (200, toolCalls)
+      val e1 = intercept[IllegalStateException](http.complete("p"))
+      assert(e1.getMessage.contains("choices[0].message.content"), e1.getMessage)
+
+      fixture = (429, rateLimited)
+      val e2 = intercept[IllegalStateException](http.complete("p"))
+      assert(e2.getMessage.contains("429") &&
+        e2.getMessage.contains("rate_limit_exceeded"), e2.getMessage)
+    } finally server.stop(0)
+  }
+
   test("labelling: proposals + broadcast rename application") {
     val schema = GraftSchema.fromDescription(
       groups = Set(graft.model.Group("t1", Set("id", "email"))),
