@@ -120,6 +120,11 @@ object GraftFunctions {
     ArgmaxCosine(args(0), args(1))
   }
 
+  private[functions] val matVecBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, s"graft_matvec requires exactly 2 arguments, got ${args.length}")
+    MatVec(args(0), args(1))
+  }
+
   /** Idempotent per-session registration so `call_function` can resolve
     * the expression by name. On a cluster deployment the same builder is
     * injected via `SparkSessionExtensions` ([[GraftExtensions]]) instead.
@@ -135,6 +140,8 @@ object GraftFunctions {
       "graft_pq_assign", pqAssignBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine_argmax", cosineArgmaxBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_matvec", matVecBuilder, "built-in")
   }
 
   /** Cosine similarity column over two array<double> columns. The
@@ -164,4 +171,11 @@ object GraftFunctions {
     */
   def cosineArgmax(v: Column, centroids: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_cosine_argmax", v, centroids)
+
+  /** Dense matrix–vector product over an `array<array<double>>` matrix
+    * (row-major) and an `array<double>` vector. The session the plan
+    * runs on must have called [[register]].
+    */
+  def matVec(mat: Column, v: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_matvec", mat, v)
 }

@@ -38,5 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_cosine_argmax"),
         new ExpressionInfo(classOf[ArgmaxCosine].getName, "graft_cosine_argmax"),
         GraftFunctions.cosineArgmaxBuilder))
+    extensions.injectFunction(
+      (
+        FunctionIdentifier("graft_matvec"),
+        new ExpressionInfo(classOf[MatVec].getName, "graft_matvec"),
+        GraftFunctions.matVecBuilder))
   }
 }

@@ -371,6 +371,195 @@ object Ann {
     codebooks
   }
 
+  // ---- Optimized Product Quantization (OPQ) ------------------------------
+
+  /** Fit the OPQ rotation (Ge/He/Ke/Sun, "Optimized Product
+    * Quantization", CVPR 2013, §3.2 non-parametric solution — public):
+    * alternate (a) PQ-train on the rotated data, (b) solve the
+    * orthogonal Procrustes problem `min ‖XR − X̂‖F` via one SVD of
+    * `XᵀX̂` (R = UVᵀ), so the subspace decomposition aligns with the
+    * data's correlation structure and the same 16-bit code budget loses
+    * less information.
+    *
+    * The rotation is a dim×dim MODEL, so it fits on a deterministic
+    * bounded sample (first `sampleN` vectors by id — the paper's
+    * training-subset protocol): driver state is O(sample·dim + dim²),
+    * bounded by parameters, never by the corpus; the sample's Lloyd
+    * replicates [[pqTrain]]'s exact deterministic protocol (first-k
+    * init, L2 argmin with larger-cid ties, integer-nano means) one
+    * level down. Corpus-wide work — applying R and training the final
+    * codebooks — stays distributed ([[graft.functions.MatVec]] is a
+    * codegen'd map-side kernel; [[pqTrain]] unchanged). The SVD is
+    * LAPACK via breeze (on Spark's own classpath), deterministic for
+    * identical input bits. `opqIters = 0` returns the identity, which
+    * [[graft.functions.MatVec]] applies bit-losslessly — anchoring
+    * OPQ ≡ PQ equivalence in the spec.
+    */
+  def opqFit(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      subspaces: Int = 4,
+      codebook: Int = 16,
+      iters: Int = 2,
+      opqIters: Int = 3,
+      sampleN: Int = 2048): Array[Array[Double]] = {
+    val corpus = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val dim = corpus.select(size(col("v"))).head.getInt(0)
+    require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val identity = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    if (opqIters <= 0) return identity
+
+    val X: Array[Array[Double]] = corpus.orderBy("id").limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(X.nonEmpty, "cannot fit an OPQ rotation on an empty corpus")
+
+    // deterministic local PQ trainer over the (rotated) sample —
+    // pqTrain's exact protocol, driver-side
+    def trainLocal(xs: Array[Array[Double]]): Array[Array[(Int, Array[Double])]] =
+      (0 until subspaces).map { m =>
+        val slices = xs.map(_.slice(m * subDim, (m + 1) * subDim))
+        var cb: Array[(Int, Array[Double])] =
+          slices.take(codebook).zipWithIndex.map { case (s, i) => (i, s.clone()) }
+        (1 to iters).foreach { _ =>
+          def code(s: Array[Double]): Int = {
+            var best = -1; var bestD = Double.PositiveInfinity
+            cb.foreach { case (cid, cv) =>
+              var d = 0.0; var i = 0
+              while (i < subDim) { val t = s(i) - cv(i); d += t * t; i += 1 }
+              if (d < bestD || (d == bestD && cid > best)) { best = cid; bestD = d }
+            }
+            best
+          }
+          val sums = scala.collection.mutable.Map.empty[Int, (Array[Long], Long)]
+          slices.foreach { s =>
+            val c = code(s)
+            val (acc, _) = sums.getOrElseUpdate(c, (new Array[Long](subDim), 0L))
+            var i = 0
+            while (i < subDim) { acc(i) += math.round(s(i) * 1e9); i += 1 }
+            sums(c) = (acc, sums(c)._2 + 1)
+          }
+          cb = sums.toArray.sortBy(_._1).map { case (cid, (acc, cnt)) =>
+            (cid, acc.map(_.toDouble / cnt / 1e9))
+          }
+        }
+        cb
+      }.toArray
+
+    var rot = identity
+    (1 to opqIters).foreach { _ =>
+      val xr = X.map { v =>
+        Array.tabulate(dim) { i =>
+          var s = 0.0; var j = 0
+          while (j < dim) { s += rot(i)(j) * v(j); j += 1 }
+          s
+        }
+      }
+      val cbs = trainLocal(xr)
+      // X̂ = reconstruction of the rotated sample from its codes
+      val xh = xr.map { v =>
+        val out = new Array[Double](dim)
+        (0 until subspaces).foreach { m =>
+          val s = v.slice(m * subDim, (m + 1) * subDim)
+          var best = -1; var bestD = Double.PositiveInfinity; var bestCv: Array[Double] = null
+          cbs(m).foreach { case (cid, cv) =>
+            var d = 0.0; var i = 0
+            while (i < subDim) { val t = s(i) - cv(i); d += t * t; i += 1 }
+            if (d < bestD || (d == bestD && cid > best)) { best = cid; bestD = d; bestCv = cv }
+          }
+          System.arraycopy(bestCv, 0, out, m * subDim, subDim)
+        }
+        out
+      }
+      // Procrustes for the COLUMN convention this code applies
+      // (v' = R·v): minimize Σ‖Rv − v̂'‖² = maximize tr(R·M) with
+      // M = Σ v·v̂'ᵀ, solved by R = V·Uᵀ from M = U·S·Vᵀ (the row
+      // convention's familiar U·Vᵀ is its transpose). M accumulates in
+      // fixed sample order (deterministic); the SVD is deterministic
+      // per input bits.
+      val g = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+      X.indices.foreach { r =>
+        var i = 0
+        while (i < dim) {
+          var j = 0
+          while (j < dim) { g(i, j) += X(r)(i) * xh(r)(j); j += 1 }
+          i += 1
+        }
+      }
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(g)
+      val ruv = (u * vt).t
+      rot = Array.tabulate(dim, dim)((i, j) => ruv(i, j))
+    }
+    rot
+  }
+
+  /** OPQ-rotated exhaustive ADC top-k: [[opqFit]]'s rotation applied
+    * corpus-wide by the codegen'd graft_matvec kernel, then the entire
+    * [[pqTopK]] machinery unchanged in the rotated space (orthogonal
+    * rotations preserve L2 distances and cosine, so ranking semantics
+    * are those of pqTopK with a better-conditioned code budget).
+    * `opqIters = 0` is bit-equal to [[pqTopK]].
+    */
+  def opqTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int = 5,
+      subspaces: Int = 4,
+      codebook: Int = 16,
+      iters: Int = 2,
+      opqIters: Int = 3,
+      sampleN: Int = 2048,
+      rerank: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val rot = opqFit(emb, idCol, vecCol, subspaces, codebook, iters, opqIters, sampleN)
+    val rLit = typedLit(rot.map(_.toSeq).toSeq).cast("array<array<double>>")
+    val rotated = emb
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("v", graft.functions.GraftFunctions.matVec(rLit, col("v")))
+    pqTopK(rotated, "id", "v", queryIds, k, subspaces, codebook, iters, rerank)
+  }
+
+  /** Total PQ quantization error of the corpus under an optional
+    * rotation: Σ over rows and subspaces of the squared distance to the
+    * assigned code's centroid — the objective OPQ minimizes, computed
+    * with the same codegen kernels as serving. The measurable "was the
+    * rotation worth it" number (and the [[opqTopK]] gate's substrate).
+    */
+  def pqQuantizationError(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      subspaces: Int = 4,
+      codebook: Int = 16,
+      iters: Int = 2,
+      rotation: Option[Array[Array[Double]]] = None): Double = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val corpus = rotation.fold(base) { r =>
+      val rLit = typedLit(r.map(_.toSeq).toSeq).cast("array<array<double>>")
+      base.withColumn("v", graft.functions.GraftFunctions.matVec(rLit, col("v")))
+    }.cache()
+    try {
+      val dim = corpus.select(size(col("v"))).head.getInt(0)
+      require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
+      val subDim = dim / subspaces
+      val model = pqTrain(corpus, subDim, subspaces, codebook, iters)
+      val errCol = (0 until subspaces).map { m =>
+        val cb = model(m)
+        val dense: Seq[Option[Seq[Double]]] =
+          (0 to cb.map(_._1).max).map(c => cb.toMap.get(c).map(_.toSeq))
+        val denseLit = typedLit(dense).cast("array<array<double>>")
+        val sub = slice(col("v"), m * subDim + 1, subDim)
+        graft.functions.GraftFunctions.l2sq(
+          sub, element_at(denseLit, pqCodeExpr(m, subDim, cb) + 1))
+      }.reduce(_ + _)
+      corpus.agg(sum(errCol)).head.getDouble(0)
+    } finally corpus.unpersist()
+  }
+
   /** PQ-compressed exhaustive ANN (asymmetric distance computation):
     * encode every corpus vector as `subspaces` small codes — 4 bytes
     * replacing a 256-byte float vector at the defaults, a 64× index

