@@ -49,7 +49,7 @@ object Cli {
         |  cache-clear <dir>                               remove a corpus parse cache
         |  ui [--port P] [--bind-all]                      browser workbench (loopback unless --bind-all)
         |  ann build <emb.parquet> --index DIR [--id C] [--vec C]
-        |            [--lists N] [--subspaces M] [--codebook K] [--iters I] [--residual]
+        |            [--lists N] [--subspaces M] [--codebook K] [--iters I] [--residual] [--opq T]
         |                                                  persist an IVFADC index (train once;
         |                                                  --residual = codes over v - centroid)
         |  ann append <emb.parquet> --index DIR [--id C] [--vec C]
@@ -152,7 +152,8 @@ object Cli {
             subspaces = opts.getOrElse("subspaces", "4").toInt,
             codebook = opts.getOrElse("codebook", "16").toInt,
             iters = opts.getOrElse("iters", "2").toInt,
-            residual = opts.contains("residual"))
+            residual = opts.contains("residual"),
+            opqIters = opts.getOrElse("opq", "0").toInt)
           println(s"indexed ${spark.read.parquet(graft.operators.AnnIndex.codesPath(spark, idx)).count()} vectors into $idx")
         case "append" =>
           graft.operators.AnnIndex.append(

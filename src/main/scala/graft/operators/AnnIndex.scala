@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   *   path/meta/       one row: nLists, subspaces, subDim, dim, codebook
   *   path/centroids/  (cid, cv)          — coarse quantizer, model-sized
   *   path/codebooks/  (m, cid, cv)       — PQ codebooks, model-sized
+  *   path/rotation/   (i, r)             — optional OPQ rotation row i
+  *                                         (present iff built with
+  *                                         opqIters > 0), model-sized
   *   path/CODES       pointer file naming the live codes directory
   *   path/codes_vN/cid=K/ (id, codes)    — the compressed corpus,
   *                                         PARTITIONED BY the coarse cid
@@ -65,7 +68,8 @@ object AnnIndex {
       codebook: Int,
       residual: Boolean,
       centroids: Array[(Int, Seq[Double])],
-      codebooks: Array[Array[(Int, Seq[Double])]])
+      codebooks: Array[Array[(Int, Seq[Double])]],
+      rotation: Option[Array[Array[Double]]] = None)
 
   // ---- versioned codes directory, published through a pointer file ----
 
@@ -212,12 +216,23 @@ object AnnIndex {
       subspaces: Int = 4,
       codebook: Int = 16,
       iters: Int = 2,
-      residual: Boolean = false): Unit = {
+      residual: Boolean = false,
+      opqIters: Int = 0,
+      opqSample: Int = 2048): Unit = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val corpus = emb
+    val raw = emb
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .cache()
+    // opqIters > 0: the FAISS-style OPQ→IVF(ADC) pipeline — fit the
+    // rotation once ([[Ann.opqFit]], deterministic bounded sample),
+    // persist it beside the codebooks, and run EVERYTHING downstream
+    // (coarse quantizer, codebooks, codes, queries, appends, splits) in
+    // the rotated space, which orthogonality makes distance-lossless
+    val rotation: Option[Array[Array[Double]]] =
+      if (opqIters <= 0) None
+      else Some(Ann.opqFit(raw, "id", "v", subspaces, codebook, iters,
+        opqIters, opqSample))
+    val corpus = applyRotation(raw, rotation).cache()
     try {
       val dim = corpus.select(size(col("v"))).head.getInt(0)
       require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
@@ -236,7 +251,7 @@ object AnnIndex {
         else residualFrame(corpus, centroids).select("id", "v")
       val model = Ann.pqTrain(trainCorpus, subDim, subspaces, codebook, iters)
       val full = Model(nLists, subspaces, subDim, dim, codebook, residual,
-        centroids, model)
+        centroids, model, rotation)
 
       import spark.implicits._
       Seq((nLists, subspaces, subDim, dim, codebook, residual))
@@ -244,6 +259,17 @@ object AnnIndex {
         .write.mode("overwrite").parquet(s"$path/meta")
       centroids.toSeq.toDF("cid", "cv")
         .write.mode("overwrite").parquet(s"$path/centroids")
+      // rotation is immutable after build, like the codebooks; its
+      // ABSENCE is the legacy/no-OPQ layout, so clear any stale one
+      rotation match {
+        case Some(r) =>
+          r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+            .toDF("i", "r").write.mode("overwrite").parquet(s"$path/rotation")
+        case None =>
+          val (fs, _) = fsFor(spark, path)
+          val rDir = new org.apache.hadoop.fs.Path(s"$path/rotation")
+          if (fs.exists(rDir)) fs.delete(rDir, true)
+      }
       // a stale MODEL pointer from a previous generation's splits must
       // not shadow the freshly built meta/centroids
       clearModelVersions(spark, path, keep = Set.empty)
@@ -268,6 +294,37 @@ object AnnIndex {
       publishCodes(spark, path, nextName)
       sweepStaleCodes(spark, path, keep = Set(nextName))
     } finally corpus.unpersist()
+  }
+
+  /** Rotate an (id, v) frame into the index's OPQ space (identity =
+    * no-op frame). The one transform every ingest/query path shares, so
+    * stored codes and query distance tables always live in the same
+    * space; the kernel is the codegen'd graft_matvec, a pure map-side
+    * projection on the corpus scan.
+    */
+  private def applyRotation(
+      corpus: DataFrame,
+      rotation: Option[Array[Array[Double]]]): DataFrame =
+    rotation.fold(corpus) { r =>
+      val rLit = typedLit(r.map(_.toSeq).toSeq).cast("array<array<double>>")
+      corpus.withColumn("v", graft.functions.GraftFunctions.matVec(rLit, col("v")))
+    }
+
+  /** Driver-side counterpart of [[applyRotation]] for a single query
+    * vector — same sequential per-coordinate accumulation as the
+    * graft_matvec kernel, so both paths produce bit-identical doubles.
+    */
+  private def rotateVec(r: Array[Array[Double]], v: Seq[Double]): Seq[Double] = {
+    val out = new Array[Double](r.length)
+    var i = 0
+    while (i < r.length) {
+      var s = 0.0
+      var j = 0
+      while (j < v.size) { s += r(i)(j) * v(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    out.toIndexedSeq
   }
 
   /** `(id, cid, v − centroid(cid))` under the L2 coarse assignment —
@@ -330,8 +387,9 @@ object AnnIndex {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val model = loadModel(spark, path)
-    val corpus = emb
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val corpus = applyRotation(emb
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
+      model.rotation)
     encodedFrame(corpus, model)
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(codesPath(spark, path))
@@ -454,9 +512,12 @@ object AnnIndex {
     }
     val memberIds = spark.read.parquet(codesDir)
       .filter(col("cid") === cid).select("id", "codes")
-    val members = corpus
+    // the within-list re-Lloyd, reassignment, and (residual) re-encode
+    // all happen in the index's space — rotate the supplied raw vectors
+    // first, exactly as build/append encode them
+    val members = applyRotation(corpus
       .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
+        col(vecCol).cast("array<double>").as("v")), model.rotation)
       .join(memberIds.select("id"), "id")
       .cache()
     try {
@@ -553,6 +614,11 @@ object AnnIndex {
     val cbs = (0 until subspaces).map { m =>
       cbRows.filter(_._1 == m).map { case (_, cid, cv) => (cid, cv) }.sortBy(_._1)
     }.toArray
+    val (fs, _) = fsFor(spark, path)
+    val rotation =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/rotation"))) None
+      else Some(spark.read.parquet(s"$path/rotation").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).map(_._2))
     Model(
       nLists = meta.getAs[Int]("n_lists"),
       subspaces = subspaces,
@@ -562,7 +628,8 @@ object AnnIndex {
       residual = meta.schema.fieldNames.contains("residual") &&
         meta.getAs[Boolean]("residual"),
       centroids = cents,
-      codebooks = cbs)
+      codebooks = cbs,
+      rotation = rotation)
   }
 
   /** Query a persisted index without retraining anything: load the
@@ -625,6 +692,12 @@ object AnnIndex {
         require(qv.size == model.dim,
           s"query $qid has dim ${qv.size}, index expects ${model.dim}")
       }
+      // distance tables and probes live in the index's (possibly OPQ-
+      // rotated) space; the exact re-rank below stays in the RAW space,
+      // where the caller's `exact` corpus lives (cosine is rotation-
+      // invariant, so the semantics agree)
+      val qRowsIdx = model.rotation.fold(qRows)(r =>
+        qRows.map { case (qid, qv) => (qid, rotateVec(r, qv)) })
       // plain layout: ONE distance table per query (codes quantize raw
       // vectors), shipped as (query_id, dt, probe) rows with a per-pair
       // probe-membership check. Residual layout: one table per (query,
@@ -636,7 +709,7 @@ object AnnIndex {
       // directory level (the plan's PartitionFilters, pinned in
       // AnnIndexSpec).
       val scored = (if (!model.residual) {
-        val perQuery = qRows.toSeq.map { case (qid, qv) =>
+        val perQuery = qRowsIdx.toSeq.map { case (qid, qv) =>
           (qid,
             Ann.nanoDistanceTable(qv, model.codebooks, model.subspaces, model.subDim),
             Ann.probeOrder(model.centroids, qv, nProbe))
@@ -652,7 +725,7 @@ object AnnIndex {
           .filter(array_contains(col("probe"), col("cid")) && col("id") =!= col("query_id"))
       } else {
         val centMap = model.centroids.toMap
-        val perQL = qRows.toSeq.flatMap { case (qid, qv) =>
+        val perQL = qRowsIdx.toSeq.flatMap { case (qid, qv) =>
           Ann.probeOrderL2(model.centroids, qv, nProbe).map { cidL =>
             val cL = centMap(cidL)
             val qr: Seq[Double] = (0 until model.dim).map(i => qv(i) - cL(i))
@@ -700,15 +773,22 @@ object AnnIndex {
       // pinned by the equivalence spec.
       val qFrame = qSel.select(col("id").as("query_id"),
         Ann.dimGuard(col("v"), col("id"), model.dim).as("qv"))
+      // dt/probe computation happens in the index's (possibly OPQ-
+      // rotated) space; the rerank below joins the RAW qFrame against
+      // the caller's raw `exact` corpus
+      val qIdx = model.rotation.fold(qFrame) { r =>
+        val rLit = typedLit(r.map(_.toSeq).toSeq).cast("array<array<double>>")
+        qFrame.withColumn("qv", graft.functions.GraftFunctions.matVec(rLit, col("qv")))
+      }
       val ql = if (!model.residual) {
         // dt computed BEFORE the probe explode: one table per query row,
         // duplicated (not recomputed) per probed list by the generator
-        qFrame.select(col("query_id"),
+        qIdx.select(col("query_id"),
           Ann.dtColExpr(model.codebooks, model.subDim, col("qv")).as("dt"),
           explode(Ann.probeColExpr(model.centroids, nProbe, col("qv"))).as("cid"))
       } else {
         val centMapLit = typedLit(model.centroids.toMap)
-        qFrame
+        qIdx
           .select(col("query_id"), col("qv"),
             explode(Ann.probeColExprL2(model.centroids, nProbe, col("qv"))).as("cid"))
           .withColumn("qr",

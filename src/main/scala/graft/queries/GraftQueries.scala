@@ -720,6 +720,27 @@ object GraftQueries {
         emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
         k = 5, nProbe = 16)
     }),
+    // the persisted OPQ pipeline (rotation stored beside the codebooks,
+    // everything downstream in the rotated space): an exhaustive probe
+    // must reproduce the inline opqTopK operator EXACTLY — a Spark-side
+    // set-equality gate, since the LAPACK-fitted rotation cannot be
+    // replayed by a SQL oracle the way the unrotated layouts are
+    "ann_index_opq" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val base = java.nio.file.Files.createTempDirectory("graft_annopq_q").toString
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", opqIters = 3)
+      val persisted = AnnIndex.topK(s, s"$base/idx",
+        emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
+        k = 5, nProbe = 16)
+      val inline = Ann.opqTopK(emb, "vec_id", "embedding", 0L to 9L,
+        k = 5, opqIters = 3)
+      val n = inline.count()
+      val overlap = persisted.join(inline, Seq("query_id", "neighbor_id")).count()
+      Seq((n > 0 && persisted.count() == n && overlap == n))
+        .toDF("persisted_eq_inline")
+    }),
     // the production IVFADC config: probe half the lists, ADC-shortlist
     // the compressed codes found there, exact re-rank the candidates —
     // approximate vs brute force by design, so the query RETURNS the
@@ -2680,6 +2701,7 @@ object GraftQueries {
     "ann_index_split" -> annSplitOracle,
     "ann_topk_ivfadc" -> "SELECT true AS recall_ge_080",
     "ann_topk_opq" -> "SELECT true AS opq_err_le_pq, true AS recall_ge_080",
+    "ann_index_opq" -> "SELECT true AS persisted_eq_inline",
     "ann_topk_pq_rerank" -> "SELECT true AS recall_ge_080",
     // the query computes the recall gate itself (IVF@nProbe=4 vs brute
     // top-5, both Spark-side); the oracle pins the gate

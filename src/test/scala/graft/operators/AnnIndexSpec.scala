@@ -331,6 +331,71 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       "a failed append must not commit rows")
   }
 
+  test("OPQ-rotated index: full probe ≡ inline opqTopK; append/split/query stay in the rotated space") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path, opqIters = 3)
+    val m = AnnIndex.loadModel(spark, path)
+    assert(m.rotation.isDefined && m.rotation.get.length == 64)
+    // the persisted OPQ pipeline must reproduce the inline operator
+    // bit-for-bit under exhaustive probing (same fitted rotation — the
+    // deterministic sample covers this corpus — same training, codes,
+    // integer ADC, tie-breaks)
+    val persisted = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    val inline = pairs(Ann.opqTopK(emb, "vec_id", "embedding", 0L to 9L,
+      k = 5, opqIters = 3))
+    assert(persisted == inline)
+    // distributed query path agrees in the rotated space too
+    spark.conf.set("spark.graft.ann.localDtMaxQueries", "-1")
+    try {
+      val dist = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+        "vec_id", "embedding", k = 5, nProbe = 16))
+      assert(dist == persisted)
+    } finally spark.conf.unset("spark.graft.ann.localDtMaxQueries")
+
+    // append encodes with the frozen rotation: rebuild-from-append must
+    // be bit-identical to the built codes
+    val p2 = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", p2, opqIters = 3)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(AnnIndex.codesPath(spark, p2)))
+      .iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    AnnIndex.append(emb, "vec_id", "embedding", p2)
+    val c1 = spark.read.parquet(AnnIndex.codesPath(spark, path)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2))).toSet
+    val c2 = spark.read.parquet(AnnIndex.codesPath(spark, p2)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2))).toSet
+    assert(c1 == c2)
+
+    // split re-Lloyds in the rotated space; plain codes still move
+    // unchanged, so the exhaustive probe stays bit-equal
+    val hot = AnnIndex.hottestList(spark, path)
+    AnnIndex.split(spark, path, hot, k = 3, emb, "vec_id", "embedding")
+    val m2 = AnnIndex.loadModel(spark, path)
+    assert(m2.rotation.isDefined, "split must not drop the rotation")
+    val after = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = m2.centroids.length))
+    assert(after == persisted)
+
+    // a rebuild WITHOUT opq clears the rotation (no stale-layout bleed)
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    assert(AnnIndex.loadModel(spark, path).rotation.isEmpty)
+  }
+
+  test("OPQ residual index with raw-space exact re-rank holds the recall gate") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path,
+      subspaces = 8, residual = true, opqIters = 3)
+    val res = AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 8, rerank = 200,
+      exact = Some(emb), exactIdCol = "vec_id", exactVecCol = "embedding")
+    val brute = pairs(Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L to 9L, 5))
+    val got = pairs(res)
+    assert(got.size == 50)
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"opq residual rerank recall $recall < 0.8")
+  }
+
   test("split (plain layout): occupancy conserved, codes move unchanged, full probe bit-equal") {
     val path = tmpIdx()
     AnnIndex.build(emb, "vec_id", "embedding", path)
