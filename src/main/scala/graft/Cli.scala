@@ -57,6 +57,7 @@ object Cli {
         |  ann compact --index DIR                        fold append fragments to one file per list
         |  ann stats --index DIR                          per-list occupancy histogram
         |  ann split <emb.parquet> --index DIR [--cid N] [--k K]   split a hot list in place
+        |  ann merge --index DIR [--cids A,B] [--emb P]   fold cold lists into one
         |  ann query <emb.parquet> --index DIR --ids 0,1,2 [--id C] [--vec C]
         |            [--k K] [--probe P] [--rerank R] [--out DIR]
         |                                                  top-k over a persisted index (no retrain)
@@ -132,6 +133,24 @@ object Cli {
         System.err.println("ann stats needs --index DIR"); sys.exit(2)
       })
       val spark = session()
+      graft.operators.AnnIndex.stats(spark, idx).orderBy("cid").show(1000, truncate = false)
+      spark.stop()
+
+    case "ann" :: "merge" :: rest =>
+      val opts = parseOpts(rest)
+      val idx = opts.getOrElse("index", {
+        System.err.println("ann merge needs --index DIR"); sys.exit(2)
+      })
+      val spark = session()
+      // --cids a,b,… or default: the two coldest lists; --emb supplies
+      // raw vectors (required for a residual-layout index)
+      val cids = opts.get("cids").map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(graft.operators.AnnIndex.coldestLists(spark, idx, 2))
+      graft.operators.AnnIndex.merge(spark, idx, cids,
+        corpus = opts.get("emb").map(spark.read.parquet),
+        idCol = opts.getOrElse("id", "vec_id"),
+        vecCol = opts.getOrElse("vec", "embedding"))
+      println(s"merged lists ${cids.mkString(",")}; occupancy now:")
       graft.operators.AnnIndex.stats(spark, idx).orderBy("cid").show(1000, truncate = false)
       spark.stop()
 

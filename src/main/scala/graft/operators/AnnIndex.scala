@@ -455,6 +455,123 @@ object AnnIndex {
       .orderBy(col("n_vectors").desc, col("cid").desc)
       .head.getInt(0)
 
+  /** The coldest `n` lists of the index: min occupancy first, ties to
+    * the SMALLER cid — the deterministic selection rule the merge
+    * oracle replays (`ORDER BY n ASC, cid ASC LIMIT n`).
+    */
+  def coldestLists(spark: SparkSession, path: String, n: Int): Seq[Int] =
+    stats(spark, path)
+      .orderBy(col("n_vectors").asc, col("cid").asc)
+      .limit(n).collect().map(_.getInt(0)).toSeq
+
+  /** Merge several under-full inverted lists into one — [[split]]'s
+    * inverse, for the other half of [[stats]]' skew histogram: lists too
+    * cold to earn their directory-listing cost (at 100 TB, probe cost
+    * has a fixed per-list floor — list count hygiene matters both ways).
+    *
+    * The merged centroid is the count-weighted integer-nano mean of the
+    * merged lists' centroids — index-local and deterministic, so the
+    * PLAIN layout needs NO raw data: its codes quantize raw vectors and
+    * move unchanged (a full-probe query is bit-equal before/after,
+    * pinned in AnnIndexSpec). The residual layout re-encodes the merged
+    * members against the new centroid with the frozen codebooks, so it
+    * needs the raw `corpus` (same convention as [[split]]).
+    *
+    * Publication mirrors [[split]]: fresh versioned meta/centroids, new
+    * list partition appended while unreferenced, atomic MODEL pointer
+    * flip, old list directories reclaimed last — crash anywhere leaves
+    * a serving index, and a re-run for the same cids completes the
+    * recovery. Single maintenance writer.
+    */
+  def merge(
+      spark: SparkSession,
+      path: String,
+      cids: Seq[Int],
+      corpus: Option[DataFrame] = None,
+      idCol: String = "id",
+      vecCol: String = "v"): Unit = {
+    require(cids.size >= 2 && cids.distinct.size == cids.size,
+      s"merge needs >= 2 distinct lists, got $cids")
+    graft.functions.GraftFunctions.register(spark)
+    val model = loadModel(spark, path)
+    val (fs, _) = fsFor(spark, path)
+    val codesDir = codesPath(spark, path)
+    def listDir(c: Int) = new org.apache.hadoop.fs.Path(s"$codesDir/cid=$c")
+    val present = cids.filter(c => model.centroids.exists(_._1 == c))
+    if (present.isEmpty) {
+      // recovery half: a previous merge of these cids crashed after its
+      // pointer flip but before reclaiming the old list directories
+      val orphans = cids.map(listDir).filter(fs.exists)
+      require(orphans.nonEmpty, s"none of $cids are lists of this index")
+      orphans.foreach(fs.delete(_, true))
+      return
+    }
+    require(present.size == cids.size,
+      s"lists ${cids.diff(present).mkString(",")} are not lists of this index")
+    require(!model.residual || corpus.nonEmpty,
+      "residual layout merge needs the raw corpus (codes re-encode against the new centroid)")
+
+    val old = spark.read.parquet(codesDir).filter(col("cid").isInCollection(cids))
+    val counts = old.groupBy("cid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val base = model.centroids.map(_._1).max + 1
+    // count-weighted integer-nano mean of the merged centroids: the
+    // same fixed sumNanos/count/1e9 expression as every Lloyd mean, so
+    // an oracle can replay it exactly from the stored centroids
+    val totalN = cids.map(c => counts.getOrElse(c, 0L)).sum
+    require(totalN > 0, s"merged lists $cids hold no vectors")
+    val byCid = model.centroids.toMap
+    val newCv: Seq[Double] = (0 until model.dim).map { i =>
+      cids.map { c =>
+        math.round(byCid(c)(i) * 1e9) * counts.getOrElse(c, 0L)
+      }.sum.toDouble / totalN / 1e9
+    }
+    val newCents = Array((base, newCv))
+
+    val newRows =
+      if (!model.residual)
+        old.select("id", "codes").withColumn("cid", lit(base))
+      else {
+        val memberIds = old.select("id")
+        val members = applyRotation(corpus.get
+          .select(col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<double>").as("v")), model.rotation)
+          .join(memberIds, "id")
+        residualFrame(members, newCents)
+          .withColumn("codes",
+            array((0 until model.subspaces).map(i =>
+              Ann.pqCodeExpr(i, model.subDim, model.codebooks(i))): _*))
+          .select("id", "codes", "cid")
+      }
+
+    val curSfx = modelSuffix(spark, path)
+    val nextSfx = s"_v${modelVersionOf(curSfx) + 1}"
+    val updatedCents = model.centroids.filterNot(c => cids.contains(c._1)) ++ newCents
+    import spark.implicits._
+    Seq((updatedCents.length, model.subspaces, model.subDim, model.dim,
+      model.codebook, model.residual))
+      .toDF("n_lists", "subspaces", "sub_dim", "dim", "codebook", "residual")
+      .write.mode("overwrite").parquet(s"$path/meta$nextSfx")
+    updatedCents.toSeq.toDF("cid", "cv")
+      .write.mode("overwrite").parquet(s"$path/centroids$nextSfx")
+    val target = listDir(base)
+    if (fs.exists(target)) fs.delete(target, true)
+    // for the residual layout this counts members BEFORE the write —
+    // a corpus missing raw vectors for some members must fail loudly
+    // rather than silently shrink the merged list
+    if (model.residual) {
+      val n = newRows.count()
+      require(n == totalN,
+        s"corpus supplies raw vectors for $n of the merged lists' $totalN members")
+    }
+    newRows.repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(codesDir)
+    publishModel(spark, path, nextSfx)
+    cids.foreach(c => fs.delete(listDir(c), true))
+    clearModelVersions(spark, path,
+      keep = Set(curSfx, nextSfx).filter(_.nonEmpty))
+  }
+
   /** Split one over-full inverted list into `k` new lists — the
     * maintenance move [[stats]]' skew histogram calls for when a hot
     * region dominates probe cost. Re-runs Lloyd WITHIN the list only

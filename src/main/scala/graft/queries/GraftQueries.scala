@@ -711,6 +711,21 @@ object GraftQueries {
       AnnIndex.split(s, s"$base/idx", hot, k = 4, emb, "vec_id", "embedding")
       AnnIndex.stats(s, s"$base/idx")
     }),
+    // the inverse maintenance move: fold the two coldest lists (min
+    // occupancy, ties to the smaller cid) into one and return the
+    // occupancy after. The residual layout re-encodes members against
+    // the merged centroid, so the raw corpus rides along; the oracle
+    // replays the coldest-list selection + union counts from the
+    // coarse-Lloyd chain
+    "ann_index_merge" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_annmerge_q").toString
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", residual = true)
+      val cold = AnnIndex.coldestLists(s, s"$base/idx", 2)
+      AnnIndex.merge(s, s"$base/idx", cold, corpus = Some(emb),
+        idCol = "vec_id", vecCol = "embedding")
+      AnnIndex.stats(s, s"$base/idx")
+    }),
     "ann_index_persisted" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val base = java.nio.file.Files.createTempDirectory("graft_annidx_q").toString
@@ -2699,6 +2714,18 @@ object GraftQueries {
     "ann_index_stats" -> (annCoarseL2Ctes(16, 64).mkString("WITH ", ",\n", "\n") +
       "SELECT cid, count(*) AS n_vectors FROM ka2 GROUP BY cid"),
     "ann_index_split" -> annSplitOracle,
+    "ann_index_merge" -> (
+      (annCoarseL2Ctes(16, 64) ++ Seq(
+        "occ AS MATERIALIZED (SELECT cid, count(*) AS n FROM ka2 GROUP BY cid)",
+        "cold AS MATERIALIZED (SELECT cid FROM occ ORDER BY n ASC, cid ASC LIMIT 2)",
+        "b AS MATERIALIZED (SELECT max(cid) + 1 AS base FROM cc2)"))
+        .mkString("WITH ", ",\n", "\n") +
+        """SELECT cid, n_vectors FROM (
+          |  SELECT o.cid AS cid, o.n AS n_vectors FROM occ o
+          |  WHERE o.cid NOT IN (SELECT cid FROM cold)
+          |  UNION ALL
+          |  SELECT (SELECT base FROM b) AS cid, sum(o.n) AS n_vectors
+          |  FROM occ o WHERE o.cid IN (SELECT cid FROM cold))""".stripMargin),
     "ann_topk_ivfadc" -> "SELECT true AS recall_ge_080",
     "ann_topk_opq" -> "SELECT true AS opq_err_le_pq, true AS recall_ge_080",
     "ann_index_opq" -> "SELECT true AS persisted_eq_inline",

@@ -458,6 +458,81 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"post-split rerank recall $recall < 0.8")
   }
 
+  test("merge (plain layout): corpus-free, occupancy conserved, full probe bit-equal") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val statsBefore = AnnIndex.stats(spark, path).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val before = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    val cold = AnnIndex.coldestLists(spark, path, 2)
+    val expectedCold = statsBefore.toSeq.sortBy { case (c, n) => (n, c) }
+      .take(2).map(_._1)
+    assert(cold == expectedCold,
+      "coldest-list rule: min occupancy, ties to the smaller cid")
+
+    // plain layout: NO corpus argument — codes move unchanged
+    AnnIndex.merge(spark, path, cold)
+
+    val m = AnnIndex.loadModel(spark, path)
+    val base = statsBefore.keys.max + 1
+    assert(cold.forall(c => !m.centroids.exists(_._1 == c)))
+    assert(m.centroids.exists(_._1 == base) && m.nLists == m.centroids.length)
+    val statsAfter = AnnIndex.stats(spark, path).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(statsAfter(base) == cold.map(statsBefore).sum)
+    (statsBefore -- cold).foreach { case (c, n) => assert(statsAfter(c) == n) }
+    // the merged centroid is the count-weighted nano-mean of the olds
+    val byCid = m.centroids.toMap
+    val after = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = m.centroids.length))
+    assert(after == before, "codes unchanged → exhaustive probe bit-equal")
+    assert(byCid(base).size == 64)
+    // disk: the old list dirs are gone, the merged one exists
+    cold.foreach { c =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"${AnnIndex.codesPath(spark, path)}/cid=$c")))
+    }
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${AnnIndex.codesPath(spark, path)}/cid=$base")))
+  }
+
+  test("merge (residual layout): re-encodes against the merged centroid, recall holds; recovery") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path, subspaces = 8, residual = true)
+    val nBefore = AnnIndex.stats(spark, path)
+      .agg(sum(col("n_vectors"))).head.getLong(0)
+    val cold = AnnIndex.coldestLists(spark, path, 2)
+    // residual layout without a corpus must refuse loudly
+    intercept[IllegalArgumentException] {
+      AnnIndex.merge(spark, path, cold)
+    }
+    AnnIndex.merge(spark, path, cold, corpus = Some(emb),
+      idCol = "vec_id", vecCol = "embedding")
+    assert(AnnIndex.stats(spark, path)
+      .agg(sum(col("n_vectors"))).head.getLong(0) == nBefore)
+    val res = AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 8, rerank = 200,
+      exact = Some(emb), exactIdCol = "vec_id", exactVecCol = "embedding")
+    val brute = pairs(Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L to 9L, 5))
+    val got = pairs(res)
+    assert(got.size == 50)
+    assert(got.intersect(brute).size.toDouble / brute.size >= 0.8)
+
+    // crash-between-flip-and-reclaim recovery: orphan dirs of merged
+    // cids are reclaimed by a re-run; nothing left → loud error
+    val orphan = java.nio.file.Paths.get(
+      s"${AnnIndex.codesPath(spark, path)}/cid=${cold.head}")
+    java.nio.file.Files.createDirectories(orphan)
+    AnnIndex.merge(spark, path, cold, corpus = Some(emb),
+      idCol = "vec_id", vecCol = "embedding")
+    assert(!java.nio.file.Files.exists(orphan))
+    intercept[IllegalArgumentException] {
+      AnnIndex.merge(spark, path, cold, corpus = Some(emb),
+        idCol = "vec_id", vecCol = "embedding")
+    }
+  }
+
   test("split is deterministic and crash-recoverable") {
     val p1 = tmpIdx(); val p2 = tmpIdx()
     AnnIndex.build(emb, "vec_id", "embedding", p1)
