@@ -58,6 +58,7 @@ object Cli {
         |  ann stats --index DIR                          per-list occupancy histogram
         |  ann split <emb.parquet> --index DIR [--cid N] [--k K]   split a hot list in place
         |  ann merge --index DIR [--cids A,B] [--emb P]   fold cold lists into one
+        |  ann rebalance <emb.parquet> --index DIR [--hi X] [--lo Y]   split-hot + merge-cold pass
         |  ann query <emb.parquet> --index DIR --ids 0,1,2 [--id C] [--vec C]
         |            [--k K] [--probe P] [--rerank R] [--out DIR]
         |                                                  top-k over a persisted index (no retrain)
@@ -186,6 +187,16 @@ object Cli {
               println(s"wrote ${spark.read.parquet(o).count()} rows to $o")
             case None => out.show(50, truncate = false)
           }
+        case "rebalance" =>
+          val log = graft.operators.AnnIndex.rebalance(
+            spark, idx, emb,
+            opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"),
+            hi = opts.getOrElse("hi", "2.0").toDouble,
+            lo = opts.getOrElse("lo", "0.5").toDouble)
+          log.show(100, truncate = false)
+          println("occupancy now:")
+          graft.operators.AnnIndex.stats(spark, idx)
+            .orderBy("cid").show(1000, truncate = false)
         case "split" =>
           // hot-list maintenance: --cid picks the list (default: the
           // hottest by occupancy, ties to the larger cid), --k the

@@ -482,6 +482,14 @@ object AnnIndex {
     * flip, old list directories reclaimed last — crash anywhere leaves
     * a serving index, and a re-run for the same cids completes the
     * recovery. Single maintenance writer.
+    *
+    * Reader contract (split shares it): the model flip is atomic, but
+    * the superseded LIST directories are reclaimed immediately after it
+    * (they cannot be retained — a full scan of the live codes dir would
+    * double-count them). A reader that resolved the OLD model and is
+    * still scanning when the reclaim lands can fail its read; resolve
+    * per query batch (loadModel is model-sized) and retry on
+    * FAILED_READ_FILE, or run maintenance in a quiet window.
     */
   def merge(
       spark: SparkSession,
@@ -570,6 +578,64 @@ object AnnIndex {
     cids.foreach(c => fs.delete(listDir(c), true))
     clearModelVersions(spark, path,
       keep = Set(curSfx, nextSfx).filter(_.nonEmpty))
+  }
+
+  /** One-call occupancy rebalance: [[split]] every list holding more
+    * than `hi ×` the mean into ⌈n/mean⌉ lists, then greedily [[merge]]
+    * runs of lists below `lo ×` the (recomputed) mean until each merged
+    * group reaches it — the maintenance policy [[stats]]' histogram
+    * feeds, as one deterministic pass (hot lists processed by
+    * occupancy desc / cid desc, cold ones by occupancy asc / cid asc).
+    * Content-lossless like its constituents: plain-layout codes never
+    * change, so exhaustive probes are bit-equal before/after; every
+    * step publishes through the versioned pointers, so a crash
+    * mid-pass leaves a serving index and the next pass completes the
+    * work. Returns one row per action: (action, cids, n_before).
+    */
+  def rebalance(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String = "id",
+      vecCol: String = "v",
+      hi: Double = 2.0,
+      lo: Double = 0.5): DataFrame = {
+    require(hi > 1.0 && lo < 1.0 && lo > 0.0, s"need lo < 1 < hi, got lo=$lo hi=$hi")
+    val actions = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Int], Long)]
+
+    def occupancy(): Seq[(Int, Long)] =
+      stats(spark, path).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+
+    val occ0 = occupancy()
+    val mean0 = occ0.map(_._2).sum.toDouble / occ0.size
+    val hot = occ0.filter(_._2 > hi * mean0)
+      .sortBy { case (c, n) => (-n, -c) }
+    hot.foreach { case (c, n) =>
+      val k = math.max(2, math.round(n / mean0).toInt)
+      split(spark, path, c, k, corpus, idCol, vecCol)
+      actions += (("split", Seq(c), n))
+    }
+
+    val occ1 = occupancy()
+    val mean1 = occ1.map(_._2).sum.toDouble / occ1.size
+    val cold = occ1.filter(_._2 < lo * mean1)
+      .sortBy { case (c, n) => (n, c) }
+    // greedy grouping: take cold lists in order until the group's mass
+    // reaches the mean (or the cold pool runs out); singletons stay
+    var group = Vector.empty[(Int, Long)]
+    def flush(): Unit = if (group.size >= 2) {
+      merge(spark, path, group.map(_._1), Some(corpus), idCol, vecCol)
+      actions += (("merge", group.map(_._1), group.map(_._2).sum))
+      group = Vector.empty
+    } else group = Vector.empty
+    cold.foreach { cn =>
+      group :+= cn
+      if (group.map(_._2).sum >= mean1) flush()
+    }
+    flush()
+
+    import spark.implicits._
+    actions.toSeq.toDF("action", "cids", "n_before")
   }
 
   /** Split one over-full inverted list into `k` new lists — the

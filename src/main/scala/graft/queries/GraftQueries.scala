@@ -697,6 +697,37 @@ object GraftQueries {
       AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", residual = true)
       AnnIndex.stats(s, s"$base/idx")
     }),
+    // the one-call maintenance policy over the two oracled primitives:
+    // gates pin conservation, the policy's occupancy bound, and plain-
+    // layout exhaustive-probe bit-equality through the whole pass
+    "ann_index_rebalance" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, sum => sqlSum}
+      val base = java.nio.file.Files.createTempDirectory("graft_annreb_q").toString
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx")
+      val before = AnnIndex.stats(s, s"$base/idx")
+        .agg(sqlSum(col("n_vectors"))).head.getLong(0)
+      // materialize BEFORE the maintenance pass: split/merge reclaim
+      // superseded list directories, so a plan resolved against the old
+      // layout must not execute after it (readers re-resolve per batch)
+      val probe0 = AnnIndex.topK(s, s"$base/idx",
+        emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
+        k = 5, nProbe = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val log = AnnIndex.rebalance(s, s"$base/idx", emb, "vec_id", "embedding",
+        hi = 1.2, lo = 0.9)
+      val acted = log.count() > 0
+      val m = AnnIndex.loadModel(s, s"$base/idx")
+      val after = AnnIndex.stats(s, s"$base/idx")
+        .agg(sqlSum(col("n_vectors"))).head.getLong(0)
+      val probe1 = AnnIndex.topK(s, s"$base/idx",
+        emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
+        k = 5, nProbe = m.centroids.length)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Seq((acted, after == before, probe0.nonEmpty && probe1 == probe0))
+        .toDF("acted", "count_conserved", "full_probe_bit_equal")
+    }),
     // hot-list maintenance: split the hottest list (max occupancy, ties
     // to the larger cid) of a residual index into 4 sub-lists and return
     // the occupancy after. Oracled by extending the coarse-Lloyd replay
@@ -2729,6 +2760,8 @@ object GraftQueries {
     "ann_topk_ivfadc" -> "SELECT true AS recall_ge_080",
     "ann_topk_opq" -> "SELECT true AS opq_err_le_pq, true AS recall_ge_080",
     "ann_index_opq" -> "SELECT true AS persisted_eq_inline",
+    "ann_index_rebalance" ->
+      "SELECT true AS acted, true AS count_conserved, true AS full_probe_bit_equal",
     "ann_topk_pq_rerank" -> "SELECT true AS recall_ge_080",
     // the query computes the recall gate itself (IVF@nProbe=4 vs brute
     // top-5, both Spark-side); the oracle pins the gate

@@ -533,6 +533,38 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rebalance: one policy pass splits hot lists, folds cold runs, conserves content") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val before = AnnIndex.stats(spark, path).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val total = before.values.sum
+    val probeAll = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    // aggressive thresholds so the natural occupancy spread triggers
+    // both halves of the policy on this corpus
+    val log = AnnIndex.rebalance(spark, path, emb, "vec_id", "embedding",
+      hi = 1.2, lo = 0.9).collect()
+    val acts = log.map(_.getString(0)).toSeq
+    assert(acts.contains("split") && acts.contains("merge"),
+      s"thresholds should trigger both halves, got $acts over ${before.values}")
+    val after = AnnIndex.stats(spark, path).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(after.values.sum == total, "rebalance must conserve every vector")
+    // the policy's bound: splits cut hot lists toward the mean, and a
+    // merged group stops growing once it reaches the mean, so no list
+    // can end above max(old max, (1 + lo)·mean)
+    val meanAfter = total.toDouble / after.size
+    assert(after.values.max <= math.max(before.values.max, ((1 + 0.9) * meanAfter).toLong + 1),
+      s"a rebalanced list exceeds the policy bound: ${after.values.max}")
+    val m = AnnIndex.loadModel(spark, path)
+    assert(m.nLists == m.centroids.length && after.keySet == m.centroids.map(_._1).toSet)
+    // plain layout: codes untouched throughout → exhaustive probe bit-equal
+    val probeAfter = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = m.centroids.length))
+    assert(probeAfter == probeAll)
+  }
+
   test("split is deterministic and crash-recoverable") {
     val p1 = tmpIdx(); val p2 = tmpIdx()
     AnnIndex.build(emb, "vec_id", "embedding", p1)
