@@ -17,27 +17,33 @@ import org.apache.spark.sql.functions._
   * Search", TPAMI 2011, §IV — public):
   *
   * {{{
-  *   path/meta/       one row: nLists, subspaces, subDim, dim, codebook
-  *   path/centroids/  (cid, cv)          — coarse quantizer, model-sized
-  *   path/codebooks/  (m, cid, cv)       — PQ codebooks, model-sized
-  *   path/rotation/   (i, r)             — optional OPQ rotation row i
-  *                                         (present iff built with
-  *                                         opqIters > 0), model-sized
-  *   path/CODES       pointer file naming the live codes directory
-  *   path/codes_vN/cid=K/ (id, codes)    — the compressed corpus,
-  *                                         PARTITIONED BY the coarse cid
+  *   path/INDEX                 one-line JSON manifest naming the live
+  *                              directory of every artifact below
+  *   path/meta_vN/              one row: nLists, subspaces, subDim, dim, codebook
+  *   path/centroids_vN/         (cid, cv)       — coarse quantizer, model-sized
+  *   path/codebooks_vN/         (m, cid, cv)    — PQ codebooks, model-sized
+  *   path/rotation_vN/          (i, r)          — optional OPQ rotation row i
+  *                                                (present iff built with
+  *                                                opqIters > 0), model-sized
+  *   path/codes_vN/cid=K/       (id, codes)     — the compressed corpus,
+  *                                                PARTITIONED BY the coarse cid
   * }}}
   *
-  * The codes directory is VERSIONED behind an atomically-published
-  * pointer file (the [[graft.model.ForestStore]] HEAD pattern):
-  * [[build]] and [[compact]] write a complete `codes_v{N}` layout and
-  * then flip `CODES` via tmp-file + overwriting atomic rename, so a
-  * reader resolving at any instant gets a complete layout and a crash
-  * at any step leaves the previous pointer valid (the orphaned staging
-  * directory is reclaimed by the next maintenance pass). A legacy
-  * pointerless index (plain `codes/`) stays readable and is migrated to
-  * the versioned layout by its first compact. Maintenance writers
-  * ([[append]]/[[compact]]/[[split]]) are single-writer among
+  * Every artifact directory is VERSIONED and named by ONE atomically-
+  * published manifest (the [[graft.model.ForestStore]] HEAD pattern:
+  * tmp-file + overwriting rename). Writers stage complete new
+  * directories first and flip the manifest once, so any reader
+  * resolves a MUTUALLY CONSISTENT artifact set at any instant:
+  * [[build]] replaces the whole generation in one flip (a rebuild over
+  * a live index cannot pair a half-new model with old codes),
+  * [[compact]] swaps only `codes`, [[split]]/[[merge]] swap only
+  * meta+centroids while their codes changes stay additive until the
+  * flip. A crash at any step leaves the previous manifest valid, and
+  * the orphaned staging directories are reclaimed by the next
+  * maintenance pass. Pre-manifest indexes (bare directories, or the
+  * transitional CODES/MODEL pointer files) stay readable and migrate on
+  * the next maintenance write. Maintenance writers
+  * ([[append]]/[[compact]]/[[split]]/[[merge]]) are single-writer among
   * themselves; readers need no coordination.
   *
   * Scale design: `codes/` is the only data-sized artifact and it stores
@@ -71,134 +77,156 @@ object AnnIndex {
       codebooks: Array[Array[(Int, Seq[Double])]],
       rotation: Option[Array[Array[Double]]] = None)
 
-  // ---- versioned codes directory, published through a pointer file ----
+  // ---- one atomic manifest naming every artifact directory ----------
+  // Every mutable artifact (codes, meta, centroids, codebooks, rotation)
+  // lives in a versioned directory, and ONE manifest file (`INDEX`, a
+  // single JSON line) names the live directory of each. Writers stage
+  // complete new directories, then flip the manifest via tmp-file +
+  // overwriting atomic rename (ForestStore's HEAD recipe) — so any
+  // reader resolves a MUTUALLY CONSISTENT set of artifacts at any
+  // instant: build replaces the whole generation in one flip,
+  // compact swaps only `codes`, split/merge swap only meta+centroids
+  // while their codes changes are additive until the flip. Pre-manifest
+  // layouts (bare dirs, or the interim CODES/MODEL pointer files) stay
+  // readable and are migrated by the next maintenance write.
+
+  /** The live directory name of each artifact, as resolved from one
+    * manifest snapshot — the unit of reader consistency.
+    */
+  private final case class Layout(
+      codes: String,
+      meta: String,
+      centroids: String,
+      codebooks: String,
+      rotation: Option[String]) {
+    def dirs: Set[String] =
+      Set(codes, meta, centroids, codebooks) ++ rotation
+  }
+
+  private val ArtifactRe = "(codes|meta|centroids|codebooks|rotation)(_v\\d+)?"
 
   private def fsFor(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def pointerFile(path: String) =
-    new org.apache.hadoop.fs.Path(s"$path/CODES")
+  private def manifestFile(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/INDEX")
 
-  /** Name of the live codes directory: the `CODES` pointer's content,
-    * or the legacy pointerless `codes` when no pointer exists.
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+    finally in.close()
+  }
+
+  /** Resolve the live layout: the `INDEX` manifest when present, else
+    * the interim single-artifact pointer files (`CODES`/`MODEL`), else
+    * the original bare directory names.
     */
-  private def codesDirName(spark: SparkSession, path: String): String = {
+  private def readLayout(spark: SparkSession, path: String): Layout = {
     val (fs, _) = fsFor(spark, path)
-    val ptr = pointerFile(path)
-    if (!fs.exists(ptr)) "codes"
-    else {
-      val in = fs.open(ptr)
-      val s = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
-      require(s.matches("codes(_v\\d+)?"), s"corrupt CODES pointer: '$s'")
-      s
+    val mf = manifestFile(path)
+    if (fs.exists(mf)) {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readSmall(fs, mf))
+      def field(k: String, dflt: String): String = {
+        val v = if (node.hasNonNull(k)) node.get(k).asText() else dflt
+        require(v.matches(ArtifactRe), s"corrupt INDEX manifest field $k: '$v'")
+        v
+      }
+      Layout(
+        codes = field("codes", "codes"),
+        meta = field("meta", "meta"),
+        centroids = field("centroids", "centroids"),
+        codebooks = field("codebooks", "codebooks"),
+        rotation = if (node.hasNonNull("rotation"))
+          Some(field("rotation", "rotation")) else None)
+    } else {
+      // interim pointer files (round-13 transitional layout) or bare legacy
+      val codesPtr = new org.apache.hadoop.fs.Path(s"$path/CODES")
+      val modelPtr = new org.apache.hadoop.fs.Path(s"$path/MODEL")
+      val codes =
+        if (!fs.exists(codesPtr)) "codes"
+        else {
+          val s = readSmall(fs, codesPtr)
+          require(s.matches("codes(_v\\d+)?"), s"corrupt CODES pointer: '$s'")
+          s
+        }
+      val sfx =
+        if (!fs.exists(modelPtr)) ""
+        else {
+          val s = readSmall(fs, modelPtr)
+          require(s.matches("v\\d+"), s"corrupt MODEL pointer: '$s'")
+          "_" + s
+        }
+      Layout(
+        codes = codes,
+        meta = s"meta$sfx",
+        centroids = s"centroids$sfx",
+        codebooks = "codebooks",
+        rotation = if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/rotation")))
+          Some("rotation") else None)
     }
   }
 
-  /** Resolved filesystem path of the live codes directory — the one
-    * every reader (and [[append]]) must go through. Public so external
-    * tooling (CLI counts, specs) never hardcodes a layout version.
+  /** Atomically publish a layout: write a tmp manifest then rename with
+    * OVERWRITE, so a concurrent reader sees the old manifest or the new
+    * one, never a missing or half-written file. Retires any interim
+    * pointer files (ignored once the manifest exists).
     */
-  def codesPath(spark: SparkSession, path: String): String =
-    s"$path/${codesDirName(spark, path)}"
-
-  private def versionOf(name: String): Int =
-    if (name == "codes") 0 else name.stripPrefix("codes_v").toInt
-
-  /** Atomically publish `name` as the live codes directory: write a tmp
-    * pointer then rename with OVERWRITE (same recipe as ForestStore's
-    * HEAD), so a concurrent reader sees the old pointer or the new one,
-    * never a missing or half-written file.
-    */
-  private def publishCodes(spark: SparkSession, path: String, name: String): Unit = {
+  private def publishLayout(spark: SparkSession, path: String, l: Layout): Unit = {
     val (fs, _) = fsFor(spark, path)
-    val ptr = pointerFile(path)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/CODES.tmp")
+    val json = {
+      val q = graft.util.Json.quote _
+      val rot = l.rotation.map(r => s""","rotation":${q(r)}""").getOrElse("")
+      s"""{"codes":${q(l.codes)},"meta":${q(l.meta)},"centroids":${q(l.centroids)},"codebooks":${q(l.codebooks)}$rot}"""
+    }
+    val mf = manifestFile(path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/INDEX.tmp")
     val out = fs.create(tmp, true)
-    try out.write(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      ptr.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      mf.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, mf, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    Seq("CODES", "MODEL").foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$n")
+      if (fs.exists(p)) fs.delete(p, false)
+    }
   }
 
-  /** Delete every codes* directory except `keep` (the live one and,
-    * when a maintenance pass retains it for in-flight readers, its
-    * immediate predecessor) — crash-orphaned staging directories and
-    * superseded versions are reclaimed here, never left to strand the
+  /** Resolved filesystem path of the live codes directory. Public so
+    * external tooling (CLI counts, specs) never hardcodes a layout
+    * version; internal operators resolve a full [[Layout]] snapshot
+    * instead so their model and codes always come from ONE manifest
+    * read.
+    */
+  def codesPath(spark: SparkSession, path: String): String =
+    s"$path/${readLayout(spark, path).codes}"
+
+  private def dirVersion(name: String): Int =
+    "_v(\\d+)$".r.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(0)
+
+  private def nextDir(prefix: String, cur: String): String =
+    s"${prefix}_v${dirVersion(cur) + 1}"
+
+  /** Delete every artifact directory not in `keep` (the live set and,
+    * for maintenance passes, the superseded generation retained one
+    * cycle for in-flight readers) — crash-orphaned staging directories
+    * and older versions are reclaimed here, never left to strand the
     * index.
     */
-  private def sweepStaleCodes(
+  private def sweepStale(
       spark: SparkSession, path: String, keep: Set[String]): Unit = {
     val (fs, root) = fsFor(spark, path)
     if (!fs.exists(root)) return
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       val stale = st.isDirectory &&
-        (n.matches("codes(_v\\d+)?") || n == "codes_staged" || n == "codes_old") &&
+        (n.matches(ArtifactRe) || n == "codes_staged" || n == "codes_old") &&
         !keep.contains(n)
       if (stale) fs.delete(st.getPath, true)
-    }
-  }
-
-  // ---- versioned model (meta + centroids) behind the MODEL pointer ----
-  // [[split]] changes the centroid set of a LIVE index; the update must
-  // be atomic to readers (a half-written centroids table is a corrupt
-  // model, worse than a missing codes dir). Same recipe as CODES: the
-  // new meta/centroids land in `meta_v{N}`/`centroids_v{N}` and the
-  // MODEL pointer flips via tmp + overwriting rename. Codebooks are
-  // immutable after build and stay unversioned.
-
-  private def modelPointerFile(path: String) =
-    new org.apache.hadoop.fs.Path(s"$path/MODEL")
-
-  /** "" for the legacy/built layout (`meta/`, `centroids/`), or
-    * "_v{N}" naming the split-updated model directories.
-    */
-  private def modelSuffix(spark: SparkSession, path: String): String = {
-    val (fs, _) = fsFor(spark, path)
-    val ptr = modelPointerFile(path)
-    if (!fs.exists(ptr)) ""
-    else {
-      val in = fs.open(ptr)
-      val s = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
-      require(s.matches("v\\d+"), s"corrupt MODEL pointer: '$s'")
-      "_" + s
-    }
-  }
-
-  private def modelVersionOf(sfx: String): Int =
-    if (sfx.isEmpty) 0 else sfx.stripPrefix("_v").toInt
-
-  private def publishModel(spark: SparkSession, path: String, sfx: String): Unit = {
-    val (fs, _) = fsFor(spark, path)
-    val ptr = modelPointerFile(path)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/MODEL.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(sfx.stripPrefix("_").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      ptr.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
-
-  /** Reset to the legacy (unversioned) model layout — [[build]] rewrites
-    * `meta/`/`centroids/` in place, so a stale MODEL pointer from a
-    * previous index generation must not shadow them.
-    */
-  private def clearModelVersions(spark: SparkSession, path: String, keep: Set[String]): Unit = {
-    val (fs, root) = fsFor(spark, path)
-    if (keep.isEmpty && fs.exists(modelPointerFile(path)))
-      fs.delete(modelPointerFile(path), false)
-    if (!fs.exists(root)) return
-    fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory && n.matches("(meta|centroids)_v\\d+") &&
-        !keep.exists(sfx => n == s"meta$sfx" || n == s"centroids$sfx"))
-        fs.delete(st.getPath, true)
     }
   }
 
@@ -253,30 +281,37 @@ object AnnIndex {
       val full = Model(nLists, subspaces, subDim, dim, codebook, residual,
         centroids, model, rotation)
 
+      // stage the ENTIRE new generation in fresh versioned directories,
+      // then publish with ONE manifest flip — a rebuild over a live
+      // index is atomic to readers across every artifact at once (no
+      // window pairing a half-new model with old codes). The previous
+      // generation is retained one cycle for in-flight readers and
+      // reclaimed by the next build/compact.
+      val cur = readLayout(spark, path)
+      val next = Layout(
+        codes = nextDir("codes", cur.codes),
+        meta = nextDir("meta", cur.meta),
+        centroids = nextDir("centroids", cur.centroids),
+        codebooks = nextDir("codebooks", cur.codebooks),
+        rotation = rotation.map(_ =>
+          nextDir("rotation", cur.rotation.getOrElse("rotation"))))
+      sweepStale(spark, path, keep = cur.dirs ++ next.dirs)
+
       import spark.implicits._
       Seq((nLists, subspaces, subDim, dim, codebook, residual))
         .toDF("n_lists", "subspaces", "sub_dim", "dim", "codebook", "residual")
-        .write.mode("overwrite").parquet(s"$path/meta")
+        .write.mode("overwrite").parquet(s"$path/${next.meta}")
       centroids.toSeq.toDF("cid", "cv")
-        .write.mode("overwrite").parquet(s"$path/centroids")
-      // rotation is immutable after build, like the codebooks; its
-      // ABSENCE is the legacy/no-OPQ layout, so clear any stale one
-      rotation match {
-        case Some(r) =>
-          r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
-            .toDF("i", "r").write.mode("overwrite").parquet(s"$path/rotation")
-        case None =>
-          val (fs, _) = fsFor(spark, path)
-          val rDir = new org.apache.hadoop.fs.Path(s"$path/rotation")
-          if (fs.exists(rDir)) fs.delete(rDir, true)
+        .write.mode("overwrite").parquet(s"$path/${next.centroids}")
+      rotation.foreach { r =>
+        r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+          .toDF("i", "r").write.mode("overwrite")
+          .parquet(s"$path/${next.rotation.get}")
       }
-      // a stale MODEL pointer from a previous generation's splits must
-      // not shadow the freshly built meta/centroids
-      clearModelVersions(spark, path, keep = Set.empty)
       model.zipWithIndex.toSeq
         .flatMap { case (cb, m) => cb.map { case (cid, cv) => (m, cid, cv) } }
         .toDF("m", "cid", "cv")
-        .write.mode("overwrite").parquet(s"$path/codebooks")
+        .write.mode("overwrite").parquet(s"$path/${next.codebooks}")
 
       // the data-sized artifact: coarse assignment + PQ codes, laid out
       // as one directory per inverted list so probes prune at the
@@ -284,15 +319,12 @@ object AnnIndex {
       // write — without it every write task emits a fragment per cid it
       // touches (tasks × lists files); with it a list is one file per
       // holding partition, the actual inverted-list layout. One shuffle,
-      // paid once at build time. Written to a fresh version directory
-      // and published through the CODES pointer, so a rebuild over a
-      // live index is atomic to readers too.
-      val nextName = s"codes_v${versionOf(codesDirName(spark, path)) + 1}"
+      // paid once at build time.
       encodedFrame(corpus, full)
         .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$nextName")
-      publishCodes(spark, path, nextName)
-      sweepStaleCodes(spark, path, keep = Set(nextName))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/${next.codes}")
+      publishLayout(spark, path, next)
+      sweepStale(spark, path, keep = cur.dirs ++ next.dirs)
     } finally corpus.unpersist()
   }
 
@@ -386,13 +418,14 @@ object AnnIndex {
       path: String): Unit = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val model = loadModel(spark, path)
+    val layout = readLayout(spark, path)
+    val model = loadModelAt(spark, path, layout)
     val corpus = applyRotation(emb
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
       model.rotation)
     encodedFrame(corpus, model)
       .repartition(col("cid"))
-      .write.mode("append").partitionBy("cid").parquet(codesPath(spark, path))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/${layout.codes}")
   }
 
   /** Rewrite the codes layout back to one file per inverted list.
@@ -403,34 +436,34 @@ object AnnIndex {
     * contract, fewer files.
     *
     * The rewrite lands in a fresh `codes_v{N+1}` directory and the
-    * CODES pointer flips atomically, so a reader resolving at ANY
-    * instant gets a complete layout and a crash at any step leaves the
-    * previous pointer valid. The superseded version is RETAINED for
-    * readers that resolved just before the flip and are still
-    * mid-scan; it is reclaimed by the next compact (pass
-    * `retainPrevious = false` to reclaim immediately when no reader
-    * can be in flight). Returns the parquet file count after
-    * compaction.
+    * manifest flips atomically, so a reader resolving at ANY instant
+    * gets a complete layout and a crash at any step leaves the previous
+    * manifest valid. The superseded version is RETAINED for readers
+    * that resolved just before the flip and are still mid-scan; it is
+    * reclaimed by the next compact (pass `retainPrevious = false` to
+    * reclaim immediately when no reader can be in flight). Returns the
+    * parquet file count after compaction.
     */
   def compact(
       spark: SparkSession,
       path: String,
       retainPrevious: Boolean = true): Int = {
     val (fs, _) = fsFor(spark, path)
-    val curName = codesDirName(spark, path)
-    val cur = new org.apache.hadoop.fs.Path(s"$path/$curName")
+    val layout = readLayout(spark, path)
+    val cur = new org.apache.hadoop.fs.Path(s"$path/${layout.codes}")
     require(fs.exists(cur), s"no codes directory to compact at $path")
-    val nextName = s"codes_v${versionOf(curName) + 1}"
+    val nextName = nextDir("codes", layout.codes)
     // reclaim crash leftovers first: anything that is neither the live
-    // version nor the target (a failed prior compact's staging dir with
+    // set nor the target (a failed prior compact's staging dir with
     // this same name is overwritten by the write below)
-    sweepStaleCodes(spark, path, keep = Set(curName, nextName))
+    sweepStale(spark, path, keep = layout.dirs + nextName)
     spark.read.parquet(cur.toString).select("id", "codes", "cid")
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$nextName")
-    publishCodes(spark, path, nextName)
-    sweepStaleCodes(spark, path,
-      keep = if (retainPrevious) Set(nextName, curName) else Set(nextName))
+    publishLayout(spark, path, layout.copy(codes = nextName))
+    sweepStale(spark, path,
+      keep = if (retainPrevious) layout.dirs + nextName
+      else layout.dirs - layout.codes + nextName)
     val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/$nextName"), true)
     var n = 0
     while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
@@ -501,9 +534,10 @@ object AnnIndex {
     require(cids.size >= 2 && cids.distinct.size == cids.size,
       s"merge needs >= 2 distinct lists, got $cids")
     graft.functions.GraftFunctions.register(spark)
-    val model = loadModel(spark, path)
+    val layout = readLayout(spark, path)
+    val model = loadModelAt(spark, path, layout)
     val (fs, _) = fsFor(spark, path)
-    val codesDir = codesPath(spark, path)
+    val codesDir = s"$path/${layout.codes}"
     def listDir(c: Int) = new org.apache.hadoop.fs.Path(s"$codesDir/cid=$c")
     val present = cids.filter(c => model.centroids.exists(_._1 == c))
     if (present.isEmpty) {
@@ -552,16 +586,17 @@ object AnnIndex {
           .select("id", "codes", "cid")
       }
 
-    val curSfx = modelSuffix(spark, path)
-    val nextSfx = s"_v${modelVersionOf(curSfx) + 1}"
+    val next = layout.copy(
+      meta = nextDir("meta", layout.meta),
+      centroids = nextDir("centroids", layout.centroids))
     val updatedCents = model.centroids.filterNot(c => cids.contains(c._1)) ++ newCents
     import spark.implicits._
     Seq((updatedCents.length, model.subspaces, model.subDim, model.dim,
       model.codebook, model.residual))
       .toDF("n_lists", "subspaces", "sub_dim", "dim", "codebook", "residual")
-      .write.mode("overwrite").parquet(s"$path/meta$nextSfx")
+      .write.mode("overwrite").parquet(s"$path/${next.meta}")
     updatedCents.toSeq.toDF("cid", "cv")
-      .write.mode("overwrite").parquet(s"$path/centroids$nextSfx")
+      .write.mode("overwrite").parquet(s"$path/${next.centroids}")
     val target = listDir(base)
     if (fs.exists(target)) fs.delete(target, true)
     // for the residual layout this counts members BEFORE the write —
@@ -574,10 +609,11 @@ object AnnIndex {
     }
     newRows.repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(codesDir)
-    publishModel(spark, path, nextSfx)
+    publishLayout(spark, path, next)
     cids.foreach(c => fs.delete(listDir(c), true))
-    clearModelVersions(spark, path,
-      keep = Set(curSfx, nextSfx).filter(_.nonEmpty))
+    // retain the superseded meta/centroids one cycle for in-flight readers
+    sweepStale(spark, path,
+      keep = next.dirs ++ Set(layout.meta, layout.centroids))
   }
 
   /** One-call occupancy rebalance: [[split]] every list holding more
@@ -682,9 +718,10 @@ object AnnIndex {
       iters: Int = 2): Unit = {
     require(k >= 2, s"split needs k >= 2 target lists, got $k")
     graft.functions.GraftFunctions.register(spark)
-    val model = loadModel(spark, path)
+    val layout = readLayout(spark, path)
+    val model = loadModelAt(spark, path, layout)
     val (fs, _) = fsFor(spark, path)
-    val codesDir = codesPath(spark, path)
+    val codesDir = s"$path/${layout.codes}"
     val oldListDir = new org.apache.hadoop.fs.Path(s"$codesDir/cid=$cid")
     if (!model.centroids.exists(_._1 == cid)) {
       // recovery half: a previous split of this cid crashed after its
@@ -735,16 +772,17 @@ object AnnIndex {
         }
 
       // (1) stage the updated model in a fresh version
-      val curSfx = modelSuffix(spark, path)
-      val nextSfx = s"_v${modelVersionOf(curSfx) + 1}"
+      val next = layout.copy(
+        meta = nextDir("meta", layout.meta),
+        centroids = nextDir("centroids", layout.centroids))
       val updatedCents = model.centroids.filterNot(_._1 == cid) ++ newCents
       import spark.implicits._
       Seq((updatedCents.length, model.subspaces, model.subDim, model.dim,
         model.codebook, model.residual))
         .toDF("n_lists", "subspaces", "sub_dim", "dim", "codebook", "residual")
-        .write.mode("overwrite").parquet(s"$path/meta$nextSfx")
+        .write.mode("overwrite").parquet(s"$path/${next.meta}")
       updatedCents.toSeq.toDF("cid", "cv")
-        .write.mode("overwrite").parquet(s"$path/centroids$nextSfx")
+        .write.mode("overwrite").parquet(s"$path/${next.centroids}")
       // (2) new list partitions (reclaiming any crash leftovers first —
       // a rerun after a crash here must not double-append)
       newCents.foreach { case (c, _) =>
@@ -755,10 +793,10 @@ object AnnIndex {
         .write.mode("append").partitionBy("cid").parquet(codesDir)
       // (3) atomic flip; (4) reclaim; retain the previous model version
       // one cycle for in-flight readers (like compact's codes retention)
-      publishModel(spark, path, nextSfx)
+      publishLayout(spark, path, next)
       fs.delete(oldListDir, true)
-      clearModelVersions(spark, path,
-        keep = Set(curSfx, nextSfx).filter(_.nonEmpty))
+      sweepStale(spark, path,
+        keep = next.dirs ++ Set(layout.meta, layout.centroids))
     } finally members.unpersist()
   }
 
@@ -786,22 +824,23 @@ object AnnIndex {
   /** Load the driver-side model (meta + centroids + codebooks — all
     * model-sized; the compressed corpus stays on disk).
     */
-  def loadModel(spark: SparkSession, path: String): Model = {
-    val sfx = modelSuffix(spark, path)
-    val meta = spark.read.parquet(s"$path/meta$sfx").head
-    val cents = spark.read.parquet(s"$path/centroids$sfx").collect()
+  def loadModel(spark: SparkSession, path: String): Model =
+    loadModelAt(spark, path, readLayout(spark, path))
+
+  private def loadModelAt(spark: SparkSession, path: String, l: Layout): Model = {
+    val meta = spark.read.parquet(s"$path/${l.meta}").head
+    val cents = spark.read.parquet(s"$path/${l.centroids}").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+    val cbRows = spark.read.parquet(s"$path/${l.codebooks}").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
     val subspaces = meta.getAs[Int]("subspaces")
     val cbs = (0 until subspaces).map { m =>
       cbRows.filter(_._1 == m).map { case (_, cid, cv) => (cid, cv) }.sortBy(_._1)
     }.toArray
-    val (fs, _) = fsFor(spark, path)
-    val rotation =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/rotation"))) None
-      else Some(spark.read.parquet(s"$path/rotation").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).map(_._2))
+    val rotation = l.rotation.map { rDir =>
+      spark.read.parquet(s"$path/$rDir").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).map(_._2)
+    }
     Model(
       nLists = meta.getAs[Int]("n_lists"),
       subspaces = subspaces,
@@ -845,7 +884,10 @@ object AnnIndex {
     require(rerank <= 0 || exact.nonEmpty,
       "rerank > 0 needs the raw-vector frame (exact=...) for the final ranking")
     graft.functions.GraftFunctions.register(spark)
-    val model = loadModel(spark, path)
+    // ONE manifest snapshot supplies both the model and the codes dir,
+    // so a maintenance flip between the two reads cannot mix epochs
+    val layout = readLayout(spark, path)
+    val model = loadModelAt(spark, path, layout)
 
     val qSel = queries
       .select(col(qidCol).cast("long").as("id"),
@@ -862,7 +904,7 @@ object AnnIndex {
       else qSel.limit(localMax + 1).collect()
     val useLocal = localMax >= 0 && head.length <= localMax
 
-    val codes = spark.read.parquet(codesPath(spark, path))
+    val codes = spark.read.parquet(s"$path/${layout.codes}")
     val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
     val w2 = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
 

@@ -280,35 +280,77 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v2")))
   }
 
-  test("rebuild over a live index publishes atomically and reclaims the old version") {
+  test("rebuild over a live index is ONE manifest flip; previous generation retained a cycle") {
     val path = tmpIdx()
     AnnIndex.build(emb, "vec_id", "embedding", path)
     val v1 = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
       "vec_id", "embedding", k = 5, nProbe = 16))
     AnnIndex.build(emb, "vec_id", "embedding", path)
     assert(AnnIndex.codesPath(spark, path).endsWith("codes_v2"))
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")))
+    // the old generation stays on disk one cycle for in-flight readers
+    // (model artifacts too — a reader that resolved just before the
+    // flip finishes against a consistent set) ...
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/meta_v1")))
     val v2 = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
       "vec_id", "embedding", k = 5, nProbe = 16))
     assert(v1 == v2, "deterministic rebuild must serve identical results")
+    // ... and the NEXT build reclaims it
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    assert(AnnIndex.codesPath(spark, path).endsWith("codes_v3"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/meta_v1")))
   }
 
-  test("legacy pointerless codes/ layout stays readable and migrates on first compact") {
+  test("bare legacy layout (no manifest, unversioned dirs) stays readable and migrates on first compact") {
     val path = tmpIdx()
     AnnIndex.build(emb, "vec_id", "embedding", path)
     val expected = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
       "vec_id", "embedding", k = 5, nProbe = 16))
-    // devolve to the pre-pointer layout: codes_v1 -> codes, no CODES file
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(s"$path/codes_v1"),
-      java.nio.file.Paths.get(s"$path/codes"))
-    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$path/CODES"))
+    // devolve to the original pre-manifest layout: bare directory names,
+    // no INDEX file
+    Seq("codes", "meta", "centroids", "codebooks").foreach { a =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$path/${a}_v1"),
+        java.nio.file.Paths.get(s"$path/$a"))
+    }
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$path/INDEX"))
     assert(AnnIndex.codesPath(spark, path).endsWith("/codes"))
     val legacy = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
       "vec_id", "embedding", k = 5, nProbe = 16))
     assert(legacy == expected)
     AnnIndex.compact(spark, path)
     assert(AnnIndex.codesPath(spark, path).endsWith("codes_v1"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/INDEX")))
+    val migrated = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    assert(migrated == expected)
+  }
+
+  test("transitional CODES/MODEL pointer layout stays readable and migrates on first compact") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val expected = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    // devolve to the interim round-13 layout: versioned codes behind a
+    // CODES pointer, bare model dirs, no manifest
+    Seq("meta", "centroids", "codebooks").foreach { a =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$path/${a}_v1"),
+        java.nio.file.Paths.get(s"$path/$a"))
+    }
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$path/INDEX"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/CODES"), "codes_v1")
+    assert(AnnIndex.codesPath(spark, path).endsWith("codes_v1"))
+    val interim = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    assert(interim == expected)
+    AnnIndex.compact(spark, path)
+    // migrated: manifest present, pointer files retired
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/INDEX")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/CODES")))
+    assert(AnnIndex.codesPath(spark, path).endsWith("codes_v2"))
     val migrated = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
       "vec_id", "embedding", k = 5, nProbe = 16))
     assert(migrated == expected)
