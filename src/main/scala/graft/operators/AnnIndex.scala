@@ -511,7 +511,7 @@ object AnnIndex {
     * needs the raw `corpus` (same convention as [[split]]).
     *
     * Publication mirrors [[split]]: fresh versioned meta/centroids, new
-    * list partition appended while unreferenced, atomic MODEL pointer
+    * list partition appended while unreferenced, atomic manifest
     * flip, old list directories reclaimed last — crash anywhere leaves
     * a serving index, and a re-run for the same cids completes the
     * recovery. Single maintenance writer.
@@ -699,7 +699,7 @@ object AnnIndex {
     * recoverable: (1) the updated meta+centroids land in fresh
     * `meta_v{N}`/`centroids_v{N}` dirs; (2) the new list partitions are
     * appended (invisible — no live centroid references them); (3) the
-    * MODEL pointer flips atomically; (4) the old list directory is
+    * manifest flips atomically; (4) the old list directory is
     * reclaimed. A reader resolves either the old model (probing the old
     * list, still on disk through step 3) or the new one (probing only
     * the new lists). A crash before (3) leaves the index exactly as it
