@@ -96,6 +96,19 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     }.head.selectedPartitions.toPartitionArray.map(_.urlEncodedPath)
     assert(files.nonEmpty && files.forall(p => probed.exists(c => p.contains(s"cid=$c"))),
       s"scan must touch only probed cid dirs, got:\n${files.mkString("\n")}")
+
+    // the LARGE-BATCH path prunes the same way: its probed-cid set is
+    // collected (bounded by nLists) exactly to keep this predicate on
+    // the scan
+    spark.conf.set("spark.graft.ann.localDtMaxQueries", "-1")
+    try {
+      val qd = AnnIndex.topK(spark, path, queriesOf(Seq(0L)),
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      qd.collect()
+      val planD = qd.queryExecution.executedPlan.toString
+      assert(planD.contains("PartitionFilters") && planD.contains("cid"),
+        s"distributed path lost the partition filter on cid:\n$planD")
+    } finally spark.conf.unset("spark.graft.ann.localDtMaxQueries")
   }
 
   test("append encodes with the frozen model bit-identically to build") {

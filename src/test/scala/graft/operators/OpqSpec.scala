@@ -50,6 +50,40 @@ class OpqSpec extends AnyFunSuite with SparkSpec {
       lit(null).cast("array<array<double>>"), col("v"))).head.isNullAt(0))
   }
 
+  test("graft_matvec property: bit-equal to the sequential driver product on random inputs") {
+    import org.scalacheck.Gen
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val valGen = Gen.oneOf(
+      Gen.choose(-10.0, 10.0),
+      Gen.choose(-1e-6, 1e-6),
+      Gen.const(0.0), Gen.const(-0.0), Gen.const(3.0))
+    val caseGen = for {
+      rows <- Gen.choose(1, 6)
+      n <- Gen.choose(1, 6)
+      mat <- Gen.listOfN(rows, Gen.listOfN(n, valGen))
+      v <- Gen.listOfN(n, valGen)
+    } yield (mat.map(_.toSeq).toSeq, v.toSeq)
+    val cases = Gen.listOfN(60, caseGen)
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(1313L))
+    cases.foreach { case (mat, v) =>
+      val got = Seq(Tuple1(v)).toDF("v")
+        .select(GraftFunctions.matVec(
+          typedLit(mat).cast("array<array<double>>"), col("v")))
+        .head.getSeq[Double](0)
+      // the kernel's contract: sequential left-to-right accumulation
+      val want = mat.map { row =>
+        var s = 0.0
+        var j = 0
+        while (j < v.size) { s += row(j) * v(j); j += 1 }
+        s
+      }
+      assert(got.size == want.size && got.zip(want).forall { case (a, b) =>
+        java.lang.Double.doubleToRawLongBits(a) == java.lang.Double.doubleToRawLongBits(b)
+      }, s"matvec($mat, $v) = $got, want $want")
+    }
+  }
+
   test("opqFit returns an exactly orthogonal, deterministic rotation") {
     val r1 = Ann.opqFit(emb, "vec_id", "embedding", opqIters = 3)
     val r2 = Ann.opqFit(emb, "vec_id", "embedding", opqIters = 3)
