@@ -59,6 +59,7 @@ object Cli {
         |  ann split <emb.parquet> --index DIR [--cid N] [--k K]   split a hot list in place
         |  ann merge --index DIR [--cids A,B] [--emb P]   fold cold lists into one
         |  ann rebalance <emb.parquet> --index DIR [--hi X] [--lo Y]   split-hot + merge-cold pass
+        |  ann vacuum --index DIR                         reclaim retained generations
         |  ann query <emb.parquet> --index DIR --ids 0,1,2 [--id C] [--vec C]
         |            [--k K] [--probe P] [--rerank R] [--out DIR]
         |                                                  top-k over a persisted index (no retrain)
@@ -126,6 +127,15 @@ object Cli {
       val spark = session()
       val n = graft.operators.AnnIndex.compact(spark, idx)
       println(s"compacted $idx to $n files")
+      spark.stop()
+
+    case "ann" :: "vacuum" :: rest =>
+      val opts = parseOpts(rest)
+      val idx = opts.getOrElse("index", {
+        System.err.println("ann vacuum needs --index DIR"); sys.exit(2)
+      })
+      val spark = session()
+      println(s"removed ${graft.operators.AnnIndex.vacuum(spark, idx)} retained directories")
       spark.stop()
 
     case "ann" :: "stats" :: rest =>

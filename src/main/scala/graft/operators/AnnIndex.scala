@@ -470,6 +470,28 @@ object AnnIndex {
     n
   }
 
+  /** Reclaim every artifact directory the live manifest does not
+    * reference — the retained previous generations (kept one cycle for
+    * in-flight readers) and any crash-orphaned staging. Run it when no
+    * reader can be mid-scan, e.g. at the end of a maintenance window;
+    * the routine sweeps happen automatically on build/compact anyway.
+    * Returns the number of directories removed.
+    */
+  def vacuum(spark: SparkSession, path: String): Int = {
+    val (fs, root) = fsFor(spark, path)
+    val keep = readLayout(spark, path).dirs
+    if (!fs.exists(root)) return 0
+    var n = 0
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      val stale = st.isDirectory &&
+        (name.matches(ArtifactRe) || name == "codes_staged" || name == "codes_old") &&
+        !keep.contains(name)
+      if (stale) { fs.delete(st.getPath, true); n += 1 }
+    }
+    n
+  }
+
   /** Per-list occupancy of the index: `(cid, n_vectors)`. The serving
     * health metric — a skewed histogram means hot lists dominate probe
     * cost (retrain with more lists, or [[split]] the hot region); scan

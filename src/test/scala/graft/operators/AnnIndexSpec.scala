@@ -369,6 +369,22 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(migrated == expected)
   }
 
+  test("vacuum reclaims retained generations, never the live set") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    AnnIndex.build(emb, "vec_id", "embedding", path) // v1 retained
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")))
+    val expected = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    val removed = AnnIndex.vacuum(spark, path)
+    assert(removed >= 4, s"expected the retained generation gone, removed $removed")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")))
+    assert(AnnIndex.vacuum(spark, path) == 0, "second vacuum must be a no-op")
+    val after = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    assert(after == expected, "vacuum must never touch the live set")
+  }
+
   test("append rejects ragged vectors loudly before anything commits") {
     val path = tmpIdx()
     AnnIndex.build(emb, "vec_id", "embedding", path)
