@@ -60,6 +60,8 @@ object Cli {
         |  ann merge --index DIR [--cids A,B] [--emb P]   fold cold lists into one
         |  ann rebalance <emb.parquet> --index DIR [--hi X] [--lo Y]   split-hot + merge-cold pass
         |  ann vacuum --index DIR                         reclaim retained generations
+        |  ann recall <emb.parquet> --index DIR [--probes 1,4,16] [--ids ...] [--rerank R]
+        |                                                 recall-vs-nProbe curve vs brute force
         |  ann query <emb.parquet> --index DIR --ids 0,1,2 [--id C] [--vec C]
         |            [--k K] [--probe P] [--rerank R] [--out DIR]
         |                                                  top-k over a persisted index (no retrain)
@@ -207,6 +209,23 @@ object Cli {
           println("occupancy now:")
           graft.operators.AnnIndex.stats(spark, idx)
             .orderBy("cid").show(1000, truncate = false)
+        case "recall" =>
+          // quality/cost curve for choosing --probe: measure recall at
+          // each width against a brute pass over the positional parquet
+          val probes = opts.getOrElse("probes", "1,2,4,8,16")
+            .split(",").map(_.trim.toInt).toSeq
+          val ids = opts.getOrElse("ids", "0,1,2,3,4,5,6,7,8,9")
+            .split(",").map(_.trim.toLong).toSeq
+          val idc = opts.getOrElse("id", "vec_id")
+          graft.operators.AnnIndex.recallCurve(
+            spark, idx,
+            emb.filter(org.apache.spark.sql.functions.col(idc).isInCollection(ids)),
+            idc, opts.getOrElse("vec", "embedding"),
+            emb, idc, opts.getOrElse("vec", "embedding"),
+            probes,
+            k = opts.getOrElse("k", "5").toInt,
+            rerank = opts.getOrElse("rerank", "0").toInt)
+            .show(100, truncate = false)
         case "split" =>
           // hot-list maintenance: --cid picks the list (default: the
           // hottest by occupancy, ties to the larger cid), --k the

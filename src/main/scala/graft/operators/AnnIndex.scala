@@ -470,6 +470,43 @@ object AnnIndex {
     n
   }
 
+  /** Recall diagnostic for choosing `nProbe`: run [[topK]] at each
+    * probe width against an exact brute-force pass over the raw
+    * corpus and return `(n_probe, recall_ppm)` — the measured
+    * quality/cost curve of THIS index on THIS query sample (recall in
+    * exact parts-per-million, deterministic for a fixed index+sample).
+    * Cost: one brute pass over the corpus plus one probe-limited scan
+    * per requested width — run it on a bounded query sample, the same
+    * way the recall gates in the spec suite do.
+    */
+  def recallCurve(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probes: Seq[Int],
+      k: Int = 5,
+      rerank: Int = 0): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1), s"bad probe widths $probes")
+    val qids = queries.select(col(qidCol).cast("long")).collect().map(_.getLong(0))
+    val brute = Ann.bruteForceTopK(corpus, idCol, vecCol, qids.toSeq, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    require(brute.nonEmpty, "empty query sample — nothing to measure")
+    import spark.implicits._
+    probes.distinct.sorted.map { p =>
+      val got = topK(spark, path, queries, qidCol, qvecCol, k = k,
+        nProbe = p, rerank = rerank,
+        exact = if (rerank > 0) Some(corpus) else None,
+        exactIdCol = idCol, exactVecCol = vecCol)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (p, got.intersect(brute).size.toLong * 1000000L / brute.size)
+    }.toDF("n_probe", "recall_ppm")
+  }
+
   /** Reclaim every artifact directory the live manifest does not
     * reference — the retained previous generations (kept one cycle for
     * in-flight readers) and any crash-orphaned staging. Run it when no

@@ -369,6 +369,28 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(migrated == expected)
   }
 
+  test("recallCurve measures the quality/cost trade of this index deterministically") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val curve = AnnIndex.recallCurve(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", emb, "vec_id", "embedding",
+      probes = Seq(1, 4, 16), k = 5, rerank = 200).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(curve.keySet == Set(1, 4, 16))
+    assert(curve.values.forall(r => r >= 0 && r <= 1000000L))
+    // full probe + exact rerank of a 200-candidate shortlist on this
+    // corpus recovers high recall (the pinned gates use the same bars)
+    assert(curve(16) >= 800000L, s"full-probe rerank recall ${curve(16)} ppm")
+    assert(curve(16) >= curve(1),
+      "full probe cannot lose to a single probed list at this scale")
+    // deterministic: identical inputs → identical ppm values
+    val again = AnnIndex.recallCurve(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", emb, "vec_id", "embedding",
+      probes = Seq(1, 4, 16), k = 5, rerank = 200).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(again == curve)
+  }
+
   test("vacuum reclaims retained generations, never the live set") {
     val path = tmpIdx()
     AnnIndex.build(emb, "vec_id", "embedding", path)
