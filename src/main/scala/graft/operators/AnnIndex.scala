@@ -871,12 +871,26 @@ object AnnIndex {
       idCol: String,
       vecCol: String,
       path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) append(batch, idCol, vecCol, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          append(batch, idCol, vecCol, path)
+          // in-line maintenance cadence: every Nth micro-batch folds the
+          // accumulated per-batch fragments back to one file per list —
+          // the file-count growth of continuous ingest stays bounded by
+          // the cadence instead of the stream's lifetime. Safe here
+          // because foreachBatch serializes with the appends (single
+          // maintenance writer by construction) and compact publishes
+          // through the manifest, so concurrent READERS stay correct.
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            compact(batch.sparkSession, path)
+            ()
+          }
+        }
       }
       .start()
 

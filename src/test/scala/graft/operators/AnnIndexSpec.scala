@@ -687,6 +687,43 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(m.nLists == 16 && m.centroids.exists(_._1 == hot))
   }
 
+  test("appendStream with a compaction cadence keeps the file count bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tmpIdx()
+    AnnIndex.build(emb.filter(col("vec_id") < 300), "vec_id", "embedding", path)
+    val rows = emb.filter(col("vec_id") >= 300)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val src = MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_annstrc_ck").toString
+    def files(): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(AnnIndex.codesPath(spark, path)))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    // every 2nd micro-batch compacts: after 4 batches the layout must
+    // be back at one file per list, with every row served
+    val q = AnnIndex.appendStream(
+      src.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", path, ckpt,
+      compactEvery = 2)
+    try {
+      rows.grouped(50).foreach { g =>
+        src.addData(g.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val lists = spark.read.parquet(AnnIndex.codesPath(spark, path))
+      .select("cid").distinct.count().toInt
+    assert(files() == lists,
+      s"cadenced compaction should end at one file per list, got ${files()} for $lists")
+    assert(spark.read.parquet(AnnIndex.codesPath(spark, path)).count() == 500)
+    val got = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    assert(got.size == 50)
+  }
+
   test("empty query batch yields an empty frame; dim mismatch fails loudly") {
     val path = tmpIdx()
     AnnIndex.build(emb, "vec_id", "embedding", path)
