@@ -59,7 +59,10 @@ object Cli {
         |  ann split <emb.parquet> --index DIR [--cid N] [--k K]   split a hot list in place
         |  ann merge --index DIR [--cids A,B] [--emb P]   fold cold lists into one
         |  ann rebalance <emb.parquet> --index DIR [--hi X] [--lo Y]   split-hot + merge-cold pass
-        |  ann vacuum --index DIR                         reclaim retained generations
+        |  ann vacuum --index DIR [--grace MS]            reclaim retained generations older than
+        |                                                 the grace window (default 10 min; 0 = all)
+        |  ann delete --index DIR [--ids A,B,...| --parquet P --id C]
+        |                                                 tombstone ids (folded by the next compact)
         |  ann recall <emb.parquet> --index DIR [--probes 1,4,16] [--ids ...] [--rerank R]
         |                                                 recall-vs-nProbe curve vs brute force
         |  ann query <emb.parquet> --index DIR --ids 0,1,2 [--id C] [--vec C]
@@ -137,7 +140,28 @@ object Cli {
         System.err.println("ann vacuum needs --index DIR"); sys.exit(2)
       })
       val spark = session()
-      println(s"removed ${graft.operators.AnnIndex.vacuum(spark, idx)} retained directories")
+      val grace = opts.get("grace").map(_.toLong).getOrElse(-1L)
+      println(s"removed ${graft.operators.AnnIndex.vacuum(spark, idx, grace)} retained directories")
+      spark.stop()
+
+    case "ann" :: "delete" :: rest =>
+      val opts = parseOpts(rest)
+      val idx = opts.getOrElse("index", {
+        System.err.println("ann delete needs --index DIR"); sys.exit(2)
+      })
+      val spark = session()
+      val total = opts.get("ids") match {
+        case Some(csv) =>
+          graft.operators.AnnIndex.delete(spark, idx,
+            csv.split(",").map(_.trim.toLong).toSeq)
+        case None =>
+          val p = opts.getOrElse("parquet", {
+            System.err.println("ann delete needs --ids A,B,... or --parquet P"); sys.exit(2)
+          })
+          graft.operators.AnnIndex.delete(spark, idx,
+            spark.read.parquet(p), opts.getOrElse("id", "vec_id"))
+      }
+      println(s"index now tombstones $total ids (next compact folds them)")
       spark.stop()
 
     case "ann" :: "stats" :: rest =>
@@ -240,7 +264,7 @@ object Cli {
           graft.operators.AnnIndex.stats(spark, idx)
             .orderBy("cid").show(1000, truncate = false)
         case other =>
-          System.err.println(s"unknown ann verb $other (build|append|query|split)"); sys.exit(2)
+          System.err.println(s"unknown ann verb $other (build|append|compact|stats|split|merge|rebalance|vacuum|recall|query|delete)"); sys.exit(2)
       }
       spark.stop()
 

@@ -44,7 +44,15 @@ import org.apache.spark.sql.functions._
   * transitional CODES/MODEL pointer files) stay readable and migrate on
   * the next maintenance write. Maintenance writers
   * ([[append]]/[[compact]]/[[split]]/[[merge]]) are single-writer among
-  * themselves; readers need no coordination.
+  * themselves; manifest-snapshot readers ([[topK]], [[stats]] and
+  * everything built on them) need no coordination — they restrict the
+  * scan to the snapshot model's cids, so split/merge's additive
+  * pre-flip appends are invisible to them. A RAW whole-directory scan
+  * of [[codesPath]] does not get that guarantee: during a split/merge
+  * window it counts the staged `cid=base` partitions alongside the old
+  * lists, so raw scans are only consistent outside maintenance windows
+  * (after a split/merge flip, old list dirs are reclaimed — see the
+  * reader contract on [[merge]] and the [[topKRetrying]] helper).
   *
   * Scale design: `codes/` is the only data-sized artifact and it stores
   * `subspaces` small ints per vector (16 bits at the defaults vs a
@@ -98,12 +106,15 @@ object AnnIndex {
       meta: String,
       centroids: String,
       codebooks: String,
-      rotation: Option[String]) {
+      rotation: Option[String],
+      tombstones: Option[String] = None,
+      retired: Map[String, Long] = Map.empty) {
     def dirs: Set[String] =
-      Set(codes, meta, centroids, codebooks) ++ rotation
+      Set(codes, meta, centroids, codebooks) ++ rotation ++ tombstones
   }
 
-  private val ArtifactRe = "(codes|meta|centroids|codebooks|rotation)(_v\\d+)?"
+  private val ArtifactRe =
+    "(codes|meta|centroids|codebooks|rotation|tombstones)(_v\\d+)?"
 
   private def fsFor(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -135,13 +146,25 @@ object AnnIndex {
         require(v.matches(ArtifactRe), s"corrupt INDEX manifest field $k: '$v'")
         v
       }
+      val retired =
+        if (!node.hasNonNull("retired")) Map.empty[String, Long]
+        else {
+          val r = node.get("retired")
+          val it = r.fieldNames()
+          var m = Map.empty[String, Long]
+          while (it.hasNext) { val k = it.next(); m += k -> r.get(k).asLong() }
+          m
+        }
       Layout(
         codes = field("codes", "codes"),
         meta = field("meta", "meta"),
         centroids = field("centroids", "centroids"),
         codebooks = field("codebooks", "codebooks"),
         rotation = if (node.hasNonNull("rotation"))
-          Some(field("rotation", "rotation")) else None)
+          Some(field("rotation", "rotation")) else None,
+        tombstones = if (node.hasNonNull("tombstones"))
+          Some(field("tombstones", "tombstones")) else None,
+        retired = retired)
     } else {
       // interim pointer files (round-13 transitional layout) or bare legacy
       val codesPtr = new org.apache.hadoop.fs.Path(s"$path/CODES")
@@ -174,13 +197,33 @@ object AnnIndex {
     * OVERWRITE, so a concurrent reader sees the old manifest or the new
     * one, never a missing or half-written file. Retires any interim
     * pointer files (ignored once the manifest exists).
+    *
+    * Retirement bookkeeping: every directory this flip supersedes is
+    * recorded in the manifest's `retired` map with the flip's wall-clock
+    * millis (carrying forward earlier entries for dirs still on disk) —
+    * the age record [[vacuum]]'s grace guard reads, so reclaim safety
+    * stops depending on caller discipline.
     */
-  private def publishLayout(spark: SparkSession, path: String, l: Layout): Unit = {
-    val (fs, _) = fsFor(spark, path)
+  private def publishLayout(spark: SparkSession, path: String, l0: Layout): Unit = {
+    val (fs, root) = fsFor(spark, path)
+    val now = System.currentTimeMillis()
+    val onDisk: Set[String] =
+      if (!fs.exists(root)) Set.empty
+      else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSet
+    val prev = readLayout(spark, path)
+    val retired = (prev.retired ++ (prev.dirs -- l0.dirs).map(_ -> now).toMap)
+      .filter { case (dir, _) => onDisk.contains(dir) && !l0.dirs.contains(dir) }
+    val l = l0.copy(retired = retired)
     val json = {
       val q = graft.util.Json.quote _
       val rot = l.rotation.map(r => s""","rotation":${q(r)}""").getOrElse("")
-      s"""{"codes":${q(l.codes)},"meta":${q(l.meta)},"centroids":${q(l.centroids)},"codebooks":${q(l.codebooks)}$rot}"""
+      val tomb = l.tombstones.map(t => s""","tombstones":${q(t)}""").getOrElse("")
+      val ret =
+        if (l.retired.isEmpty) ""
+        else l.retired.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${q(k)}:$v" }
+          .mkString(""","retired":{""", ",", "}")
+      s"""{"codes":${q(l.codes)},"meta":${q(l.meta)},"centroids":${q(l.centroids)},"codebooks":${q(l.codebooks)}$rot$tomb$ret}"""
     }
     val mf = manifestFile(path)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/INDEX.tmp")
@@ -457,13 +500,17 @@ object AnnIndex {
     // set nor the target (a failed prior compact's staging dir with
     // this same name is overwritten by the write below)
     sweepStale(spark, path, keep = layout.dirs + nextName)
-    spark.read.parquet(cur.toString).select("id", "codes", "cid")
+    // fold tombstones: the rewrite drops deleted rows physically, so the
+    // published layout carries no tombstone set afterwards
+    antiTomb(
+      spark.read.parquet(cur.toString).select("id", "codes", "cid"),
+      tombstoneIds(spark, path, layout))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$nextName")
-    publishLayout(spark, path, layout.copy(codes = nextName))
+    publishLayout(spark, path, layout.copy(codes = nextName, tombstones = None))
     sweepStale(spark, path,
       keep = if (retainPrevious) layout.dirs + nextName
-      else layout.dirs - layout.codes + nextName)
+      else layout.dirs - layout.codes -- layout.tombstones + nextName)
     val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/$nextName"), true)
     var n = 0
     while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
@@ -507,36 +554,124 @@ object AnnIndex {
     }.toDF("n_probe", "recall_ppm")
   }
 
-  /** Reclaim every artifact directory the live manifest does not
-    * reference — the retained previous generations (kept one cycle for
-    * in-flight readers) and any crash-orphaned staging. Run it when no
-    * reader can be mid-scan, e.g. at the end of a maintenance window;
-    * the routine sweeps happen automatically on build/compact anyway.
-    * Returns the number of directories removed.
+  /** Reclaim artifact directories the live manifest does not reference —
+    * the retained previous generations (kept one cycle for in-flight
+    * readers) and any crash-orphaned staging. Returns the number of
+    * directories removed.
+    *
+    * Age guard (safe by default): a directory retired through a
+    * manifest flip carries its retirement timestamp in the manifest, and
+    * vacuum only reclaims it once it has been superseded for at least
+    * `graceMs` — an in-flight reader that resolved the old layout just
+    * before the flip keeps its directories readable for the grace
+    * window, no caller discipline required. `graceMs < 0` (the default)
+    * reads `spark.graft.ann.vacuumGraceMs` (default 10 minutes);
+    * `graceMs = 0` restores the old reclaim-everything-now semantics and
+    * is also the only setting that touches directories with NO
+    * retirement record (crash-orphaned staging, or generations retained
+    * by a pre-grace manifest — their age is unknowable, so they wait
+    * for an explicit zero-grace pass).
     */
-  def vacuum(spark: SparkSession, path: String): Int = {
+  def vacuum(spark: SparkSession, path: String, graceMs: Long = -1L): Int = {
+    val grace =
+      if (graceMs >= 0) graceMs
+      else spark.conf.getOption("spark.graft.ann.vacuumGraceMs")
+        .map(_.toLong).getOrElse(600000L)
     val (fs, root) = fsFor(spark, path)
-    val keep = readLayout(spark, path).dirs
+    val layout = readLayout(spark, path)
+    val keep = layout.dirs
     if (!fs.exists(root)) return 0
+    val now = System.currentTimeMillis()
     var n = 0
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       val stale = st.isDirectory &&
         (name.matches(ArtifactRe) || name == "codes_staged" || name == "codes_old") &&
         !keep.contains(name)
-      if (stale) { fs.delete(st.getPath, true); n += 1 }
+      val oldEnough = layout.retired.get(name) match {
+        case Some(ts) => now - ts >= grace
+        case None => grace == 0L
+      }
+      if (stale && oldEnough) { fs.delete(st.getPath, true); n += 1 }
     }
     n
   }
+
+  /** Remove ids from the index WITHOUT touching the data-sized codes:
+    * the ids land in a versioned tombstone artifact named by the same
+    * atomic manifest as everything else, and every manifest-snapshot
+    * reader ([[topK]], [[stats]], [[recallCurve]]) anti-joins it — one
+    * model-sized write, visible atomically, regardless of corpus size.
+    * The physical rows are folded out by the next [[compact]] (which
+    * then drops the tombstone set) and by [[split]]/[[merge]] for the
+    * lists they rewrite — the delete-heavy pipeline's reclaim rides the
+    * maintenance cadence it already runs. This is the removal third of
+    * the index lifecycle (reference analogue: bucket `del`,
+    * `architxt/bucket/__init__.py`).
+    *
+    * A tombstoned id stays deleted even if [[append]]ed again until a
+    * compact folds the tombstone set; delete-then-readd needs a compact
+    * between. Returns the total live tombstone count after this call.
+    */
+  def delete(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame,
+      idCol: String = "id"): Long = {
+    val layout = readLayout(spark, path)
+    val newIds = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val union = layout.tombstones match {
+      case Some(t) =>
+        spark.read.parquet(s"$path/$t").select("id").union(newIds).distinct()
+      case None => newIds
+    }
+    val nextName = nextDir("tombstones", layout.tombstones.getOrElse("tombstones"))
+    union.write.mode("overwrite").parquet(s"$path/$nextName")
+    publishLayout(spark, path, layout.copy(tombstones = Some(nextName)))
+    spark.read.parquet(s"$path/$nextName").count()
+  }
+
+  /** Convenience overload for a driver-side id list. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Long = {
+    import spark.implicits._
+    delete(spark, path, ids.toDF("id"), "id")
+  }
+
+  /** The tombstone id set of a layout snapshot, if any. */
+  private def tombstoneIds(
+      spark: SparkSession, path: String, l: Layout): Option[DataFrame] =
+    l.tombstones.map(t => spark.read.parquet(s"$path/$t").select("id"))
+
+  /** Anti-join a codes frame against the snapshot's tombstones. The
+    * extra join is on the SCAN side of every reader, below the cid
+    * filter — Catalyst pushes the partition predicate through the left
+    * side of the anti join, so probe pruning is unchanged.
+    */
+  private def antiTomb(df: DataFrame, tomb: Option[DataFrame]): DataFrame =
+    tomb.fold(df)(t => df.join(t, Seq("id"), "left_anti"))
 
   /** Per-list occupancy of the index: `(cid, n_vectors)`. The serving
     * health metric — a skewed histogram means hot lists dominate probe
     * cost (retrain with more lists, or [[split]] the hot region); scan
     * cost is one count over the codes table's partition column.
+    *
+    * Consistency: the scan is restricted to the cids of the SAME
+    * manifest snapshot's model — the exact discipline [[topK]] uses —
+    * so a concurrent split/merge that has appended its new `cid=base`
+    * partitions but not yet flipped the manifest cannot double-count
+    * the moved members (raw `codesPath` scans outside this method don't
+    * get that guarantee and are only consistent outside maintenance
+    * windows).
     */
-  def stats(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(codesPath(spark, path))
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    val layout = readLayout(spark, path)
+    val live = loadModelAt(spark, path, layout).centroids.map(_._1).toSeq
+    antiTomb(
+      spark.read.parquet(s"$path/${layout.codes}")
+        .filter(col("cid").isInCollection(live)),
+      tombstoneIds(spark, path, layout))
       .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+  }
 
   /** The hottest list of the index: max occupancy, ties to the larger
     * cid — the deterministic selection rule the split oracle replays
@@ -612,19 +747,28 @@ object AnnIndex {
     require(!model.residual || corpus.nonEmpty,
       "residual layout merge needs the raw corpus (codes re-encode against the new centroid)")
 
-    val old = spark.read.parquet(codesDir).filter(col("cid").isInCollection(cids))
+    // tombstoned members fold out of the merged list (and out of the
+    // merged centroid's weights) exactly as split folds them
+    val old = antiTomb(
+      spark.read.parquet(codesDir).filter(col("cid").isInCollection(cids)),
+      tombstoneIds(spark, path, layout))
     val counts = old.groupBy("cid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).toMap
     val base = model.centroids.map(_._1).max + 1
     // count-weighted integer-nano mean of the merged centroids: the
     // same fixed sumNanos/count/1e9 expression as every Lloyd mean, so
-    // an oracle can replay it exactly from the stored centroids
+    // an oracle can replay it exactly from the stored centroids. The
+    // weighted nano sums accumulate in BigInt — a Long caps total merged
+    // membership at ~9.2e9 unit-scale members, the exact capacity bound
+    // the tiered decimal(20,0) Lloyd accumulators removed (a BigInt that
+    // fits in a Long converts to Double bit-identically, so the
+    // non-overflowing result is unchanged).
     val totalN = cids.map(c => counts.getOrElse(c, 0L)).sum
     require(totalN > 0, s"merged lists $cids hold no vectors")
     val byCid = model.centroids.toMap
     val newCv: Seq[Double] = (0 until model.dim).map { i =>
       cids.map { c =>
-        math.round(byCid(c)(i) * 1e9) * counts.getOrElse(c, 0L)
+        BigInt(math.round(byCid(c)(i) * 1e9)) * BigInt(counts.getOrElse(c, 0L))
       }.sum.toDouble / totalN / 1e9
     }
     val newCents = Array((base, newCv))
@@ -676,16 +820,41 @@ object AnnIndex {
   }
 
   /** One-call occupancy rebalance: [[split]] every list holding more
-    * than `hi ×` the mean into ⌈n/mean⌉ lists, then greedily [[merge]]
-    * runs of lists below `lo ×` the (recomputed) mean until each merged
-    * group reaches it — the maintenance policy [[stats]]' histogram
-    * feeds, as one deterministic pass (hot lists processed by
-    * occupancy desc / cid desc, cold ones by occupancy asc / cid asc).
+    * than `hi ×` the mean into ⌈n/mean⌉ lists, then [[merge]] groups of
+    * lists below `lo ×` the (recomputed) mean until each merged group
+    * reaches it — the maintenance policy [[stats]]' histogram feeds, as
+    * one deterministic pass (hot lists processed by occupancy desc /
+    * cid desc; cold groups seeded by occupancy asc / cid asc).
     * Content-lossless like its constituents: plain-layout codes never
     * change, so exhaustive probes are bit-equal before/after; every
     * step publishes through the versioned pointers, so a crash
     * mid-pass leaves a serving index and the next pass completes the
     * work. Returns one row per action: (action, cids, n_before).
+    *
+    * Merge-group selection (`mergePolicy`): `"nearest"` (default) grows
+    * each group from its coldest seed by repeatedly adding the cold
+    * list whose centroid is CLOSEST to the group's running
+    * count-weighted centroid (the layout's coarse metric — cosine
+    * distance for the plain layout, squared L2 for the residual one;
+    * ties to the smaller cid). IVF lists are Voronoi cells (Jégou et
+    * al. §IV) — merging geometrically neighboring cells keeps the
+    * merged centroid inside the region its members occupy, where an
+    * occupancy-only pairing of two DISTANT cold cells plants it in
+    * empty space and silently degrades probe ordering (codes stay
+    * exact either way — the regression is in which lists a bounded
+    * probe visits). `"occupancy"` keeps the legacy
+    * coldest-runs-in-occupancy-order pairing for comparison; the
+    * policy spec constructs exactly the distant-cold-cells fixture
+    * where it loses recall and `"nearest"` does not.
+    *
+    * Recall gate: pass `recallQueries` (a query sample sharing
+    * `idCol`/`vecCol` with `corpus`) and the pass measures
+    * recall@`recallProbe` via [[recallCurve]] before and after; if the
+    * pass degraded it by more than `maxRecallLossPpm` parts-per-million
+    * it FAILS LOUDLY (IllegalStateException) instead of letting the
+    * quality regression ship silently. The index content is lossless
+    * either way — on a gate failure, split the merged groups back
+    * apart or rebuild to restore probe ordering.
     */
   def rebalance(
       spark: SparkSession,
@@ -694,12 +863,25 @@ object AnnIndex {
       idCol: String = "id",
       vecCol: String = "v",
       hi: Double = 2.0,
-      lo: Double = 0.5): DataFrame = {
+      lo: Double = 0.5,
+      mergePolicy: String = "nearest",
+      recallQueries: Option[DataFrame] = None,
+      recallProbe: Int = 4,
+      recallK: Int = 5,
+      recallRerank: Int = 0,
+      maxRecallLossPpm: Long = 0L): DataFrame = {
     require(hi > 1.0 && lo < 1.0 && lo > 0.0, s"need lo < 1 < hi, got lo=$lo hi=$hi")
+    require(mergePolicy == "nearest" || mergePolicy == "occupancy",
+      s"mergePolicy must be nearest|occupancy, got $mergePolicy")
     val actions = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Int], Long)]
 
     def occupancy(): Seq[(Int, Long)] =
       stats(spark, path).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    def recallAt(): Long = recallCurve(spark, path, recallQueries.get,
+      idCol, vecCol, corpus, idCol, vecCol, Seq(recallProbe),
+      k = recallK, rerank = recallRerank).collect().head.getLong(1)
+
+    val recallBefore = recallQueries.map(_ => recallAt())
 
     val occ0 = occupancy()
     val mean0 = occ0.map(_._2).sum.toDouble / occ0.size
@@ -715,22 +897,73 @@ object AnnIndex {
     val mean1 = occ1.map(_._2).sum.toDouble / occ1.size
     val cold = occ1.filter(_._2 < lo * mean1)
       .sortBy { case (c, n) => (n, c) }
-    // greedy grouping: take cold lists in order until the group's mass
-    // reaches the mean (or the cold pool runs out); singletons stay
-    var group = Vector.empty[(Int, Long)]
-    def flush(): Unit = if (group.size >= 2) {
+
+    def doMerge(group: Seq[(Int, Long)]): Unit = {
       merge(spark, path, group.map(_._1), Some(corpus), idCol, vecCol)
       actions += (("merge", group.map(_._1), group.map(_._2).sum))
-      group = Vector.empty
-    } else group = Vector.empty
-    cold.foreach { cn =>
-      group :+= cn
-      if (group.map(_._2).sum >= mean1) flush()
     }
-    flush()
+
+    if (mergePolicy == "occupancy") {
+      // legacy pairing: coldest runs in occupancy order, blind to geometry
+      var group = Vector.empty[(Int, Long)]
+      def flush(): Unit = { if (group.size >= 2) doMerge(group); group = Vector.empty }
+      cold.foreach { cn =>
+        group :+= cn
+        if (group.map(_._2).sum >= mean1) flush()
+      }
+      flush()
+    } else {
+      // proximity-aware pairing over the PRE-MERGE model snapshot (every
+      // cold cid appears in at most one group, so the snapshot stays
+      // valid across the pass's own merges)
+      val model = loadModel(spark, path)
+      val cents: Map[Int, Seq[Double]] = model.centroids.toMap
+      def dist(a: Seq[Double], b: Seq[Double]): Double =
+        if (model.residual) {
+          var s = 0.0; var i = 0
+          while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+          s
+        } else {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          val denom = math.sqrt(na) * math.sqrt(nb)
+          if (denom == 0.0) 2.0 else 1.0 - dot / denom
+        }
+      val pool = scala.collection.mutable.LinkedHashMap(cold: _*)
+      while (pool.size >= 2) {
+        val (seed, seedN) = pool.head
+        pool.remove(seed)
+        var group = Vector((seed, seedN))
+        var gc: Array[Double] = cents(seed).toArray
+        var gn: Long = seedN
+        while (group.map(_._2).sum < mean1 && pool.nonEmpty) {
+          val (next, nextN) = pool.minBy { case (c, _) => (dist(gc, cents(c)), c) }
+          pool.remove(next)
+          group :+= ((next, nextN))
+          val cv = cents(next)
+          val tot = (gn + nextN).toDouble
+          var i = 0
+          while (i < gc.length) { gc(i) = (gc(i) * gn + cv(i) * nextN) / tot; i += 1 }
+          gn += nextN
+        }
+        if (group.size >= 2) doMerge(group)
+      }
+    }
 
     import spark.implicits._
-    actions.toSeq.toDF("action", "cids", "n_before")
+    val out = actions.toSeq.toDF("action", "cids", "n_before")
+    recallBefore.foreach { before =>
+      val after = recallAt()
+      if (before - after > maxRecallLossPpm)
+        throw new IllegalStateException(
+          s"rebalance degraded recall@$recallProbe from ${before}ppm to " +
+            s"${after}ppm (loss > $maxRecallLossPpm ppm). The landed pass is " +
+            "content-lossless (exhaustive probes unchanged) — split the " +
+            "merged groups back apart or rebuild to restore probe ordering.")
+    }
+    out
   }
 
   /** Split one over-full inverted list into `k` new lists — the
@@ -789,8 +1022,11 @@ object AnnIndex {
       fs.delete(oldListDir, true)
       return
     }
-    val memberIds = spark.read.parquet(codesDir)
-      .filter(col("cid") === cid).select("id", "codes")
+    // tombstoned members fold out here: they neither move to the new
+    // lists nor need raw vectors from the corpus
+    val memberIds = antiTomb(
+      spark.read.parquet(codesDir).filter(col("cid") === cid),
+      tombstoneIds(spark, path, layout)).select("id", "codes")
     // the within-list re-Lloyd, reassignment, and (residual) re-encode
     // all happen in the index's space — rotate the supplied raw vectors
     // first, exactly as build/append encode them
@@ -977,7 +1213,9 @@ object AnnIndex {
       else qSel.limit(localMax + 1).collect()
     val useLocal = localMax >= 0 && head.length <= localMax
 
-    val codes = spark.read.parquet(s"$path/${layout.codes}")
+    val codes = antiTomb(
+      spark.read.parquet(s"$path/${layout.codes}"),
+      tombstoneIds(spark, path, layout))
     val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
     val w2 = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
 
@@ -1121,5 +1359,69 @@ object AnnIndex {
           .select("query_id", "neighbor_id")
       }
     }
+  }
+
+  /** [[topK]] with the maintenance-race reader contract folded in: the
+    * result is MATERIALIZED under one layout resolution, and if a
+    * concurrent split/merge/vacuum reclaims a directory mid-scan
+    * (surfacing as a FAILED_READ_FILE / file-not-found failure), the
+    * whole query re-resolves the manifest and re-executes — up to
+    * `attempts` times, after which the last failure propagates. Every
+    * failure mode that is NOT a reclaimed-read (bad dims, missing
+    * index, genuine IO trouble) propagates immediately.
+    *
+    * The returned frame is a small local relation (k rows per query),
+    * never a lazy plan over index files — a lazy plan re-executed after
+    * a later maintenance flip is exactly the race this wrapper exists
+    * to close.
+    */
+  def topKRetrying(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int = 5,
+      nProbe: Int = 4,
+      rerank: Int = 0,
+      exact: Option[DataFrame] = None,
+      exactIdCol: String = "id",
+      exactVecCol: String = "v",
+      attempts: Int = 5): DataFrame = {
+    require(attempts >= 1, s"attempts must be >= 1, got $attempts")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val out = topK(spark, path, queries, qidCol, qvecCol, k, nProbe,
+          rerank, exact, exactIdCol, exactVecCol)
+        val rows = out.collect()
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      } catch {
+        case e: Throwable if attempt < attempts && isReclaimedRead(e) => ()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Does this failure look like a read of a directory a maintenance
+    * flip reclaimed? Walks the cause chain — Spark wraps the worker's
+    * FileNotFoundException in SparkException layers whose error class
+    * is FAILED_READ_FILE.
+    */
+  private def isReclaimedRead(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 20) {
+      val m = Option(t.getMessage).getOrElse("")
+      if (t.isInstanceOf[java.io.FileNotFoundException] ||
+          m.contains("FAILED_READ_FILE") || m.contains("PATH_NOT_FOUND") ||
+          m.contains("FileNotFoundException") || m.contains("does not exist"))
+        return true
+      t = t.getCause
+      depth += 1
+    }
+    false
   }
 }

@@ -757,6 +757,46 @@ object GraftQueries {
         idCol = "vec_id", vecCol = "embedding")
       AnnIndex.stats(s, s"$base/idx")
     }),
+    // the removal third of the index lifecycle: tombstone every 7th id
+    // and read the occupancy back. The oracle replays the coarse-Lloyd
+    // chain and drops the SAME ids before counting, so the lane pins
+    // that a manifest-snapshot reader sees exactly the survivors — the
+    // codes on disk still hold the deleted rows until a compact folds
+    // them (spec'd separately), which is the point: the delete itself
+    // is one model-sized write, never a data-sized rewrite
+    "ann_index_delete" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val base = java.nio.file.Files.createTempDirectory("graft_anndel_q").toString
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", residual = true)
+      AnnIndex.delete(s, s"$base/idx",
+        emb.filter(col("vec_id") % 7 === 0), "vec_id")
+      AnnIndex.stats(s, s"$base/idx")
+    }),
+    // the serving-quality diagnostic as a gated lane: with exact
+    // re-rank the probe widening can only ADD candidates under exact
+    // scoring, so recall is monotone non-decreasing in nProbe (a
+    // theorem, not a fixture property), and at full probe the ADC
+    // shortlist covers the brute top-k on this corpus, so recall hits
+    // exactly 1.0 — both booleans computed Spark-side from the curve
+    "ann_index_recall_curve" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val base = java.nio.file.Files.createTempDirectory("graft_annrc_q").toString
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      // 8×16 codes (the pq_rerank production config): the 4×16 default
+      // is too lossy for its ADC top-200 to cover the brute top-5 here
+      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", subspaces = 8)
+      val curve = AnnIndex.recallCurve(s, s"$base/idx",
+        emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
+        emb, "vec_id", "embedding",
+        probes = Seq(1, 2, 4, 8, 16), k = 5, rerank = 200)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val monotone = curve.sliding(2)
+        .forall(p => p.length < 2 || p(0)._2 <= p(1)._2)
+      val full = curve.last._2 == 1000000L
+      Seq((monotone, full)).toDF("monotone_in_probes", "full_probe_recall_1")
+    }),
     "ann_index_persisted" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val base = java.nio.file.Files.createTempDirectory("graft_annidx_q").toString
@@ -2744,6 +2784,12 @@ object GraftQueries {
     "ann_index_residual" -> residualAdcOracle,
     "ann_index_stats" -> (annCoarseL2Ctes(16, 64).mkString("WITH ", ",\n", "\n") +
       "SELECT cid, count(*) AS n_vectors FROM ka2 GROUP BY cid"),
+    // same coarse replay, minus the tombstoned ids — pins that the
+    // delete is visible to every manifest-snapshot reader
+    "ann_index_delete" -> (annCoarseL2Ctes(16, 64).mkString("WITH ", ",\n", "\n") +
+      "SELECT cid, count(*) AS n_vectors FROM ka2 WHERE vec_id % 7 <> 0 GROUP BY cid"),
+    "ann_index_recall_curve" ->
+      "SELECT true AS monotone_in_probes, true AS full_probe_recall_1",
     "ann_index_split" -> annSplitOracle,
     "ann_index_merge" -> (
       (annCoarseL2Ctes(16, 64) ++ Seq(
@@ -2755,7 +2801,7 @@ object GraftQueries {
           |  SELECT o.cid AS cid, o.n AS n_vectors FROM occ o
           |  WHERE o.cid NOT IN (SELECT cid FROM cold)
           |  UNION ALL
-          |  SELECT (SELECT base FROM b) AS cid, sum(o.n) AS n_vectors
+          |  SELECT (SELECT base FROM b) AS cid, CAST(sum(o.n) AS BIGINT) AS n_vectors
           |  FROM occ o WHERE o.cid IN (SELECT cid FROM cold))""".stripMargin),
     "ann_topk_ivfadc" -> "SELECT true AS recall_ge_080",
     "ann_topk_opq" -> "SELECT true AS opq_err_le_pq, true AS recall_ge_080",
