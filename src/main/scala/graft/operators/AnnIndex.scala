@@ -126,9 +126,26 @@ object AnnIndex {
 
   private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): String = {
-    val in = fs.open(p)
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
-    finally in.close()
+    // The manifest rename is atomic for the DATA file, but local
+    // ChecksumFileSystem moves the data file and its .crc sidecar as
+    // two steps — a reader overlapping a flip can transiently see the
+    // new bytes against the old checksum. The window is microseconds;
+    // ride it out rather than surface a phantom corruption. (HDFS and
+    // object stores have no client-side sidecar — the retry never
+    // triggers there.)
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(p)
+        try return new String(
+          in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      } catch {
+        case _: org.apache.hadoop.fs.ChecksumException if attempt < 100 =>
+          attempt += 1; Thread.sleep(10)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Resolve the live layout: the `INDEX` manifest when present, else
@@ -1416,8 +1433,10 @@ object AnnIndex {
     while (t != null && depth < 20) {
       val m = Option(t.getMessage).getOrElse("")
       if (t.isInstanceOf[java.io.FileNotFoundException] ||
+          t.isInstanceOf[org.apache.hadoop.fs.ChecksumException] ||
           m.contains("FAILED_READ_FILE") || m.contains("PATH_NOT_FOUND") ||
-          m.contains("FileNotFoundException") || m.contains("does not exist"))
+          m.contains("FileNotFoundException") || m.contains("does not exist") ||
+          m.contains("Checksum error"))
         return true
       t = t.getCause
       depth += 1

@@ -391,20 +391,334 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(again == curve)
   }
 
-  test("vacuum reclaims retained generations, never the live set") {
+  test("vacuum is age-guarded: grace protects retained generations, then reclaims") {
     val path = tmpIdx()
     AnnIndex.build(emb, "vec_id", "embedding", path)
     AnnIndex.build(emb, "vec_id", "embedding", path) // v1 retained
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")))
     val expected = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
       "vec_id", "embedding", k = 5, nProbe = 16))
-    val removed = AnnIndex.vacuum(spark, path)
+    // default grace (10 min): the just-retired generation is protected
+    // with NO caller discipline involved
+    assert(AnnIndex.vacuum(spark, path) == 0,
+      "grace must protect the just-retired generation")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")))
+    // once the retirement timestamp ages past the grace window, reclaim
+    Thread.sleep(250)
+    val removed = AnnIndex.vacuum(spark, path, graceMs = 100L)
     assert(removed >= 4, s"expected the retained generation gone, removed $removed")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")))
-    assert(AnnIndex.vacuum(spark, path) == 0, "second vacuum must be a no-op")
+    assert(AnnIndex.vacuum(spark, path, graceMs = 0L) == 0,
+      "second vacuum must be a no-op")
     val after = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
       "vec_id", "embedding", k = 5, nProbe = 16))
     assert(after == expected, "vacuum must never touch the live set")
+  }
+
+  test("grace window keeps an in-flight old-layout reader readable") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    // a reader plans against the CURRENT layout but has not executed yet
+    val inFlight = AnnIndex.topK(spark, path, queriesOf(0L to 4L),
+      "vec_id", "embedding", k = 5, nProbe = 16)
+    // a maintenance flip supersedes the codes generation under it
+    AnnIndex.compact(spark, path)
+    // vacuum within grace: the superseded generation survives, so the
+    // in-flight plan still executes against intact directories
+    assert(AnnIndex.vacuum(spark, path, graceMs = 60000L) == 0)
+    assert(pairs(inFlight).size == 25, "old-layout reader must stay readable")
+    // after grace the generation is reclaimed; new resolutions serve on
+    Thread.sleep(250)
+    assert(AnnIndex.vacuum(spark, path, graceMs = 100L) >= 1)
+    assert(pairs(AnnIndex.topK(spark, path, queriesOf(0L to 4L),
+      "vec_id", "embedding", k = 5, nProbe = 16)).size == 25)
+  }
+
+  test("delete: tombstoned ids vanish from stats and queries; compact folds them physically") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val total = AnnIndex.stats(spark, path)
+      .agg(sum(col("n_vectors"))).head.getLong(0)
+    val doomed = emb.filter(col("vec_id") % 7 === 0)
+    val k = doomed.count()
+    val tomb = AnnIndex.delete(spark, path, doomed, "vec_id")
+    assert(tomb == k, s"tombstone count $tomb != deleted $k")
+    // stats shows N-K without touching the data-sized codes
+    assert(AnnIndex.stats(spark, path).agg(sum(col("n_vectors"))).head.getLong(0)
+      == total - k)
+    // no query path serves a deleted row
+    val served = pairs(AnnIndex.topK(spark, path, queriesOf(1L to 10L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    assert(served.size == 50 && served.forall(_._2 % 7 != 0),
+      "a tombstoned id leaked into query results")
+    // delete is idempotent (same set → same count)
+    assert(AnnIndex.delete(spark, path, doomed, "vec_id") == k)
+    // compact folds the tombstones into the physical layout and drops
+    // the set: same stats, same results, codes physically shrunk
+    AnnIndex.compact(spark, path)
+    assert(spark.read.parquet(AnnIndex.codesPath(spark, path)).count() == total - k)
+    assert(AnnIndex.stats(spark, path).agg(sum(col("n_vectors"))).head.getLong(0)
+      == total - k)
+    assert(pairs(AnnIndex.topK(spark, path, queriesOf(1L to 10L),
+      "vec_id", "embedding", k = 5, nProbe = 16)) == served)
+  }
+
+  test("delete: survivors serve bit-equal to an index that never held the deleted rows") {
+    val survivors = emb.filter(col("vec_id") % 7 =!= 0)
+    val doomed = emb.filter(col("vec_id") % 7 === 0)
+    // pA: the counterfactual — the deleted rows never entered
+    val pA = tmpIdx()
+    AnnIndex.build(survivors, "vec_id", "embedding", pA)
+    // pB: same frozen model (trained on the same survivors), the doomed
+    // rows enter through append (no retrain) and leave through delete
+    val pB = tmpIdx()
+    AnnIndex.build(survivors, "vec_id", "embedding", pB)
+    AnnIndex.append(doomed, "vec_id", "embedding", pB)
+    AnnIndex.delete(spark, pB, doomed, "vec_id")
+    val statsA = AnnIndex.stats(spark, pA).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val statsB = AnnIndex.stats(spark, pB).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(statsA == statsB, "occupancy must match the never-held index")
+    val qs = queriesOf(Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L, 9L, 10L, 11L))
+    val a = pairs(AnnIndex.topK(spark, pA, qs, "vec_id", "embedding",
+      k = 5, nProbe = 16))
+    val b = pairs(AnnIndex.topK(spark, pB, qs, "vec_id", "embedding",
+      k = 5, nProbe = 16))
+    assert(a == b, "full-probe results must be bit-equal to the never-held index")
+    // and the equality survives the physical fold
+    AnnIndex.compact(spark, pB)
+    assert(pairs(AnnIndex.topK(spark, pB, qs, "vec_id", "embedding",
+      k = 5, nProbe = 16)) == a)
+  }
+
+  test("delete between streaming appends: survivors and late arrivals both serve") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val total = AnnIndex.stats(spark, path)
+      .agg(sum(col("n_vectors"))).head.getLong(0)
+    val ck = java.nio.file.Files.createTempDirectory("graft_anndelstream").toString
+    val vecOf = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, Seq[Double])]
+    val q = AnnIndex.appendStream(
+      src.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", path, ck)
+    try {
+      // batch 1 arrives, then a delete lands mid-stream, then batch 2
+      src.addData((10001L, vecOf(1L)), (10002L, vecOf(2L)))
+      q.processAllAvailable()
+      AnnIndex.delete(spark, path, Seq(10001L, 3L))
+      src.addData((10003L, vecOf(4L)))
+      q.processAllAvailable()
+      val n = AnnIndex.stats(spark, path).agg(sum(col("n_vectors"))).head.getLong(0)
+      assert(n == total + 3 - 2, s"expected ${total + 1} live rows, got $n")
+      val served = pairs(AnnIndex.topK(spark, path, queriesOf(1L to 5L),
+        "vec_id", "embedding", k = 5, nProbe = 16))
+      assert(!served.exists(p => p._2 == 10001L || p._2 == 3L),
+        "deleted rows served after the delete")
+      assert(served.exists(p => p._2 == 10002L || p._2 == 10003L),
+        "surviving appends must be servable (10002/10003 duplicate hot vectors)")
+    } finally q.stop()
+  }
+
+  test("split and merge fold tombstoned members out of the lists they rewrite") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val hot = AnnIndex.hottestList(spark, path)
+    val hotIds = spark.read.parquet(AnnIndex.codesPath(spark, path))
+      .filter(col("cid") === hot).select("id").collect().map(_.getLong(0)).sorted
+    val doomedHot = hotIds.take(3).toSeq
+    AnnIndex.delete(spark, path, doomedHot)
+    val liveBefore = AnnIndex.stats(spark, path)
+      .agg(sum(col("n_vectors"))).head.getLong(0)
+    AnnIndex.split(spark, path, hot, k = 2, emb, "vec_id", "embedding")
+    // the split lists hold only survivors, and none of the doomed ids
+    // physically moved into them
+    val afterSplit = AnnIndex.stats(spark, path)
+      .agg(sum(col("n_vectors"))).head.getLong(0)
+    assert(afterSplit == liveBefore, "split must conserve live rows")
+    val m = AnnIndex.loadModel(spark, path)
+    val newCids = m.centroids.map(_._1).filter(_ > hot).toSeq
+    val movedIds = spark.read.parquet(AnnIndex.codesPath(spark, path))
+      .filter(col("cid").isInCollection(newCids))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(doomedHot.forall(id => !movedIds.contains(id)),
+      "split physically folded the tombstoned members out")
+    // merge folds them too for the lists it rewrites
+    val cold = AnnIndex.coldestLists(spark, path, 2)
+    val coldIds = spark.read.parquet(AnnIndex.codesPath(spark, path))
+      .filter(col("cid").isInCollection(cold)).select("id")
+      .collect().map(_.getLong(0)).sorted
+    val doomedCold = coldIds.take(2).toSeq
+    AnnIndex.delete(spark, path, doomedCold)
+    AnnIndex.merge(spark, path, cold)
+    val m2 = AnnIndex.loadModel(spark, path)
+    val mergedCid = m2.centroids.map(_._1).max
+    val mergedIds = spark.read.parquet(AnnIndex.codesPath(spark, path))
+      .filter(col("cid") === mergedCid).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(doomedCold.forall(id => !mergedIds.contains(id)),
+      "merge physically folded the tombstoned members out")
+    assert(AnnIndex.stats(spark, path).agg(sum(col("n_vectors"))).head.getLong(0)
+      == liveBefore - 2)
+  }
+
+  test("topKRetrying serves through a concurrent split/merge/vacuum loop") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    @volatile var maintErr: Option[Throwable] = None
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintenance = new Thread(() => {
+      try {
+        var i = 0
+        while (i < 6 && !stop.get()) {
+          val hot = AnnIndex.hottestList(spark, path)
+          AnnIndex.split(spark, path, hot, k = 2, emb, "vec_id", "embedding")
+          AnnIndex.vacuum(spark, path, graceMs = 0L)
+          val cold = AnnIndex.coldestLists(spark, path, 2)
+          AnnIndex.merge(spark, path, cold)
+          AnnIndex.vacuum(spark, path, graceMs = 0L)
+          i += 1
+        }
+      } catch { case t: Throwable => maintErr = Some(t) }
+    })
+    maintenance.start()
+    try {
+      // the serving loop: every batch must come back complete — the
+      // wrapper re-resolves the manifest on reclaimed-directory reads
+      var batches = 0
+      while (maintenance.isAlive && batches < 40) {
+        val got = AnnIndex.topKRetrying(spark, path, queriesOf(0L to 4L),
+          "vec_id", "embedding", k = 5, nProbe = 4, attempts = 10)
+        val rows = got.collect()
+        assert(rows.length == 25, s"batch $batches returned ${rows.length} rows")
+        batches += 1
+      }
+      assert(batches > 0)
+    } finally { stop.set(true); maintenance.join(120000) }
+    assert(maintErr.isEmpty, s"maintenance loop failed: $maintErr")
+    // the index is intact afterwards
+    assert(AnnIndex.stats(spark, path).agg(sum(col("n_vectors"))).head.getLong(0)
+      == emb.count())
+  }
+
+  test("merge policy: occupancy-blind pairing of distant cold cells loses recall; nearest does not, and the gate catches it") {
+    import spark.implicits._
+    // Four Voronoi cells in 8-d: two COLD NEIGHBORING cells A1/A2
+    // (directions 10 degrees apart around +x), one COLD DISTANT cell C
+    // (orthogonal), one hot ballast cell B. Sizes 6/8/7/31 make
+    // {A1, C, A2} the cold pool with mean exactly 13, so the legacy
+    // occupancy pairing takes [A1(6), C(7)] — a merge across empty
+    // space whose centroid lands between the regions — while the
+    // nearest policy takes [A1, A2]. Every A1 member's true top-5 is
+    // the other five A1 members (within-cell cosine ~0.9998 vs 0.980
+    // to A2), so recall@1 tells the two merges apart sharply: after
+    // [A1, C] the probe for an A1 query picks the UNMERGED A2 cell
+    // (0.980 beats the dragged-away merged centroid's ~0.65) and
+    // recall collapses; after [A1, A2] the merged centroid stays in
+    // the A region and recall holds at 1.0.
+    def jit(id: Long, d: Int): Double = 0.05 * (((id * 7 + d) % 5).toDouble - 2.0)
+    def member(id: Long, dir: Seq[Double]): (Long, Seq[Double]) =
+      (id, dir.zipWithIndex.map { case (x, i) => if (i >= 4) x + jit(id, i) else x })
+    val dirA1 = Seq(10.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val dirC = Seq(0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val dirA2 = Seq(10.0, -1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val dirB = Seq(0.0, 0.0, 0.0, 0.0, 10.0, 0.0, 0.0, 0.0)
+    val rows: Seq[(Long, Seq[Double])] =
+      Seq((0L, dirA1), (1L, dirC), (2L, dirA2), (3L, dirB)) ++ // Lloyd seeds
+        (4L to 8L).map(member(_, dirA1)) ++
+        (9L to 14L).map(member(_, dirC)) ++
+        (15L to 21L).map(member(_, dirA2)) ++
+        (22L to 51L).map(member(_, dirB))
+    val df = rows.toDF("vec_id", "embedding")
+    val a1Ids = Seq(0L, 4L, 5L, 6L, 7L, 8L)
+    val qFrame = df.filter(col("vec_id").isInCollection(a1Ids))
+    def recallAt1(path: String): Long =
+      AnnIndex.recallCurve(spark, path, qFrame, "vec_id", "embedding",
+        df, "vec_id", "embedding", Seq(1), k = 5, rerank = 20)
+        .head.getLong(1)
+
+    val pOld = tmpIdx()
+    AnnIndex.build(df, "vec_id", "embedding", pOld, nLists = 4)
+    val occ0 = AnnIndex.stats(spark, pOld).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(occ0 == Map(0 -> 6L, 1 -> 7L, 2 -> 8L, 3 -> 31L),
+      s"fixture trained unexpectedly: $occ0")
+    assert(recallAt1(pOld) == 1000000L, "pre-merge recall@1 must be perfect")
+    val ex = intercept[IllegalStateException] {
+      AnnIndex.rebalance(spark, pOld, df, "vec_id", "embedding",
+        hi = 3.0, lo = 0.65, mergePolicy = "occupancy",
+        recallQueries = Some(qFrame), recallProbe = 1, recallRerank = 20)
+    }
+    assert(ex.getMessage.contains("degraded recall"), ex.getMessage)
+    // the distant pairing really happened and really lost recall
+    val mOld = AnnIndex.loadModel(spark, pOld)
+    assert(!mOld.centroids.exists(c => c._1 == 0 || c._1 == 1) &&
+      mOld.centroids.exists(_._1 == 4),
+      "occupancy policy should have merged [A1, C]")
+    assert(recallAt1(pOld) < 1000000L,
+      "the distant merge must cost recall — else this fixture proves nothing")
+
+    val pNew = tmpIdx()
+    AnnIndex.build(df, "vec_id", "embedding", pNew, nLists = 4)
+    val log = AnnIndex.rebalance(spark, pNew, df, "vec_id", "embedding",
+      hi = 3.0, lo = 0.65,
+      recallQueries = Some(qFrame), recallProbe = 1, recallRerank = 20)
+      .collect()
+    val merges = log.filter(_.getString(0) == "merge")
+      .map(_.getSeq[Int](1).toSet).toSeq
+    assert(merges == Seq(Set(0, 2)),
+      s"nearest policy must pair the neighboring cold cells, got $merges")
+    assert(recallAt1(pNew) == 1000000L,
+      "nearest policy must preserve recall@1")
+  }
+
+  test("OPQ on the residual layout lowers the residual quantization objective like the plain path") {
+    // end-to-end encode error of each built index, replayed driver-side
+    // with the index's own model (same L2 argmin tie rule, same
+    // residual, nearest codebook entry per subspace). Orthogonal
+    // rotations preserve L2, so the two geometries compare directly.
+    def residualObjective(path: String): Double = {
+      val m = AnnIndex.loadModel(spark, path)
+      assert(m.residual)
+      def l2sq(a: Array[Double], b: Seq[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      val rows = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getSeq[Double](1).toArray)
+      var total = 0.0
+      rows.foreach { v0 =>
+        val v = m.rotation.fold(v0)(r =>
+          r.map(row => row.zip(v0).map { case (a, b) => a * b }.sum))
+        val (_, cv) = m.centroids.minBy { case (c, cc) => (l2sq(v, cc), -c) }
+        val res = v.indices.map(i => v(i) - cv(i)).toArray
+        (0 until m.subspaces).foreach { s =>
+          val sub = res.slice(s * m.subDim, (s + 1) * m.subDim)
+          total += m.codebooks(s).map { case (_, e) => l2sq(sub, e) }.min
+        }
+      }
+      total
+    }
+    val pPlain = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", pPlain,
+      subspaces = 8, residual = true)
+    val pOpq = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", pOpq,
+      subspaces = 8, residual = true, opqIters = 3)
+    assert(AnnIndex.loadModel(spark, pOpq).rotation.nonEmpty)
+    val objPlain = residualObjective(pPlain)
+    val objOpq = residualObjective(pOpq)
+    // same margin as the plain-layout OPQ gates: the rotation must beat
+    // the unrotated objective by a real margin, not noise
+    assert(objOpq < objPlain * 0.97,
+      s"residual OPQ objective $objOpq !< 0.97 * $objPlain")
   }
 
   test("append rejects ragged vectors loudly before anything commits") {
