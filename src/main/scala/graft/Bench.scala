@@ -56,6 +56,11 @@ object Bench {
     val controlName = "ann_topk_brute"
     val perPass: Seq[(Double, Seq[(String, Double, Option[String])])] =
       (1 to passes).map { p =>
+        // pass boundary: drop the registry memos (forest loads,
+        // extracted datasets, trained models) — without this a later
+        // pass times a memo read instead of the operator and the
+        // per-lane minimum stops meaning anything
+        if (p > 1) SparkEntry.resetMemos(spark)
         val ctl =
           if (!SparkEntry.queries.contains(controlName)) -1.0
           else {

@@ -58,7 +58,11 @@ object Cli {
         |  ann stats --index DIR                          per-list occupancy histogram
         |  ann split <emb.parquet> --index DIR [--cid N] [--k K]   split a hot list in place
         |  ann merge --index DIR [--cids A,B] [--emb P]   fold cold lists into one
-        |  ann rebalance <emb.parquet> --index DIR [--hi X] [--lo Y]   split-hot + merge-cold pass
+        |  ann rebalance <emb.parquet> --index DIR [--hi X] [--lo Y]
+        |                [--policy nearest|occupancy] [--recall-ids A,B,...]
+        |                [--recall-probe P] [--recall-rerank R] [--recall-loss PPM]
+        |                                                 split-hot + merge-cold pass (nearest-
+        |                                                 neighbor cold pairing; optional recall gate)
         |  ann vacuum --index DIR [--grace MS]            reclaim retained generations older than
         |                                                 the grace window (default 10 min; 0 = all)
         |  ann delete --index DIR [--ids A,B,...| --parquet P --id C]
@@ -224,11 +228,24 @@ object Cli {
             case None => out.show(50, truncate = false)
           }
         case "rebalance" =>
+          val idc = opts.getOrElse("id", "vec_id")
+          // --recall-ids a,b,… arms the recall gate: the pass measures
+          // recall@--recall-probe before/after and fails loudly on a
+          // degradation beyond --recall-loss ppm
+          val recallQ = opts.get("recall-ids").map { csv =>
+            val ids = csv.split(",").map(_.trim.toLong).toSeq
+            emb.filter(org.apache.spark.sql.functions.col(idc).isInCollection(ids))
+          }
           val log = graft.operators.AnnIndex.rebalance(
             spark, idx, emb,
-            opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"),
+            idc, opts.getOrElse("vec", "embedding"),
             hi = opts.getOrElse("hi", "2.0").toDouble,
-            lo = opts.getOrElse("lo", "0.5").toDouble)
+            lo = opts.getOrElse("lo", "0.5").toDouble,
+            mergePolicy = opts.getOrElse("policy", "nearest"),
+            recallQueries = recallQ,
+            recallProbe = opts.getOrElse("recall-probe", "4").toInt,
+            recallRerank = opts.getOrElse("recall-rerank", "0").toInt,
+            maxRecallLossPpm = opts.getOrElse("recall-loss", "0").toLong)
           log.show(100, truncate = false)
           println("occupancy now:")
           graft.operators.AnnIndex.stats(spark, idx)

@@ -23,6 +23,12 @@ object SparkEntry {
     * that silently selects zero queries would make a verify run that
     * ran nothing read as fully green.
     */
+  /** Drop every registry-level memo (forest loads, extracted datasets,
+    * trained models, …). Bench calls this at pass boundaries so
+    * min-of-N passes re-measure the real work instead of a memo read.
+    */
+  def resetMemos(spark: SparkSession): Unit = GraftQueries.resetMemos(spark)
+
   def querySubset(): Option[Set[String]] =
     sys.env.get("SPARK_GRAFT_QUERIES").map { raw =>
       val names = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
