@@ -70,8 +70,9 @@ object Cli {
         |  ann recall <emb.parquet> --index DIR [--probes 1,4,16] [--ids ...] [--rerank R]
         |                                                 recall-vs-nProbe curve vs brute force
         |  ann query <emb.parquet> --index DIR --ids 0,1,2 [--id C] [--vec C]
-        |            [--k K] [--probe P] [--rerank R] [--out DIR]
-        |                                                  top-k over a persisted index (no retrain)
+        |            [--k K] [--probe P] [--rerank R] [--allow-ids A,B,...] [--out DIR]
+        |                                                  top-k over a persisted index (no retrain;
+        |                                                  --allow-ids = filtered search candidates)
         |  pipeline profile|dedup|sample|pack|rank|quantiles <docs.parquet>
         |           [--id C] [--text C] [--out DIR]
         |           [--method exact|lines|ngram|minhash|simhash]   (dedup)
@@ -680,6 +681,12 @@ object Cli {
       throw new IllegalArgumentException("ann query needs --ids N,N,...")
     ).split(",").map(_.trim.toLong).toSeq
     val rerank = opts.getOrElse("rerank", "0").toInt
+    // --allow-ids restricts CANDIDATES (filtered search); queries are
+    // always the --ids set
+    val allow = opts.get("allow-ids").map { csv =>
+      val a = csv.split(",").map(_.trim.toLong).toSeq
+      emb.filter(col(idCol).isInCollection(a))
+    }
     graft.operators.AnnIndex.topK(
       emb.sparkSession, indexPath,
       emb.filter(col(idCol).isInCollection(ids)), idCol, vecCol,
@@ -687,7 +694,8 @@ object Cli {
       nProbe = opts.getOrElse("probe", "4").toInt,
       rerank = rerank,
       exact = if (rerank > 0) Some(emb) else None,
-      exactIdCol = idCol, exactVecCol = vecCol)
+      exactIdCol = idCol, exactVecCol = vecCol,
+      allow = allow, allowIdCol = idCol)
   }
 
   /** The `pipeline` subcommand's frame builder, factored out so the

@@ -1194,6 +1194,16 @@ object AnnIndex {
     * vectors for the shortlist re-rank (the corpus the index was built
     * from); the compressed scan then only shortlists `rerank`
     * candidates and exact cosine picks the final `k`.
+    *
+    * FILTERED search: `allow` restricts CANDIDATES (not queries) to an
+    * id set — "nearest neighbors among documents passing this
+    * predicate", the production shape where ANN composes with metadata
+    * filters. It joins the scan side exactly like the tombstone
+    * deny-list (left-semi vs left-anti — the partition filter pushes
+    * through both), so cost is one membership join, never a rebuild or
+    * a post-hoc shrunken top-k; ADC ranking within the allowed set is
+    * bit-identical to the unfiltered ranking restricted to it (pinned
+    * in spec). A tombstoned id stays excluded even if allowed.
     */
   def topK(
       spark: SparkSession,
@@ -1206,7 +1216,9 @@ object AnnIndex {
       rerank: Int = 0,
       exact: Option[DataFrame] = None,
       exactIdCol: String = "id",
-      exactVecCol: String = "v"): DataFrame = {
+      exactVecCol: String = "v",
+      allow: Option[DataFrame] = None,
+      allowIdCol: String = "id"): DataFrame = {
     require(rerank <= 0 || exact.nonEmpty,
       "rerank > 0 needs the raw-vector frame (exact=...) for the final ranking")
     graft.functions.GraftFunctions.register(spark)
@@ -1230,9 +1242,12 @@ object AnnIndex {
       else qSel.limit(localMax + 1).collect()
     val useLocal = localMax >= 0 && head.length <= localMax
 
-    val codes = antiTomb(
+    val codes0 = antiTomb(
       spark.read.parquet(s"$path/${layout.codes}"),
       tombstoneIds(spark, path, layout))
+    val codes = allow.fold(codes0)(a => codes0.join(
+      a.select(col(allowIdCol).cast("long").as("id")).distinct(),
+      Seq("id"), "left_semi"))
     val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
     val w2 = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
 
@@ -1404,6 +1419,8 @@ object AnnIndex {
       exact: Option[DataFrame] = None,
       exactIdCol: String = "id",
       exactVecCol: String = "v",
+      allow: Option[DataFrame] = None,
+      allowIdCol: String = "id",
       attempts: Int = 5): DataFrame = {
     require(attempts >= 1, s"attempts must be >= 1, got $attempts")
     var attempt = 0
@@ -1411,7 +1428,7 @@ object AnnIndex {
       attempt += 1
       try {
         val out = topK(spark, path, queries, qidCol, qvecCol, k, nProbe,
-          rerank, exact, exactIdCol, exactVecCol)
+          rerank, exact, exactIdCol, exactVecCol, allow, allowIdCol)
         val rows = out.collect()
         return spark.createDataFrame(
           spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)

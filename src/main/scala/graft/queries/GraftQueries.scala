@@ -787,24 +787,26 @@ object GraftQueries {
         emb.filter(col("vec_id") % 7 === 0), "vec_id")
       AnnIndex.stats(s, s"$base/idx")
     }),
-    // the serving-quality diagnostic as a gated lane: with exact
-    // re-rank the probe widening can only ADD candidates under exact
-    // scoring, so recall is monotone non-decreasing in nProbe (a
-    // theorem, not a fixture property), and at full probe the ADC
-    // shortlist covers the brute top-k on this corpus, so recall hits
-    // exactly 1.0 — both booleans computed Spark-side from the curve
+    // the serving-quality diagnostic as a gated lane. The gates are
+    // MACHINERY theorems, not fixture properties, because the shortlist
+    // never truncates (rerank = corpus size): widening the probe can
+    // then only ADD candidates, and exact scoring over a candidate
+    // superset cannot lose a true top-k member — so recall is monotone
+    // non-decreasing in nProbe and exactly 1.0 at full probe, at ANY
+    // scale. (A production-sized rerank (~200) trades this guarantee
+    // for cost: the ADC top-R shortlist of a WIDER candidate set is not
+    // a superset of the narrower one's, so monotonicity can break — the
+    // ADC quality itself is what the ann_topk_* recall lanes gate.)
     "ann_index_recall_curve" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions.col
       val base = java.nio.file.Files.createTempDirectory("graft_annrc_q").toString
       val emb = s.read.parquet(s"$d/embeddings.parquet")
-      // 8×16 codes (the pq_rerank production config): the 4×16 default
-      // is too lossy for its ADC top-200 to cover the brute top-5 here
       AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", subspaces = 8)
       val curve = AnnIndex.recallCurve(s, s"$base/idx",
         emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
         emb, "vec_id", "embedding",
-        probes = Seq(1, 2, 4, 8, 16), k = 5, rerank = 200)
+        probes = Seq(1, 2, 4, 8, 16), k = 5, rerank = emb.count().toInt)
         .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
       val monotone = curve.sliding(2)
         .forall(p => p.length < 2 || p(0)._2 <= p(1)._2)
@@ -819,6 +821,24 @@ object GraftQueries {
       AnnIndex.topK(s, s"$base/idx",
         emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
         k = 5, nProbe = 16)
+    }),
+    // FILTERED search — "nearest neighbors among documents passing this
+    // predicate": the allow set joins the scan side (left-semi, the
+    // tombstone deny-list's twin), restricting CANDIDATES, never
+    // queries. At full probe on the plain layout the result is the
+    // exhaustive ADC ranking restricted to the allowed ids, so the
+    // oracle is the same DuckDB replay as ann_topk_pq with the one
+    // extra candidate predicate
+    "ann_index_filtered" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val base = java.nio.file.Files.createTempDirectory("graft_annfil_q").toString
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx")
+      AnnIndex.topK(s, s"$base/idx",
+        emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
+        k = 5, nProbe = 16,
+        allow = Some(emb.filter(col("vec_id") % 3 === 0)),
+        allowIdCol = "vec_id")
     }),
     // the persisted OPQ pipeline (rotation stored beside the codebooks,
     // everything downstream in the rotated space): an exhaustive probe
@@ -2795,6 +2815,7 @@ object GraftQueries {
     // exhaustive probing ≡ the exhaustive ADC scan — same replay
     "ann_topk_ivfadc_full" -> pqAdcOracle,
     "ann_index_persisted" -> pqAdcOracle,
+    "ann_index_filtered" -> pqAdcOracleWith(" AND d0.vec_id % 3 = 0"),
     "ann_index_residual" -> residualAdcOracle,
     "ann_index_stats" -> (annCoarseL2Ctes(16, 64).mkString("WITH ", ",\n", "\n") +
       "SELECT cid, count(*) AS n_vectors FROM ka2 GROUP BY cid"),
@@ -3710,7 +3731,14 @@ object GraftQueries {
     * the nano-unit rounding lands on the same integers, and the
     * integer-ADC top-k is exact, not merely similar.
     */
-  private lazy val pqAdcOracle: String = {
+  private lazy val pqAdcOracle: String = pqAdcOracleWith("")
+
+  /** The exhaustive-ADC replay with an optional extra CANDIDATE
+    * predicate — the filtered-search lane (`allow` = an id set)
+    * restricts neighbors, never queries, exactly like the Spark side's
+    * scan-side semi join.
+    */
+  private def pqAdcOracleWith(candidatePred: String): String = {
     val subspaces = 4; val sub = 16; val cb = 16
     def dist(a: String, b: String): String =
       (1 to sub).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
@@ -3758,7 +3786,7 @@ object GraftQueries {
     (Seq("e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)") ++ perSub)
       .mkString("WITH ", ",\n", ",\n") +
       s"""adc AS (SELECT d0.qid AS query_id, d0.vec_id AS neighbor_id, $adcSum AS adc
-         |        FROM d0 $adcJoins WHERE d0.vec_id <> d0.qid),
+         |        FROM d0 $adcJoins WHERE d0.vec_id <> d0.qid$candidatePred),
          |r AS (SELECT query_id, neighbor_id,
          |             row_number() OVER (PARTITION BY query_id
          |               ORDER BY adc ASC, neighbor_id ASC) AS rk

@@ -721,6 +721,50 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       s"residual OPQ objective $objOpq !< 0.97 * $objPlain")
   }
 
+  test("filtered search: allow restricts candidates exactly; deny beats allow; pruning survives") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val unfiltered = AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // allow-everything is bit-equal to no filter at all
+    val allowAll = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16,
+      allow = Some(emb), allowIdCol = "vec_id"))
+    assert(allowAll == unfiltered.toSet)
+    // a real filter: only multiples of 3 are candidates
+    val filtered = AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16,
+      allow = Some(emb.filter(col("vec_id") % 3 === 0)), allowIdCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(filtered.length == 50 && filtered.forall(_._2 % 3 == 0),
+      "a disallowed candidate leaked into filtered results")
+    // consistency with the unfiltered ranking: any unfiltered top-5
+    // member that IS allowed must also be in the filtered top-5 (the
+    // filter removes candidates, it cannot demote surviving ones)
+    val filteredSet = filtered.toSet
+    unfiltered.filter(_._2 % 3 == 0).foreach { p =>
+      assert(filteredSet.contains(p),
+        s"allowed neighbor $p fell out of the filtered top-5")
+    }
+    // deny beats allow: tombstone an allowed id that was being served
+    val servedAllowed = filtered.head._2
+    AnnIndex.delete(spark, path, Seq(servedAllowed))
+    val afterDelete = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16,
+      allow = Some(emb.filter(col("vec_id") % 3 === 0)), allowIdCol = "vec_id"))
+    assert(!afterDelete.exists(_._2 == servedAllowed),
+      "a tombstoned id must stay excluded even when allowed")
+    // the filter join must not cost the scan its partition pruning
+    val probeQ = AnnIndex.topK(spark, path, queriesOf(Seq(0L)),
+      "vec_id", "embedding", k = 5, nProbe = 2,
+      allow = Some(emb.filter(col("vec_id") % 3 === 0)), allowIdCol = "vec_id")
+    probeQ.collect()
+    val plan = probeQ.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"filtered probe lost the partition filter on cid:\n$plan")
+  }
+
   test("append rejects ragged vectors loudly before anything commits") {
     val path = tmpIdx()
     AnnIndex.build(emb, "vec_id", "embedding", path)
