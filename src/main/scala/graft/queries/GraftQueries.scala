@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.metrics.{FdMetrics, ForestInspector}
 import graft.model.{Forest, NodeRow, Schema}
-import graft.operators.{Ann, AnnIndex, Decontaminate, Dedup, Events, Graph, LmScore, Mixture, Multimodal, Pii, RiffAvi, TextAnalysis, Tokenizer}
+import graft.operators.{Ann, AnnIndex, Decontaminate, Dedup, Events, Graph, Hybrid, LmScore, Mixture, Multimodal, Pii, RiffAvi, TextAnalysis, Tokenizer}
 import graft.sources.{DbConfig, RelationalLoader, Testdata}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
@@ -627,6 +627,17 @@ object GraftQueries {
     "ann_topk_brute" -> ((s, d) =>
       Ann.bruteForceTopK(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0L to 9L, k = 5)),
+    // hybrid dense+sparse retrieval with reciprocal-rank fusion (RRF,
+    // k0=60): cosine ranking over embeddings fused with a word-3-gram
+    // Jaccard ranking over documents (inverted shingle join — only
+    // nonzero-overlap candidates exist). Only RANKS cross systems and
+    // the fusion is integer micro-units, so DuckDB replays the whole
+    // chain — both rankings, truncation, fusion, final top-5 — exactly
+    "hybrid_retrieval_documents" -> ((s, d) =>
+      Hybrid.retrieve(
+        s.read.parquet(s"$d/documents.parquet"),
+        s.read.parquet(s"$d/embeddings.parquet"),
+        0L to 9L, k = 5, topN = 20)),
     // IVF at the approximate config (nProbe=4 of 16 lists) cannot match
     // brute force row-for-row by design; the correctness contract is the
     // reference one for ANN indexes — recall vs exhaustive search — so
@@ -2811,6 +2822,42 @@ object GraftQueries {
 
     "ann_topk_ivf_full_probe" -> annBruteOracle,
     "ann_topk_brute" -> annBruteOracle,
+    // full RRF replay: dense cosine ranks, sparse 3-gram Jaccard ranks
+    // (same shingle formulation as the dedup oracle), per-system top-20
+    // truncation, integer micro-unit fusion, fused top-5
+    "hybrid_retrieval_documents" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |dsim AS (SELECT qid, vec_id AS id,
+        |                list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS sim
+        |         FROM q, embeddings WHERE vec_id <> qid),
+        |dr AS (SELECT qid, id,
+        |              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS rnk
+        |       FROM dsim),
+        |dtop AS (SELECT qid, id, rnk FROM dr WHERE rnk <= 20),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |       unnest(list_distinct([array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)])) AS shingle
+        |       FROM toks WHERE len(ts) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |qsh AS (SELECT doc_id AS qid, shingle FROM sh WHERE doc_id < 10),
+        |inter AS (SELECT qs.qid, s.doc_id AS id, count(*) AS i
+        |          FROM qsh qs JOIN sh s ON qs.shingle = s.shingle AND s.doc_id <> qs.qid
+        |          GROUP BY 1, 2),
+        |sr AS (SELECT i.qid, i.id,
+        |              row_number() OVER (PARTITION BY i.qid
+        |                ORDER BY CAST(i.i AS DOUBLE) / (sa.n + sq.n - i.i) DESC, i.id ASC) AS rnk
+        |       FROM inter i JOIN sizes sa ON i.id = sa.doc_id
+        |                    JOIN sizes sq ON i.qid = sq.doc_id),
+        |stop AS (SELECT qid, id, rnk FROM sr WHERE rnk <= 20),
+        |fused AS (SELECT COALESCE(d.qid, st.qid) AS qid, COALESCE(d.id, st.id) AS id,
+        |                 COALESCE(CAST(round(1000000.0 / (60 + d.rnk)) AS BIGINT), 0)
+        |                 + COALESCE(CAST(round(1000000.0 / (60 + st.rnk)) AS BIGINT), 0) AS rrf_micro
+        |          FROM dtop d FULL OUTER JOIN stop st ON d.qid = st.qid AND d.id = st.id),
+        |r AS (SELECT qid, id, rrf_micro,
+        |             row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, id ASC) AS rk
+        |      FROM fused)
+        |SELECT qid AS query_id, id AS neighbor_id, rrf_micro FROM r WHERE rk <= 5""".stripMargin,
     "ann_topk_pq" -> pqAdcOracle,
     // exhaustive probing ≡ the exhaustive ADC scan — same replay
     "ann_topk_ivfadc_full" -> pqAdcOracle,
