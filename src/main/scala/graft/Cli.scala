@@ -59,7 +59,7 @@ object Cli {
         |  ann split <emb.parquet> --index DIR [--cid N] [--k K]   split a hot list in place
         |  ann merge --index DIR [--cids A,B] [--emb P]   fold cold lists into one
         |  ann rebalance <emb.parquet> --index DIR [--hi X] [--lo Y]
-        |                [--policy nearest|occupancy] [--recall-ids A,B,...]
+        |                [--policy nearest|occupancy] [--dry-run] [--recall-ids A,B,...]
         |                [--recall-probe P] [--recall-rerank R] [--recall-loss PPM]
         |                                                 split-hot + merge-cold pass (nearest-
         |                                                 neighbor cold pairing; optional recall gate)
@@ -246,7 +246,8 @@ object Cli {
             recallQueries = recallQ,
             recallProbe = opts.getOrElse("recall-probe", "4").toInt,
             recallRerank = opts.getOrElse("recall-rerank", "0").toInt,
-            maxRecallLossPpm = opts.getOrElse("recall-loss", "0").toLong)
+            maxRecallLossPpm = opts.getOrElse("recall-loss", "0").toLong,
+            dryRun = opts.contains("dry-run"))
           log.show(100, truncate = false)
           println("occupancy now:")
           graft.operators.AnnIndex.stats(spark, idx)

@@ -43,7 +43,8 @@ import org.apache.spark.sql.functions._
   * maintenance pass. Pre-manifest indexes (bare directories, or the
   * transitional CODES/MODEL pointer files) stay readable and migrate on
   * the next maintenance write. Maintenance writers
-  * ([[append]]/[[compact]]/[[split]]/[[merge]]) are single-writer among
+  * ([[append]]/[[compact]]/[[split]]/[[merge]]/[[delete]]) are
+  * single-writer among
   * themselves; manifest-snapshot readers ([[topK]], [[stats]] and
   * everything built on them) need no coordination — they restrict the
   * scan to the snapshot model's cids, so split/merge's additive
@@ -872,6 +873,15 @@ object AnnIndex {
     * quality regression ship silently. The index content is lossless
     * either way — on a gate failure, split the merged groups back
     * apart or rebuild to restore probe ordering.
+    *
+    * `dryRun = true` computes and returns the full action plan —
+    * identical selection logic, identical ordering — without executing
+    * a single split/merge (and without touching the recall gate): the
+    * operational "what would this pass do" preview to review before a
+    * maintenance window. Note the plan's later actions are computed
+    * against PRE-PASS occupancy snapshots where a live pass would
+    * recompute after its splits, so a plan with splits approximates the
+    * merge half.
     */
   def rebalance(
       spark: SparkSession,
@@ -886,7 +896,8 @@ object AnnIndex {
       recallProbe: Int = 4,
       recallK: Int = 5,
       recallRerank: Int = 0,
-      maxRecallLossPpm: Long = 0L): DataFrame = {
+      maxRecallLossPpm: Long = 0L,
+      dryRun: Boolean = false): DataFrame = {
     require(hi > 1.0 && lo < 1.0 && lo > 0.0, s"need lo < 1 < hi, got lo=$lo hi=$hi")
     require(mergePolicy == "nearest" || mergePolicy == "occupancy",
       s"mergePolicy must be nearest|occupancy, got $mergePolicy")
@@ -898,7 +909,7 @@ object AnnIndex {
       idCol, vecCol, corpus, idCol, vecCol, Seq(recallProbe),
       k = recallK, rerank = recallRerank).collect().head.getLong(1)
 
-    val recallBefore = recallQueries.map(_ => recallAt())
+    val recallBefore = if (dryRun) None else recallQueries.map(_ => recallAt())
 
     val occ0 = occupancy()
     val mean0 = occ0.map(_._2).sum.toDouble / occ0.size
@@ -906,7 +917,7 @@ object AnnIndex {
       .sortBy { case (c, n) => (-n, -c) }
     hot.foreach { case (c, n) =>
       val k = math.max(2, math.round(n / mean0).toInt)
-      split(spark, path, c, k, corpus, idCol, vecCol)
+      if (!dryRun) split(spark, path, c, k, corpus, idCol, vecCol)
       actions += (("split", Seq(c), n))
     }
 
@@ -916,7 +927,7 @@ object AnnIndex {
       .sortBy { case (c, n) => (n, c) }
 
     def doMerge(group: Seq[(Int, Long)]): Unit = {
-      merge(spark, path, group.map(_._1), Some(corpus), idCol, vecCol)
+      if (!dryRun) merge(spark, path, group.map(_._1), Some(corpus), idCol, vecCol)
       actions += (("merge", group.map(_._1), group.map(_._2).sum))
     }
 

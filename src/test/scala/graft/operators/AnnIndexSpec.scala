@@ -665,6 +665,13 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
 
     val pNew = tmpIdx()
     AnnIndex.build(df, "vec_id", "embedding", pNew, nLists = 4)
+    // dry run first: the same plan, nothing executed, index untouched
+    val planned = AnnIndex.rebalance(spark, pNew, df, "vec_id", "embedding",
+      hi = 3.0, lo = 0.65, dryRun = true).collect()
+      .filter(_.getString(0) == "merge").map(_.getSeq[Int](1).toSet).toSeq
+    assert(planned == Seq(Set(0, 2)), s"dry-run plan: $planned")
+    assert(AnnIndex.loadModel(spark, pNew).centroids.map(_._1).toSet
+      == Set(0, 1, 2, 3), "dry run must not touch the index")
     val log = AnnIndex.rebalance(spark, pNew, df, "vec_id", "embedding",
       hi = 3.0, lo = 0.65,
       recallQueries = Some(qFrame), recallProbe = 1, recallRerank = 20)
@@ -673,6 +680,7 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       .map(_.getSeq[Int](1).toSet).toSeq
     assert(merges == Seq(Set(0, 2)),
       s"nearest policy must pair the neighboring cold cells, got $merges")
+    assert(merges == planned, "the dry-run plan must match the live pass")
     assert(recallAt1(pNew) == 1000000L,
       "nearest policy must preserve recall@1")
   }
