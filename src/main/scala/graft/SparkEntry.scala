@@ -23,12 +23,6 @@ object SparkEntry {
     * that silently selects zero queries would make a verify run that
     * ran nothing read as fully green.
     */
-  /** Drop every registry-level memo (forest loads, extracted datasets,
-    * trained models, …). Bench calls this at pass boundaries so
-    * min-of-N passes re-measure the real work instead of a memo read.
-    */
-  def resetMemos(spark: SparkSession): Unit = GraftQueries.resetMemos(spark)
-
   def querySubset(): Option[Set[String]] =
     sys.env.get("SPARK_GRAFT_QUERIES").map { raw =>
       val names = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -38,4 +32,10 @@ object SparkEntry {
         s"SPARK_GRAFT_QUERIES names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
       names
     }
+
+  /** Drop every registry-level memo (forest loads, extracted datasets,
+    * trained models, …). Bench calls this at pass boundaries so
+    * min-of-N passes re-measure the real work instead of a memo read.
+    */
+  def resetMemos(spark: SparkSession): Unit = GraftQueries.resetMemos(spark)
 }

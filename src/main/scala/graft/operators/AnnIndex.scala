@@ -558,7 +558,13 @@ object AnnIndex {
       rerank: Int = 0): DataFrame = {
     require(probes.nonEmpty && probes.forall(_ >= 1), s"bad probe widths $probes")
     val qids = queries.select(col(qidCol).cast("long")).collect().map(_.getLong(0))
-    val brute = Ann.bruteForceTopK(corpus, idCol, vecCol, qids.toSeq, k)
+    // the brute baseline folds the SAME tombstone set topK anti-joins —
+    // a deleted row is not a true neighbor, so measured recall stays
+    // meaningful after deletes (full probe still reads 1.0)
+    val corpusLive = tombstoneIds(spark, path, readLayout(spark, path))
+      .fold(corpus)(t =>
+        corpus.join(t.withColumnRenamed("id", idCol), Seq(idCol), "left_anti"))
+    val brute = Ann.bruteForceTopK(corpusLive, idCol, vecCol, qids.toSeq, k)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     require(brute.nonEmpty, "empty query sample — nothing to measure")
     import spark.implicits._
@@ -643,7 +649,19 @@ object AnnIndex {
         spark.read.parquet(s"$path/$t").select("id").union(newIds).distinct()
       case None => newIds
     }
-    val nextName = nextDir("tombstones", layout.tombstones.getOrElse("tombstones"))
+    // version from the highest tombstones dir ON DISK, not just the live
+    // pointer: compact publishes tombstones=None while RETAINING the old
+    // set for grace-window readers — versioning from the pointer alone
+    // would regenerate that retained name and overwrite it mid-read
+    val (fs, root) = fsFor(spark, path)
+    val maxOnDisk =
+      if (!fs.exists(root)) 0
+      else fs.listStatus(root).iterator
+        .filter(st => st.isDirectory && st.getPath.getName.matches("tombstones(_v\\d+)?"))
+        .map(st => dirVersion(st.getPath.getName)).foldLeft(0)(math.max)
+    val cur = math.max(maxOnDisk,
+      layout.tombstones.map(dirVersion).getOrElse(0))
+    val nextName = s"tombstones_v${cur + 1}"
     union.write.mode("overwrite").parquet(s"$path/$nextName")
     publishLayout(spark, path, layout.copy(tombstones = Some(nextName)))
     spark.read.parquet(s"$path/$nextName").count()
@@ -683,7 +701,10 @@ object AnnIndex {
     */
   def stats(spark: SparkSession, path: String): DataFrame = {
     val layout = readLayout(spark, path)
-    val live = loadModelAt(spark, path, layout).centroids.map(_._1).toSeq
+    // only the cid set is needed — skip the codebooks/rotation collects
+    // a full model load pays (stats runs repeatedly inside rebalance)
+    val live = spark.read.parquet(s"$path/${layout.centroids}")
+      .select("cid").collect().map(_.getInt(0)).toSeq
     antiTomb(
       spark.read.parquet(s"$path/${layout.codes}")
         .filter(col("cid").isInCollection(live)),
@@ -966,7 +987,7 @@ object AnnIndex {
         var group = Vector((seed, seedN))
         var gc: Array[Double] = cents(seed).toArray
         var gn: Long = seedN
-        while (group.map(_._2).sum < mean1 && pool.nonEmpty) {
+        while (gn < mean1 && pool.nonEmpty) {
           val (next, nextN) = pool.minBy { case (c, _) => (dist(gc, cents(c)), c) }
           pool.remove(next)
           group :+= ((next, nextN))
@@ -1413,10 +1434,13 @@ object AnnIndex {
     * failure mode that is NOT a reclaimed-read (bad dims, missing
     * index, genuine IO trouble) propagates immediately.
     *
-    * The returned frame is a small local relation (k rows per query),
-    * never a lazy plan over index files — a lazy plan re-executed after
-    * a later maintenance flip is exactly the race this wrapper exists
-    * to close.
+    * The returned frame is never a lazy plan over index files — a lazy
+    * plan re-executed after a later maintenance flip is exactly the
+    * race this wrapper exists to close. Query batches at or below the
+    * `spark.graft.ann.localDtMaxQueries` threshold materialize as a
+    * driver-local relation (k rows per query); larger batches — the
+    * serving case topK's executor-side path exists for — materialize
+    * via an eager localCheckpoint so driver state stays O(model).
     */
   def topKRetrying(
       spark: SparkSession,
@@ -1434,17 +1458,28 @@ object AnnIndex {
       allowIdCol: String = "id",
       attempts: Int = 5): DataFrame = {
     require(attempts >= 1, s"attempts must be >= 1, got $attempts")
+    val localMax = Ann.localDtMaxQueries(spark)
+    val smallBatch = localMax >= 0 &&
+      queries.limit(localMax + 1).count() <= localMax
     var attempt = 0
     while (true) {
       attempt += 1
       try {
         val out = topK(spark, path, queries, qidCol, qvecCol, k, nProbe,
           rerank, exact, exactIdCol, exactVecCol, allow, allowIdCol)
-        val rows = out.collect()
-        return spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+        if (smallBatch) {
+          val rows = out.collect()
+          return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+        } else {
+          // executor-side materialization: computes NOW (a reclaim
+          // mid-compute throws here and is retried), and the returned
+          // frame reads cached blocks, not index files
+          return out.localCheckpoint(true)
+        }
       } catch {
-        case e: Throwable if attempt < attempts && isReclaimedRead(e) => ()
+        case e: Throwable if attempt < attempts && isReclaimedRead(e) =>
+          Thread.sleep(50L * attempt)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -1453,19 +1488,29 @@ object AnnIndex {
   /** Does this failure look like a read of a directory a maintenance
     * flip reclaimed? Walks the cause chain — Spark wraps the worker's
     * FileNotFoundException in SparkException layers whose error class
-    * is FAILED_READ_FILE.
+    * is FAILED_READ_FILE. File-level failures (FAILED_READ_FILE, task
+    * FileNotFoundException, the ChecksumFileSystem .crc rename window)
+    * are always retryable; a path-does-not-exist failure is retryable
+    * ONLY when it names a VERSIONED artifact directory — a missing
+    * versioned dir means a flip reclaimed it, while a missing index
+    * root or a caller-supplied frame path is a permanent config error
+    * that must propagate immediately.
     */
+  private val VersionedDirRe =
+    (".*(codes|meta|centroids|codebooks|rotation|tombstones)_v\\d+.*").r
   private def isReclaimedRead(e: Throwable): Boolean = {
     var t: Throwable = e
     var depth = 0
     while (t != null && depth < 20) {
       val m = Option(t.getMessage).getOrElse("")
-      if (t.isInstanceOf[java.io.FileNotFoundException] ||
-          t.isInstanceOf[org.apache.hadoop.fs.ChecksumException] ||
-          m.contains("FAILED_READ_FILE") || m.contains("PATH_NOT_FOUND") ||
-          m.contains("FileNotFoundException") || m.contains("does not exist") ||
-          m.contains("Checksum error"))
-        return true
+      val fileLevel = t.isInstanceOf[java.io.FileNotFoundException] ||
+        t.isInstanceOf[org.apache.hadoop.fs.ChecksumException] ||
+        m.contains("FAILED_READ_FILE") || m.contains("FileNotFoundException") ||
+        m.contains("Checksum error")
+      val reclaimedDir =
+        (m.contains("PATH_NOT_FOUND") || m.contains("does not exist")) &&
+          VersionedDirRe.matches(m.replace('\n', ' '))
+      if (fileLevel || reclaimedDir) return true
       t = t.getCause
       depth += 1
     }

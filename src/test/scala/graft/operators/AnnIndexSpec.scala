@@ -525,6 +525,51 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("delete after compact versions past the retained tombstone set; recall baseline folds tombstones") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    AnnIndex.delete(spark, path, Seq(1L, 2L))
+    def exists(n: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/$n"))
+    assert(exists("tombstones_v1"))
+    // compact folds the set and publishes tombstones=None, but RETAINS
+    // tombstones_v1 on disk for grace-window readers
+    AnnIndex.compact(spark, path)
+    assert(exists("tombstones_v1"))
+    // a new delete must version PAST the retained dir, never overwrite
+    // it mid-read (the version comes from what is on disk, not just the
+    // live pointer, which is None here)
+    AnnIndex.delete(spark, path, Seq(3L))
+    assert(exists("tombstones_v1") && exists("tombstones_v2"))
+    val v1 = spark.read.parquet(s"$path/tombstones_v1")
+      .collect().map(_.getLong(0)).toSet
+    assert(v1 == Set(1L, 2L),
+      "the retained grace-window tombstone set must stay intact")
+    assert(spark.read.parquet(s"$path/tombstones_v2")
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+    // the recall diagnostic's brute baseline folds the live tombstones
+    // like every other snapshot reader — full probe still reads 1.0
+    val curve = AnnIndex.recallCurve(spark, path, queriesOf(5L to 9L),
+      "vec_id", "embedding", emb, "vec_id", "embedding",
+      Seq(16), k = 5, rerank = emb.count().toInt)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(curve(16) == 1000000L,
+      s"full-probe recall after delete must be exactly 1.0, got ${curve(16)}")
+  }
+
+  test("topKRetrying propagates a genuinely missing index immediately") {
+    val bad = tmpIdx() // never built
+    val t0 = System.nanoTime()
+    intercept[Throwable] {
+      AnnIndex.topKRetrying(spark, bad, queriesOf(Seq(0L)),
+        "vec_id", "embedding", k = 5, nProbe = 4, attempts = 10)
+    }
+    // ten retries with backoff would take seconds; immediate propagation
+    // stays well under one
+    assert((System.nanoTime() - t0) / 1e9 < 5.0,
+      "a permanent config error must not be retried as a reclaimed read")
+  }
+
   test("split and merge fold tombstoned members out of the lists they rewrite") {
     val path = tmpIdx()
     AnnIndex.build(emb, "vec_id", "embedding", path)
