@@ -833,6 +833,22 @@ object GraftQueries {
         emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
         k = 5, nProbe = 16)
     }),
+    // the LARGE-BATCH serving path under the relational oracle: force
+    // the executor-side distance-table branch (localDtMaxQueries = -1)
+    // and replay the same exhaustive ADC chain — the bit-equality the
+    // AnnDistributedDtSpec pins per-suite, here driver-checked per
+    // round like every other lane
+    "ann_index_distributed" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val base = java.nio.file.Files.createTempDirectory("graft_anndist_q").toString
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx")
+      s.conf.set("spark.graft.ann.localDtMaxQueries", "-1")
+      try AnnIndex.topK(s, s"$base/idx",
+        emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
+        k = 5, nProbe = 16)
+      finally s.conf.unset("spark.graft.ann.localDtMaxQueries")
+    }),
     // FILTERED search — "nearest neighbors among documents passing this
     // predicate": the allow set joins the scan side (left-semi, the
     // tombstone deny-list's twin), restricting CANDIDATES, never
@@ -2863,6 +2879,7 @@ object GraftQueries {
     "ann_topk_ivfadc_full" -> pqAdcOracle,
     "ann_index_persisted" -> pqAdcOracle,
     "ann_index_filtered" -> pqAdcOracleWith(" AND d0.vec_id % 3 = 0"),
+    "ann_index_distributed" -> pqAdcOracle,
     "ann_index_residual" -> residualAdcOracle,
     "ann_index_stats" -> (annCoarseL2Ctes(16, 64).mkString("WITH ", ",\n", "\n") +
       "SELECT cid, count(*) AS n_vectors FROM ka2 GROUP BY cid"),
