@@ -142,7 +142,12 @@ object AnnIndex {
           in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
         finally in.close()
       } catch {
+        // ChecksumException: the .crc sidecar lags the data rename.
+        // FileNotFoundException: the exists() check raced the
+        // delete-then-rename pair of an OVERWRITE flip. Both transient.
         case _: org.apache.hadoop.fs.ChecksumException if attempt < 100 =>
+          attempt += 1; Thread.sleep(10)
+        case _: java.io.FileNotFoundException if attempt < 100 =>
           attempt += 1; Thread.sleep(10)
       }
     }
@@ -152,11 +157,55 @@ object AnnIndex {
   /** Resolve the live layout: the `INDEX` manifest when present, else
     * the interim single-artifact pointer files (`CODES`/`MODEL`), else
     * the original bare directory names.
+    *
+    * Flip-window tolerance: the manifest publish renames with
+    * OVERWRITE, and local filesystems implement that as a
+    * delete-then-rename pair — a reader landing inside the pair sees NO
+    * manifest for a moment. Falling back to the legacy bare-name layout
+    * there would resolve directories that never existed on a
+    * manifest-published index, so the legacy fallback only engages when
+    * the directory holds no versioned artifacts at all; otherwise the
+    * reader waits out the flip (bounded) and re-reads.
     */
   private def readLayout(spark: SparkSession, path: String): Layout = {
+    val (fs, root) = fsFor(spark, path)
+    val mf = manifestFile(path)
+    var attempt = 0
+    while (!fs.exists(mf)) {
+      // transitional round-13 layouts name their versioned dirs through
+      // pointer FILES — only a pointer-less versioned layout with no
+      // manifest means a flip is in its delete-then-rename window
+      val hasPointer =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/CODES")) ||
+          fs.exists(new org.apache.hadoop.fs.Path(s"$path/MODEL"))
+      val versioned = fs.exists(root) && fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.matches(ArtifactRe) &&
+          st.getPath.getName.contains("_v"))
+      if (hasPointer || !versioned) return legacyLayout(fs, path)
+      attempt += 1
+      require(attempt <= 200,
+        s"INDEX manifest missing at $path while versioned artifacts exist — corrupt index?")
+      Thread.sleep(10)
+    }
+    readManifest(fs, mf)
+  }
+
+  /** The writer-side resolve: manifest if present, else legacy — NO
+    * flip-window wait. A maintenance writer is the only flipper
+    * (single-writer contract), so a missing manifest during ITS OWN
+    * publish is not a race; during a first build/delete it is simply
+    * the pre-manifest state with the new generation already staged.
+    */
+  private def readLayoutNow(spark: SparkSession, path: String): Layout = {
     val (fs, _) = fsFor(spark, path)
     val mf = manifestFile(path)
-    if (fs.exists(mf)) {
+    if (fs.exists(mf)) readManifest(fs, mf) else legacyLayout(fs, path)
+  }
+
+  private def readManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      mf: org.apache.hadoop.fs.Path): Layout = {
+    {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(readSmall(fs, mf))
       def field(k: String, dflt: String): String = {
@@ -183,8 +232,15 @@ object AnnIndex {
         tombstones = if (node.hasNonNull("tombstones"))
           Some(field("tombstones", "tombstones")) else None,
         retired = retired)
-    } else {
-      // interim pointer files (round-13 transitional layout) or bare legacy
+    }
+  }
+
+  /** The pre-manifest layouts: interim pointer files (round-13
+    * transitional) or the original bare directory names.
+    */
+  private def legacyLayout(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Layout = {
+    {
       val codesPtr = new org.apache.hadoop.fs.Path(s"$path/CODES")
       val modelPtr = new org.apache.hadoop.fs.Path(s"$path/MODEL")
       val codes =
@@ -228,7 +284,7 @@ object AnnIndex {
     val onDisk: Set[String] =
       if (!fs.exists(root)) Set.empty
       else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSet
-    val prev = readLayout(spark, path)
+    val prev = readLayoutNow(spark, path)
     val retired = (prev.retired ++ (prev.dirs -- l0.dirs).map(_ -> now).toMap)
       .filter { case (dir, _) => onDisk.contains(dir) && !l0.dirs.contains(dir) }
     val l = l0.copy(retired = retired)
@@ -348,7 +404,7 @@ object AnnIndex {
       // window pairing a half-new model with old codes). The previous
       // generation is retained one cycle for in-flight readers and
       // reclaimed by the next build/compact.
-      val cur = readLayout(spark, path)
+      val cur = readLayoutNow(spark, path)
       val next = Layout(
         codes = nextDir("codes", cur.codes),
         meta = nextDir("meta", cur.meta),
@@ -479,7 +535,7 @@ object AnnIndex {
       path: String): Unit = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val layout = readLayout(spark, path)
+    val layout = readLayoutNow(spark, path)
     val model = loadModelAt(spark, path, layout)
     val corpus = applyRotation(emb
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
@@ -510,7 +566,7 @@ object AnnIndex {
       path: String,
       retainPrevious: Boolean = true): Int = {
     val (fs, _) = fsFor(spark, path)
-    val layout = readLayout(spark, path)
+    val layout = readLayoutNow(spark, path)
     val cur = new org.apache.hadoop.fs.Path(s"$path/${layout.codes}")
     require(fs.exists(cur), s"no codes directory to compact at $path")
     val nextName = nextDir("codes", layout.codes)
@@ -642,7 +698,7 @@ object AnnIndex {
       path: String,
       ids: DataFrame,
       idCol: String = "id"): Long = {
-    val layout = readLayout(spark, path)
+    val layout = readLayoutNow(spark, path)
     val newIds = ids.select(col(idCol).cast("long").as("id")).distinct()
     val union = layout.tombstones match {
       case Some(t) =>
@@ -767,7 +823,7 @@ object AnnIndex {
     require(cids.size >= 2 && cids.distinct.size == cids.size,
       s"merge needs >= 2 distinct lists, got $cids")
     graft.functions.GraftFunctions.register(spark)
-    val layout = readLayout(spark, path)
+    val layout = readLayoutNow(spark, path)
     val model = loadModelAt(spark, path, layout)
     val (fs, _) = fsFor(spark, path)
     val codesDir = s"$path/${layout.codes}"
@@ -1059,7 +1115,7 @@ object AnnIndex {
       iters: Int = 2): Unit = {
     require(k >= 2, s"split needs k >= 2 target lists, got $k")
     graft.functions.GraftFunctions.register(spark)
-    val layout = readLayout(spark, path)
+    val layout = readLayoutNow(spark, path)
     val model = loadModelAt(spark, path, layout)
     val (fs, _) = fsFor(spark, path)
     val codesDir = s"$path/${layout.codes}"
