@@ -102,14 +102,15 @@ object AnnIndex {
   /** The live directory name of each artifact, as resolved from one
     * manifest snapshot — the unit of reader consistency.
     */
-  private final case class Layout(
+  private[operators] final case class Layout(
       codes: String,
       meta: String,
       centroids: String,
       codebooks: String,
       rotation: Option[String],
       tombstones: Option[String] = None,
-      retired: Map[String, Long] = Map.empty) {
+      retired: Map[String, Long] = Map.empty,
+      generation: Long = 0L) {
     def dirs: Set[String] =
       Set(codes, meta, centroids, codebooks) ++ rotation ++ tombstones
   }
@@ -182,9 +183,18 @@ object AnnIndex {
         st.isDirectory && st.getPath.getName.matches(ArtifactRe) &&
           st.getPath.getName.contains("_v"))
       if (hasPointer || !versioned) return legacyLayout(fs, path)
+      // a LIVE flip's window is microseconds; a manifest still missing
+      // after ~1 s means the flipping writer CRASHED between its delete
+      // and rename — the staged manifest is still on disk as INDEX.tmp,
+      // so recover it instead of stranding every reader
+      if (attempt >= 100) {
+        val recovered = recoverManifest(spark, fs, path)
+        if (recovered.isDefined) return recovered.get
+      }
       attempt += 1
       require(attempt <= 200,
-        s"INDEX manifest missing at $path while versioned artifacts exist — corrupt index?")
+        s"INDEX manifest missing at $path while versioned artifacts exist " +
+          "and INDEX.tmp is unrecoverable — corrupt index?")
       Thread.sleep(10)
     }
     readManifest(fs, mf)
@@ -195,11 +205,44 @@ object AnnIndex {
     * (single-writer contract), so a missing manifest during ITS OWN
     * publish is not a race; during a first build/delete it is simply
     * the pre-manifest state with the new generation already staged.
+    *
+    * A missing manifest WITH versioned artifacts and an INDEX.tmp on
+    * disk is a crashed flip — recover the staged manifest rather than
+    * resolving legacy bare names that never existed on this index (a
+    * writer publishing against those would name nonexistent dirs).
+    * Versioned artifacts with NEITHER manifest nor tmp are a crashed
+    * FIRST build's staging (nothing was ever published) — the legacy
+    * resolve is correct there and the rerun overwrites the staging.
     */
-  private def readLayoutNow(spark: SparkSession, path: String): Layout = {
+  private[operators] def readLayoutNow(spark: SparkSession, path: String): Layout = {
     val (fs, _) = fsFor(spark, path)
     val mf = manifestFile(path)
-    if (fs.exists(mf)) readManifest(fs, mf) else legacyLayout(fs, path)
+    if (fs.exists(mf)) readManifest(fs, mf)
+    else recoverManifest(spark, fs, path).getOrElse(legacyLayout(fs, path))
+  }
+
+  /** Recover a crashed manifest flip: the OVERWRITE rename is
+    * delete-then-rename on local filesystems, so a writer dying inside
+    * the pair leaves no `INDEX` but a complete `INDEX.tmp`. Re-publish
+    * the tmp (validating it parses first — a LIVE writer's half-written
+    * tmp fails the parse and recovery abstains). Racing recoverers are
+    * safe: the loser's rename fails, it returns None, and the caller
+    * re-reads the now-present manifest.
+    */
+  private def recoverManifest(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Layout] = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/INDEX.tmp")
+    if (!fs.exists(tmp)) return None
+    scala.util.Try {
+      val l = readManifest(fs, tmp)
+      val mf = manifestFile(path)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        mf.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, mf, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      l
+    }.toOption
   }
 
   private def readManifest(
@@ -231,7 +274,9 @@ object AnnIndex {
           Some(field("rotation", "rotation")) else None,
         tombstones = if (node.hasNonNull("tombstones"))
           Some(field("tombstones", "tombstones")) else None,
-        retired = retired)
+        retired = retired,
+        generation = if (node.hasNonNull("generation"))
+          node.get("generation").asLong() else 0L)
     }
   }
 
@@ -277,17 +322,33 @@ object AnnIndex {
     * millis (carrying forward earlier entries for dirs still on disk) —
     * the age record [[vacuum]]'s grace guard reads, so reclaim safety
     * stops depending on caller discipline.
+    *
+    * Single-writer ENFORCEMENT (not just contract): the manifest carries
+    * a monotone `generation` counter. `l0.generation` is the generation
+    * of the snapshot the writer resolved at the start of its pass; if
+    * the on-disk manifest moved past it — a second maintenance writer
+    * flipped in between — this publish fails LOUDLY instead of silently
+    * interleaving generations and losing the other flip's retirement
+    * bookkeeping. At 100 TB with scheduled compacts and manual
+    * rebalances, convention is not a guard; the counter is.
     */
-  private def publishLayout(spark: SparkSession, path: String, l0: Layout): Unit = {
+  private[operators] def publishLayout(spark: SparkSession, path: String, l0: Layout): Unit = {
     val (fs, root) = fsFor(spark, path)
     val now = System.currentTimeMillis()
     val onDisk: Set[String] =
       if (!fs.exists(root)) Set.empty
       else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSet
     val prev = readLayoutNow(spark, path)
+    if (prev.generation != l0.generation)
+      throw new IllegalStateException(
+        s"concurrent maintenance writer detected at $path: this pass " +
+          s"started from manifest generation ${l0.generation} but the " +
+          s"index is now at generation ${prev.generation} — another " +
+          "writer flipped in between. Maintenance ops are single-writer; " +
+          "re-resolve and re-run this pass.")
     val retired = (prev.retired ++ (prev.dirs -- l0.dirs).map(_ -> now).toMap)
       .filter { case (dir, _) => onDisk.contains(dir) && !l0.dirs.contains(dir) }
-    val l = l0.copy(retired = retired)
+    val l = l0.copy(retired = retired, generation = prev.generation + 1)
     val json = {
       val q = graft.util.Json.quote _
       val rot = l.rotation.map(r => s""","rotation":${q(r)}""").getOrElse("")
@@ -297,7 +358,7 @@ object AnnIndex {
         else l.retired.toSeq.sortBy(_._1)
           .map { case (k, v) => s"${q(k)}:$v" }
           .mkString(""","retired":{""", ",", "}")
-      s"""{"codes":${q(l.codes)},"meta":${q(l.meta)},"centroids":${q(l.centroids)},"codebooks":${q(l.codebooks)}$rot$tomb$ret}"""
+      s"""{"codes":${q(l.codes)},"meta":${q(l.meta)},"centroids":${q(l.centroids)},"codebooks":${q(l.codebooks)},"generation":${l.generation}$rot$tomb$ret}"""
     }
     val mf = manifestFile(path)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/INDEX.tmp")
@@ -306,7 +367,15 @@ object AnnIndex {
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       mf.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, mf, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try fc.rename(tmp, mf, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      // a reader's crash-recovery ([[recoverManifest]]) can race THIS
+      // flip and move the tmp itself: if the manifest now holds exactly
+      // the bytes this writer staged, the flip already happened — done
+      case e: Throwable =>
+        val published = scala.util.Try(readSmall(fs, mf)).getOrElse("")
+        if (published != json) throw e
+    }
     Seq("CODES", "MODEL").foreach { n =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$n")
       if (fs.exists(p)) fs.delete(p, false)
@@ -333,17 +402,37 @@ object AnnIndex {
     * cycle for in-flight readers) — crash-orphaned staging directories
     * and older versions are reclaimed here, never left to strand the
     * index.
+    *
+    * Grace guard (same record [[vacuum]] reads): a directory RETIRED
+    * through a manifest flip keeps its retirement timestamp in the
+    * manifest, and the maintenance sweeps skip it until it has been
+    * superseded for `graceMs` — so back-to-back maintenance passes
+    * cannot reclaim a just-retired generation out from under an
+    * in-flight reader that resolved just before the previous flip.
+    * Directories with NO retirement record (crash-orphaned staging that
+    * was never published, so no reader can reference it) are reclaimed
+    * unconditionally. `graceMs < 0` reads
+    * `spark.graft.ann.vacuumGraceMs` (default 10 minutes); `0` restores
+    * immediate reclaim (the explicit no-readers-in-flight fast path).
     */
   private def sweepStale(
-      spark: SparkSession, path: String, keep: Set[String]): Unit = {
+      spark: SparkSession, path: String, keep: Set[String],
+      graceMs: Long = -1L): Unit = {
+    val grace =
+      if (graceMs >= 0) graceMs
+      else spark.conf.getOption("spark.graft.ann.vacuumGraceMs")
+        .map(_.toLong).getOrElse(600000L)
     val (fs, root) = fsFor(spark, path)
     if (!fs.exists(root)) return
+    val retired = readLayoutNow(spark, path).retired
+    val now = System.currentTimeMillis()
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       val stale = st.isDirectory &&
         (n.matches(ArtifactRe) || n == "codes_staged" || n == "codes_old") &&
         !keep.contains(n)
-      if (stale) fs.delete(st.getPath, true)
+      val oldEnough = retired.get(n).forall(ts => now - ts >= grace)
+      if (stale && oldEnough) fs.delete(st.getPath, true)
     }
   }
 
@@ -411,7 +500,8 @@ object AnnIndex {
         centroids = nextDir("centroids", cur.centroids),
         codebooks = nextDir("codebooks", cur.codebooks),
         rotation = rotation.map(_ =>
-          nextDir("rotation", cur.rotation.getOrElse("rotation"))))
+          nextDir("rotation", cur.rotation.getOrElse("rotation"))),
+        generation = cur.generation)
       sweepStale(spark, path, keep = cur.dirs ++ next.dirs)
 
       import spark.implicits._
@@ -527,6 +617,20 @@ object AnnIndex {
     * appended row is bit-identical to the same row indexed at build
     * time (pinned in AnnIndexSpec). Id uniqueness across batches is the
     * caller's contract, as with every loader in this library.
+    *
+    * Re-adding a previously [[delete]]d id works WITHOUT a manual
+    * compact: the append folds the re-added ids out of the live
+    * tombstone set in the same pass (one model-sized manifest flip).
+    * Because the deleted id's OLD physical rows may still be on disk
+    * (delete itself never touches the data-sized codes),
+    * un-tombstoning alone would resurrect them beside the new row —
+    * duplicate neighbor candidates — so the pass first folds the old
+    * rows out of exactly the lists that hold them (affected lists
+    * only, located by one column-pruned id probe; re-adds are the rare
+    * path and the common no-readd append pays nothing). A crashed
+    * re-add pass re-runs cleanly: the rewritten lists drop the crashed
+    * run's appended rows too (still tombstoned, so never visible) and
+    * the re-run re-appends them.
     */
   def append(
       emb: DataFrame,
@@ -540,9 +644,58 @@ object AnnIndex {
     val corpus = applyRotation(emb
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
       model.rotation)
+    val codesDir = s"$path/${layout.codes}"
+
+    // re-added ids: this batch ∩ the live tombstone set (collect is
+    // bounded by the tombstone set, which is model-sized by contract)
+    val readds: Array[Long] = tombstoneIds(spark, path, layout) match {
+      case None => Array.empty[Long]
+      case Some(t) => t.join(
+          corpus.select(col("id").cast("long").as("id")).distinct(),
+          Seq("id"), "left_semi")
+        .collect().map(_.getLong(0))
+    }
+    if (readds.nonEmpty) {
+      import spark.implicits._
+      val readdDf = readds.toSeq.toDF("id")
+      val affected = spark.read.parquet(codesDir)
+        .join(broadcast(readdDf), "id").select("cid").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (affected.nonEmpty) {
+        // rewrite ONLY the lists holding old rows of re-added ids; the
+        // kept rows are materialized eagerly before the dirs are
+        // replaced (same in-place list rewrite contract as split/merge:
+        // a concurrent reader mid-scan retries via topKRetrying)
+        val kept = spark.read.parquet(codesDir)
+          .filter(col("cid").isInCollection(affected))
+          .join(broadcast(readdDf), Seq("id"), "left_anti")
+          .select("id", "codes", "cid")
+          .localCheckpoint(true)
+        val (fs, _) = fsFor(spark, path)
+        affected.foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$codesDir/cid=$c"), true)
+        }
+        kept.repartition(col("cid"))
+          .write.mode("append").partitionBy("cid").parquet(codesDir)
+      }
+    }
+
     encodedFrame(corpus, model)
       .repartition(col("cid"))
-      .write.mode("append").partitionBy("cid").parquet(s"$path/${layout.codes}")
+      .write.mode("append").partitionBy("cid").parquet(codesDir)
+
+    if (readds.nonEmpty) {
+      import spark.implicits._
+      val remaining = tombstoneIds(spark, path, layout).get
+        .join(readds.toSeq.toDF("id"), Seq("id"), "left_anti")
+      if (remaining.isEmpty)
+        publishLayout(spark, path, layout.copy(tombstones = None))
+      else {
+        val nextName = nextTombstoneDir(spark, path, layout)
+        remaining.write.mode("overwrite").parquet(s"$path/$nextName")
+        publishLayout(spark, path, layout.copy(tombstones = Some(nextName)))
+      }
+    }
   }
 
   /** Rewrite the codes layout back to one file per inverted list.
@@ -557,9 +710,12 @@ object AnnIndex {
     * gets a complete layout and a crash at any step leaves the previous
     * manifest valid. The superseded version is RETAINED for readers
     * that resolved just before the flip and are still mid-scan; it is
-    * reclaimed by the next compact (pass `retainPrevious = false` to
-    * reclaim immediately when no reader can be in flight). Returns the
-    * parquet file count after compaction.
+    * reclaimed by a later compact or [[vacuum]] once its retirement has
+    * aged past the grace window (`spark.graft.ann.vacuumGraceMs`,
+    * default 10 min — back-to-back maintenance passes cannot reclaim a
+    * just-retired generation). Pass `retainPrevious = false` to reclaim
+    * immediately when no reader can be in flight. Returns the parquet
+    * file count after compaction.
     */
   def compact(
       spark: SparkSession,
@@ -582,9 +738,13 @@ object AnnIndex {
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$nextName")
     publishLayout(spark, path, layout.copy(codes = nextName, tombstones = None))
+    // retainPrevious=false is the caller's explicit no-readers-in-flight
+    // assertion — reclaim NOW (grace 0); otherwise the grace guard keeps
+    // just-retired generations safe even across back-to-back compacts
     sweepStale(spark, path,
       keep = if (retainPrevious) layout.dirs + nextName
-      else layout.dirs - layout.codes -- layout.tombstones + nextName)
+      else layout.dirs - layout.codes -- layout.tombstones + nextName,
+      graceMs = if (retainPrevious) -1L else 0L)
     val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/$nextName"), true)
     var n = 0
     while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
@@ -689,9 +849,10 @@ object AnnIndex {
     * the index lifecycle (reference analogue: bucket `del`,
     * `architxt/bucket/__init__.py`).
     *
-    * A tombstoned id stays deleted even if [[append]]ed again until a
-    * compact folds the tombstone set; delete-then-readd needs a compact
-    * between. Returns the total live tombstone count after this call.
+    * Delete-then-readd needs NO manual compact: [[append]] folds
+    * re-added ids out of the live tombstone set (and their stale
+    * physical rows out of the affected lists) in its own pass.
+    * Returns the total live tombstone count after this call.
     */
   def delete(
       spark: SparkSession,
@@ -705,10 +866,20 @@ object AnnIndex {
         spark.read.parquet(s"$path/$t").select("id").union(newIds).distinct()
       case None => newIds
     }
-    // version from the highest tombstones dir ON DISK, not just the live
-    // pointer: compact publishes tombstones=None while RETAINING the old
-    // set for grace-window readers — versioning from the pointer alone
-    // would regenerate that retained name and overwrite it mid-read
+    val nextName = nextTombstoneDir(spark, path, layout)
+    union.write.mode("overwrite").parquet(s"$path/$nextName")
+    publishLayout(spark, path, layout.copy(tombstones = Some(nextName)))
+    spark.read.parquet(s"$path/$nextName").count()
+  }
+
+  /** The next free tombstone artifact name — versioned from the highest
+    * tombstones dir ON DISK, not just the live pointer: compact
+    * publishes tombstones=None while RETAINING the old set for
+    * grace-window readers, so versioning from the pointer alone would
+    * regenerate that retained name and overwrite it mid-read.
+    */
+  private def nextTombstoneDir(
+      spark: SparkSession, path: String, layout: Layout): String = {
     val (fs, root) = fsFor(spark, path)
     val maxOnDisk =
       if (!fs.exists(root)) 0
@@ -717,10 +888,7 @@ object AnnIndex {
         .map(st => dirVersion(st.getPath.getName)).foldLeft(0)(math.max)
     val cur = math.max(maxOnDisk,
       layout.tombstones.map(dirVersion).getOrElse(0))
-    val nextName = s"tombstones_v${cur + 1}"
-    union.write.mode("overwrite").parquet(s"$path/$nextName")
-    publishLayout(spark, path, layout.copy(tombstones = Some(nextName)))
-    spark.read.parquet(s"$path/$nextName").count()
+    s"tombstones_v${cur + 1}"
   }
 
   /** Convenience overload for a driver-side id list. */
@@ -1292,6 +1460,10 @@ object AnnIndex {
     * a post-hoc shrunken top-k; ADC ranking within the allowed set is
     * bit-identical to the unfiltered ranking restricted to it (pinned
     * in spec). A tombstoned id stays excluded even if allowed.
+    *
+    * `withRank = true` adds the per-query `rank` column (1 = nearest;
+    * the ADC rank, or the exact-rerank rank when `rerank > 0`) — the
+    * shape rank-fusion consumers ([[Hybrid.retrieveIndexed]]) need.
     */
   def topK(
       spark: SparkSession,
@@ -1306,7 +1478,11 @@ object AnnIndex {
       exactIdCol: String = "id",
       exactVecCol: String = "v",
       allow: Option[DataFrame] = None,
-      allowIdCol: String = "id"): DataFrame = {
+      allowIdCol: String = "id",
+      withRank: Boolean = false): DataFrame = {
+    def finalSelect(df: DataFrame): DataFrame =
+      if (withRank) df.select("query_id", "neighbor_id", "rank")
+      else df.select("query_id", "neighbor_id")
     require(rerank <= 0 || exact.nonEmpty,
       "rerank > 0 needs the raw-vector frame (exact=...) for the final ranking")
     graft.functions.GraftFunctions.register(spark)
@@ -1342,8 +1518,9 @@ object AnnIndex {
     if (useLocal) {
       val qRows = head.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
       if (qRows.isEmpty)
-        return spark.range(0)
-          .select(col("id").as("query_id"), col("id").as("neighbor_id"))
+        return finalSelect(spark.range(0)
+          .select(col("id").as("query_id"), col("id").as("neighbor_id"),
+            col("id").cast("int").as("rank")))
       qRows.foreach { case (qid, qv) =>
         require(qv.size == model.dim,
           s"query $qid has dim ${qv.size}, index expects ${model.dim}")
@@ -1405,20 +1582,20 @@ object AnnIndex {
       val shortlisted = scored
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= math.max(k, rerank))
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", "rank")
 
-      if (rerank <= 0) shortlisted
+      if (rerank <= 0) finalSelect(shortlisted.filter(col("rank") <= k))
       else {
         val corpus = exact.get.select(
           col(exactIdCol).cast("long").as("id"),
           col(exactVecCol).cast("array<double>").as("v"))
         val qMapLit = typedLit(qRows.toMap)
-        corpus
-          .join(broadcast(shortlisted), col("id") === col("neighbor_id"))
+        finalSelect(corpus
+          .join(broadcast(shortlisted.select("query_id", "neighbor_id")),
+            col("id") === col("neighbor_id"))
           .withColumn("sim", Ann.cosine(element_at(qMapLit, col("query_id")), col("v")))
           .withColumn("rank", row_number().over(w2))
-          .filter(col("rank") <= k)
-          .select("query_id", "neighbor_id")
+          .filter(col("rank") <= k))
       }
     } else {
       // LARGE-BATCH serving path: same semantics, distance tables and
@@ -1463,20 +1640,20 @@ object AnnIndex {
       val shortlisted = scored
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= math.max(k, rerank))
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", "rank")
 
-      if (rerank <= 0) shortlisted
+      if (rerank <= 0) finalSelect(shortlisted.filter(col("rank") <= k))
       else {
         val corpus = exact.get.select(
           col(exactIdCol).cast("long").as("id"),
           col(exactVecCol).cast("array<double>").as("v"))
-        corpus
-          .join(shortlisted, col("id") === col("neighbor_id"))
+        finalSelect(corpus
+          .join(shortlisted.select("query_id", "neighbor_id"),
+            col("id") === col("neighbor_id"))
           .join(qFrame, Seq("query_id"))
           .withColumn("sim", Ann.cosine(col("qv"), col("v")))
           .withColumn("rank", row_number().over(w2))
-          .filter(col("rank") <= k)
-          .select("query_id", "neighbor_id")
+          .filter(col("rank") <= k))
       }
     }
   }
@@ -1512,7 +1689,8 @@ object AnnIndex {
       exactVecCol: String = "v",
       allow: Option[DataFrame] = None,
       allowIdCol: String = "id",
-      attempts: Int = 5): DataFrame = {
+      attempts: Int = 5,
+      withRank: Boolean = false): DataFrame = {
     require(attempts >= 1, s"attempts must be >= 1, got $attempts")
     val localMax = Ann.localDtMaxQueries(spark)
     val smallBatch = localMax >= 0 &&
@@ -1522,7 +1700,7 @@ object AnnIndex {
       attempt += 1
       try {
         val out = topK(spark, path, queries, qidCol, qvecCol, k, nProbe,
-          rerank, exact, exactIdCol, exactVecCol, allow, allowIdCol)
+          rerank, exact, exactIdCol, exactVecCol, allow, allowIdCol, withRank)
         if (smallBatch) {
           val rows = out.collect()
           return spark.createDataFrame(
@@ -1544,13 +1722,15 @@ object AnnIndex {
   /** Does this failure look like a read of a directory a maintenance
     * flip reclaimed? Walks the cause chain — Spark wraps the worker's
     * FileNotFoundException in SparkException layers whose error class
-    * is FAILED_READ_FILE. File-level failures (FAILED_READ_FILE, task
-    * FileNotFoundException, the ChecksumFileSystem .crc rename window)
-    * are always retryable; a path-does-not-exist failure is retryable
-    * ONLY when it names a VERSIONED artifact directory — a missing
-    * versioned dir means a flip reclaimed it, while a missing index
-    * root or a caller-supplied frame path is a permanent config error
-    * that must propagate immediately.
+    * is FAILED_READ_FILE. Every retryable class — file-level failures
+    * (FAILED_READ_FILE, task FileNotFoundException, the
+    * ChecksumFileSystem .crc rename window) AND path-does-not-exist
+    * failures — must ALSO name a VERSIONED artifact directory: only
+    * versioned index artifacts are ever reclaimed by a flip, so a
+    * permanently missing caller-supplied frame (a queries/exact/allow
+    * parquet deleted mid-run) and a missing index root both propagate
+    * on the first failure instead of re-paying the full query
+    * `attempts` times.
     */
   private val VersionedDirRe =
     (".*(codes|meta|centroids|codebooks|rotation|tombstones)_v\\d+.*").r
@@ -1559,14 +1739,15 @@ object AnnIndex {
     var depth = 0
     while (t != null && depth < 20) {
       val m = Option(t.getMessage).getOrElse("")
+      val flat = m.replace('\n', ' ')
+      val namesIndex = VersionedDirRe.matches(flat)
       val fileLevel = t.isInstanceOf[java.io.FileNotFoundException] ||
         t.isInstanceOf[org.apache.hadoop.fs.ChecksumException] ||
         m.contains("FAILED_READ_FILE") || m.contains("FileNotFoundException") ||
         m.contains("Checksum error")
-      val reclaimedDir =
-        (m.contains("PATH_NOT_FOUND") || m.contains("does not exist")) &&
-          VersionedDirRe.matches(m.replace('\n', ' '))
-      if (fileLevel || reclaimedDir) return true
+      val pathMissing =
+        m.contains("PATH_NOT_FOUND") || m.contains("does not exist")
+      if ((fileLevel || pathMissing) && namesIndex) return true
       t = t.getCause
       depth += 1
     }

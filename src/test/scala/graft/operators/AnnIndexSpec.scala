@@ -286,11 +286,20 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     // the superseded version is RETAINED for in-flight readers that
     // resolved just before the flip...
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")))
-    // ...and reclaimed by the NEXT compact
+    // ...and a BACK-TO-BACK compact cannot reclaim it either: the
+    // maintenance sweep reads the manifest's retirement timestamps with
+    // the same grace guard as vacuum, so a just-retired generation
+    // survives even when maintenance passes stack up
     AnnIndex.compact(spark, path)
     assert(AnnIndex.codesPath(spark, path).endsWith("codes_v3"))
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")),
+      "grace must protect the just-retired generation across back-to-back compacts")
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v2")))
+    // once aged past grace, reclaim proceeds (explicit zero-grace here)
+    Thread.sleep(150)
+    assert(AnnIndex.vacuum(spark, path, graceMs = 100L) >= 2)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v2")))
   }
 
   test("rebuild over a live index is ONE manifest flip; previous generation retained a cycle") {
@@ -308,9 +317,15 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     val v2 = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
       "vec_id", "embedding", k = 5, nProbe = 16))
     assert(v1 == v2, "deterministic rebuild must serve identical results")
-    // ... and the NEXT build reclaims it
+    // ... and a back-to-back build keeps it too (the maintenance sweep
+    // shares vacuum's retirement-age grace guard); an aged retirement
+    // is reclaimed by vacuum
     AnnIndex.build(emb, "vec_id", "embedding", path)
     assert(AnnIndex.codesPath(spark, path).endsWith("codes_v3"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")),
+      "grace must protect the retired generation across back-to-back builds")
+    Thread.sleep(150)
+    assert(AnnIndex.vacuum(spark, path, graceMs = 100L) >= 2)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/meta_v1")))
   }
@@ -1149,5 +1164,192 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       AnnIndex.topK(spark, path, queriesOf(Seq(0L)), "vec_id", "embedding",
         k = 5, rerank = 10)
     }
+  }
+
+  test("withRank returns the per-query rank column, consistent with the plain output") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val ranked = AnnIndex.topK(spark, path, queriesOf(0L to 4L),
+      "vec_id", "embedding", k = 5, nProbe = 16, withRank = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(ranked.length == 25)
+    // ranks are exactly 1..k per query and the (query, neighbor) pairs
+    // match the rank-less output bit-for-bit
+    assert(ranked.groupBy(_._1).values
+      .forall(_.map(_._3).sorted.toSeq == (1 to 5)))
+    val plain = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 4L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    assert(ranked.map(t => (t._1, t._2)).toSet == plain)
+    // same for the exact-rerank path (rank = the rerank ordering)
+    val rr = AnnIndex.topK(spark, path, queriesOf(0L to 4L),
+      "vec_id", "embedding", k = 5, nProbe = 16, rerank = 50,
+      exact = Some(emb), exactIdCol = "vec_id", exactVecCol = "embedding",
+      withRank = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rr.length == 25 &&
+      rr.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == (1 to 5)))
+  }
+
+  test("manifest generation counter: a stale-snapshot publish fails loudly, the index survives") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val expected = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    // writer A resolves its snapshot ...
+    val snapA = AnnIndex.readLayoutNow(spark, path)
+    // ... then writer B completes a full maintenance flip in between
+    AnnIndex.delete(spark, path, Seq(999999L))
+    // A's publish against the moved manifest must fail LOUDLY — a
+    // silent last-writer-wins flip would lose B's bookkeeping
+    val ex = intercept[IllegalStateException] {
+      AnnIndex.publishLayout(spark, path, snapA)
+    }
+    assert(ex.getMessage.contains("concurrent maintenance writer"),
+      s"wrong failure: ${ex.getMessage}")
+    // B's flip survived intact: generation moved exactly once and the
+    // index serves exactly as before (999999 was never a member)
+    val after = AnnIndex.readLayoutNow(spark, path)
+    assert(after.generation == snapA.generation + 1)
+    assert(after.tombstones.nonEmpty, "the loser must not clobber B's flip")
+    assert(pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16)) == expected)
+  }
+
+  test("racing maintenance writers: at most one flip wins per generation, losers fail loudly, index stays consistent") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val total = AnnIndex.stats(spark, path)
+      .agg(sum(col("n_vectors"))).head.getLong(0)
+    val gen0 = AnnIndex.readLayoutNow(spark, path).generation
+    // two concurrent writers race real maintenance passes; a loser
+    // fails LOUDLY (the generation conflict, or a staging collision
+    // that precedes it) — what can never happen is a silent interleave:
+    // generation moves exactly once per SUCCESSFUL pass
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => {
+        try { AnnIndex.delete(spark, path, Seq(777777L)); () }
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    val successes = 2 - errs.size()
+    assert(successes >= 1, s"at least one writer must win: ${errs.peek()}")
+    // the index is consistent regardless of who won: one flip per win
+    val genN = AnnIndex.readLayoutNow(spark, path).generation
+    assert(genN == gen0 + successes,
+      s"generation moved $gen0 -> $genN with $successes successful flips")
+    assert(AnnIndex.stats(spark, path).agg(sum(col("n_vectors"))).head.getLong(0)
+      == total)
+    assert(pairs(AnnIndex.topK(spark, path, queriesOf(0L to 4L),
+      "vec_id", "embedding", k = 5, nProbe = 16)).size == 25)
+  }
+
+  test("a crash inside the manifest flip window recovers from INDEX.tmp for readers and writers") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val expected = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    def mf = java.nio.file.Paths.get(s"$path/INDEX")
+    def tmp = java.nio.file.Paths.get(s"$path/INDEX.tmp")
+    // simulate the writer dying between the OVERWRITE rename's delete
+    // and its move: INDEX gone, the staged INDEX.tmp still on disk
+    java.nio.file.Files.move(mf, tmp)
+    // a WRITER resolving now must recover the staged manifest, never
+    // resolve legacy bare names (which don't exist on this index) —
+    // this delete would otherwise publish a manifest naming ghosts
+    AnnIndex.delete(spark, path, Seq(0L))
+    assert(java.nio.file.Files.exists(mf) && !java.nio.file.Files.exists(tmp))
+    val served = pairs(AnnIndex.topK(spark, path, queriesOf(1L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    assert(served.size == 45 && served.forall(_._2 != 0L))
+    // and a READER landing in the crashed window recovers too (after
+    // waiting out the live-flip grace)
+    java.nio.file.Files.move(mf, tmp)
+    assert(pairs(AnnIndex.topK(spark, path, queriesOf(1L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16)) == served)
+    assert(java.nio.file.Files.exists(mf), "the reader must re-publish the tmp")
+    // sanity: the recovered index still matches its pre-crash self
+    // modulo the delete (drop query 0's rows too — it is not queried
+    // after the delete)
+    assert(expected.filter(p => p._1 != 0L && p._2 != 0L).subsetOf(served))
+  }
+
+  test("delete then re-add: append folds the tombstone and the stale rows, no manual compact") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val total = AnnIndex.stats(spark, path)
+      .agg(sum(col("n_vectors"))).head.getLong(0)
+    val before = pairs(AnnIndex.topK(spark, path, queriesOf(1L to 10L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    // delete two ids that actually SERVE (the two most frequent
+    // top-5 neighbors, ties by id), re-add ONE with its original vector
+    val byFreq = before.toSeq.map(_._2).groupBy(identity).toSeq
+      .sortBy { case (id, v) => (-v.size, id) }.map(_._1)
+    val (victim, other) = (byFreq.head, byFreq(1))
+    AnnIndex.delete(spark, path, Seq(victim, other))
+    AnnIndex.append(emb.filter(col("vec_id") === victim),
+      "vec_id", "embedding", path)
+    // visible immediately, with NO manual compact ...
+    val served = AnnIndex.topK(spark, path, queriesOf(1L to 10L),
+      "vec_id", "embedding", k = 5, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(served.exists(_._2 == victim), "the re-added id must serve again")
+    assert(!served.exists(_._2 == other), "the still-deleted id must stay deleted")
+    // ... exactly once: the stale physical row was folded out, so no
+    // (query, neighbor) pair appears twice
+    assert(served.length == served.toSet.size,
+      "stale physical rows resurrected as duplicate candidates")
+    // identical vector, same frozen model → the victim's pre-delete
+    // slots are all restored
+    assert(before.filter(_._2 == victim).subsetOf(served.toSet),
+      "the re-added id must reclaim its exact pre-delete ranking slots")
+    // occupancy: one id net-deleted
+    assert(AnnIndex.stats(spark, path).agg(sum(col("n_vectors"))).head.getLong(0)
+      == total - 1)
+    // the tombstone artifact kept the OTHER id only
+    val l = AnnIndex.readLayoutNow(spark, path)
+    assert(l.tombstones.nonEmpty)
+    assert(spark.read.parquet(s"$path/${l.tombstones.get}")
+      .collect().map(_.getLong(0)).toSet == Set(other))
+    // physically: exactly ONE row with the victim's id in the codes
+    assert(spark.read.parquet(s"$path/${l.codes}")
+      .filter(col("id") === victim).count() == 1)
+    assert(before.filter(p => p._2 != victim && p._2 != other)
+      .subsetOf(served.toSet))
+  }
+
+  test("re-add with a DIFFERENT vector moves the row; re-adding the whole set clears the tombstones") {
+    import spark.implicits._
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    val model = AnnIndex.loadModel(spark, path)
+    // pick an id and a replacement vector from a DIFFERENT list so the
+    // re-add provably lands elsewhere and the old list is rewritten
+    val codes0 = spark.read.parquet(s"$path/${AnnIndex.readLayoutNow(spark, path).codes}")
+      .select("id", "cid").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val vecOf = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val victim = 7L
+    val donor = vecOf.keys.find(id => codes0(id) != codes0(victim)).get
+    AnnIndex.delete(spark, path, Seq(victim))
+    AnnIndex.append(Seq((victim, vecOf(donor))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path)
+    val l = AnnIndex.readLayoutNow(spark, path)
+    // tombstones fully cleared (the only deleted id was re-added)
+    assert(l.tombstones.isEmpty, "re-adding the whole tombstone set must clear it")
+    val rows = spark.read.parquet(s"$path/${l.codes}")
+      .filter(col("id") === victim).select("cid")
+      .collect().map(_.getInt(0))
+    assert(rows.length == 1, s"expected exactly one physical row, got ${rows.length}")
+    assert(rows.head == codes0(donor),
+      "the re-added row must live in the donor vector's list")
+    assert(AnnIndex.stats(spark, path).agg(sum(col("n_vectors"))).head.getLong(0)
+      == emb.count())
+    // the moved row serves from its new list under a full probe
+    val served = pairs(AnnIndex.topK(spark, path,
+      queriesOf(Seq(donor)), "vec_id", "embedding", k = 5, nProbe = model.nLists))
+    assert(served.contains((donor, victim)),
+      "the re-added duplicate of the donor vector must be its nearest neighbor")
   }
 }
