@@ -13,15 +13,39 @@ import org.apache.spark.sql.functions._
   * is deterministic integer arithmetic and a relational oracle replays
   * it end to end.
   *
-  * Scale design: the dense ranking is one broadcast of the query batch
-  * against the distributed corpus (swap [[AnnIndex.topK]] in for the
-  * brute pass when an index exists — fusion only consumes
-  * `(query, id, rank)` rows, so the systems are pluggable); the sparse
-  * ranking is the dedup family's inverted 3-gram shingle join (only
-  * nonzero-overlap candidates are ever materialized — a zero-overlap
-  * document cannot rank), never an all-pairs pass; both rankings
-  * truncate at `topN` per query before the (tiny) full-outer fusion
-  * join. Driver state is O(1).
+  * Two dense backends share the sparse side and the fusion (they only
+  * exchange `(qid, id, rank)` rows):
+  *
+  *  - [[retrieve]] ranks the dense side EXACTLY — one broadcast of the
+  *    query batch against the full corpus. This is the oracle-replayable
+  *    baseline and the recall reference; its dense cost is a full corpus
+  *    scan per batch, so it is the WRONG shape for a 100 TB serving
+  *    path.
+  *  - [[retrieveIndexed]] ranks the dense side through a persisted
+  *    [[AnnIndex]] (probe-limited partition-pruned scan + exact re-rank
+  *    of a bounded shortlist) — the production composition. Its dense
+  *    cost tracks `nProbe/nLists` of the codes scan, not the corpus,
+  *    and it is recall-gated against [[retrieve]] the same way the
+  *    `ann_topk_ivf` lane gates against brute force.
+  *
+  * The sparse ranking is the dedup family's inverted 3-gram shingle
+  * join (only nonzero-overlap candidates are ever materialized — a
+  * zero-overlap document cannot rank), never an all-pairs pass; both
+  * rankings truncate at `topN` per query before the (tiny) full-outer
+  * fusion join. Driver state is O(query batch).
+  *
+  * Hot-shingle bound (`maxShingleDf`): a single high-document-frequency
+  * query shingle ("in the the", boilerplate headers) makes every
+  * query's candidate set corpus-sized and funnels it through one
+  * rank-window partition. When `maxShingleDf > 0`, query shingles whose
+  * corpus document frequency exceeds the cap are DROPPED from the query
+  * representation before the candidate join (the standard
+  * impact-ordering move — a shingle half the corpus shares carries no
+  * ranking signal anyway), and the drop is logged loudly like
+  * redundancy_score's width cap. The df probe is one map-side-combined
+  * count over the inverted scan restricted to the query's shingles —
+  * tiny shuffle, no corpus-sized groupBy. `maxShingleDf <= 0` disables
+  * the cap (bit-compatible with the pre-cap operator and its oracle).
   *
   * Determinism: ranks break ties by id; the RRF contribution is
   * `round(1e6 / (k0 + rank))` in integer micro-units summed as longs,
@@ -30,11 +54,12 @@ import org.apache.spark.sql.functions._
   */
 object Hybrid {
 
-  /** Per-query top-`k` over the fused ranking. `docs` supplies the
-    * sparse (text) side keyed by `docIdCol`, `emb` the dense (vector)
-    * side keyed by `vecIdCol` — the same id space (the join key of the
-    * fusion). Queries are corpus members named by id, as in the ANN
-    * lanes. Returns `(query_id, neighbor_id, rrf_micro)`.
+  /** Per-query top-`k` over the fused ranking, dense side EXACT.
+    * `docs` supplies the sparse (text) side keyed by `docIdCol`, `emb`
+    * the dense (vector) side keyed by `vecIdCol` — the same id space
+    * (the join key of the fusion). Queries are corpus members named by
+    * id, as in the ANN lanes. Returns `(query_id, neighbor_id,
+    * rrf_micro)`.
     */
   def retrieve(
       docs: DataFrame,
@@ -43,6 +68,7 @@ object Hybrid {
       k: Int = 5,
       topN: Int = 20,
       k0: Int = 60,
+      maxShingleDf: Long = 0L,
       docIdCol: String = "doc_id",
       textCol: String = "text",
       vecIdCol: String = "vec_id",
@@ -67,27 +93,114 @@ object Hybrid {
       .filter(col("rnk") <= topN)
       .select(col("qid"), col("id"), col("rnk").as("dense_rank"))
 
-    // sparse system: word 3-gram Jaccard via the inverted shingle join
-    // (only candidates sharing a shingle with the query ever appear)
+    fuse(dense,
+      sparseRanks(docs, queryIds, topN, maxShingleDf, docIdCol, textCol),
+      k, k0)
+  }
+
+  /** Per-query top-`k` over the fused ranking, dense side served by the
+    * persisted [[AnnIndex]] at `indexPath` (built over the same id
+    * space as `emb`): probe-limited compressed scan shortlists, exact
+    * cosine re-ranks `rerank` candidates from `emb`, and only the
+    * resulting `(qid, id, rank)` rows meet the sparse side in the
+    * fusion — the dense cost tracks `nProbe/nLists`, never the corpus.
+    * Same output contract as [[retrieve]]; gate the composition against
+    * it on a query sample (fused top-k overlap), the `ann_topk_ivf`
+    * recall-gate pattern.
+    */
+  def retrieveIndexed(
+      docs: DataFrame,
+      emb: DataFrame,
+      indexPath: String,
+      queryIds: Seq[Long],
+      k: Int = 5,
+      topN: Int = 20,
+      k0: Int = 60,
+      nProbe: Int = 4,
+      rerank: Int = 200,
+      maxShingleDf: Long = 0L,
+      docIdCol: String = "doc_id",
+      textCol: String = "text",
+      vecIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(queryIds.nonEmpty, "hybrid retrieval needs at least one query id")
+    require(topN >= k, s"per-system depth topN=$topN must cover the fused k=$k")
+    require(rerank <= 0 || rerank >= topN,
+      s"rerank=$rerank must cover the dense depth topN=$topN (or be <= 0 for pure ADC)")
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+
+    val queries = emb.filter(col(vecIdCol).isInCollection(queryIds))
+    val dense = AnnIndex.topK(spark, indexPath, queries, vecIdCol, vecCol,
+      k = topN, nProbe = nProbe, rerank = rerank,
+      exact = if (rerank > 0) Some(emb) else None,
+      exactIdCol = vecIdCol, exactVecCol = vecCol,
+      withRank = true)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("id"),
+        col("rank").as("dense_rank"))
+
+    fuse(dense,
+      sparseRanks(docs, queryIds, topN, maxShingleDf, docIdCol, textCol),
+      k, k0)
+  }
+
+  /** The sparse system: word 3-gram Jaccard per-query top-`topN` via the
+    * inverted shingle join (only candidates sharing a kept shingle with
+    * the query ever appear). Returns `(qid, id, sparse_rank)`.
+    */
+  private def sparseRanks(
+      docs: DataFrame,
+      queryIds: Seq[Long],
+      topN: Int,
+      maxShingleDf: Long,
+      docIdCol: String,
+      textCol: String): DataFrame = {
     val sh = Dedup.shingles(docs, docIdCol, textCol, 3)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val qsh = sh.filter(col("id").isInCollection(queryIds))
+    val qsh0 = sh.filter(col("id").isInCollection(queryIds))
       .select(col("id").as("qid"), col("shingle"))
-    val sparse = sh.join(broadcast(qsh), "shingle")
+    val qsh =
+      if (maxShingleDf <= 0L) qsh0
+      else {
+        // corpus document frequency of the QUERY's shingles only: the
+        // inverted scan is restricted by a broadcast semi-join and the
+        // count is map-side combined, so the shuffle is bounded by the
+        // query batch's shingle vocabulary, not the corpus
+        val hot = sh
+          .join(broadcast(qsh0.select("shingle").distinct()), "shingle")
+          .groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf)
+          .collect()
+        if (hot.nonEmpty) {
+          System.err.println(
+            s"[graft] hybrid: dropping ${hot.length} query shingle(s) with " +
+              s"document frequency > $maxShingleDf from the sparse ranking: " +
+              hot.sortBy(-_.getLong(1)).take(5)
+                .map(r => s"'${r.getString(0)}'(df=${r.getLong(1)})")
+                .mkString(", "))
+          val hotSet = hot.map(_.getString(0)).toSeq
+          qsh0.filter(!col("shingle").isInCollection(hotSet))
+        } else qsh0
+      }
+    val qn = qsh.groupBy("qid").agg(count(lit(1)).as("qn"))
+    sh.join(broadcast(qsh), "shingle")
       .filter(col("id") =!= col("qid"))
       .groupBy("qid", "id").agg(count(lit(1)).as("inter"))
       .join(sizes, "id")
-      .join(broadcast(sizes.filter(col("id").isInCollection(queryIds))
-        .select(col("id").as("qid"), col("n").as("qn"))), "qid")
+      .join(broadcast(qn), "qid")
       .withColumn("j",
         col("inter").cast("double") / (col("n") + col("qn") - col("inter")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("j").desc, col("id").asc)))
       .filter(col("rnk") <= topN)
       .select(col("qid"), col("id"), col("rnk").as("sparse_rank"))
+  }
 
-    // RRF fusion in integer micro-units; a document missing from one
-    // system simply contributes 0 from it (full outer join)
+  /** RRF fusion in integer micro-units; a document missing from one
+    * system simply contributes 0 from it (full outer join).
+    */
+  private def fuse(
+      dense: DataFrame, sparse: DataFrame, k: Int, k0: Int): DataFrame =
     dense.join(sparse, Seq("qid", "id"), "full_outer")
       .withColumn("rrf_micro",
         coalesce(round(lit(1000000.0) / (lit(k0) + col("dense_rank")))
@@ -99,5 +212,4 @@ object Hybrid {
       .filter(col("rk") <= k)
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
         col("rrf_micro"))
-  }
 }

@@ -638,6 +638,27 @@ object GraftQueries {
         s.read.parquet(s"$d/documents.parquet"),
         s.read.parquet(s"$d/embeddings.parquet"),
         0L to 9L, k = 5, topN = 20)),
+    // the PRODUCTION hybrid composition: the dense system is the
+    // persisted ANN index (probe-limited partition-pruned scan + exact
+    // rerank of a bounded shortlist — cost tracks nProbe/nLists, never
+    // the corpus) fused with the df-capped sparse ranking. Approximate
+    // by design, so the query RETURNS the recall gate (fused top-k
+    // overlap vs the exact-fusion lane ≥ 0.8 — the ann_topk_ivf
+    // contract) and the oracle pins it
+    "hybrid_retrieval_indexed" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_hybidx_q").toString
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", subspaces = 8)
+      val indexed = Hybrid.retrieveIndexed(docs, emb, s"$base/idx", 0L to 9L,
+        k = 5, topN = 20, nProbe = 8, rerank = 200, maxShingleDf = 100000L)
+      val exact = Hybrid.retrieve(docs, emb, 0L to 9L, k = 5, topN = 20,
+        maxShingleDf = 100000L)
+      val overlap = indexed.join(exact, Seq("query_id", "neighbor_id")).count()
+      val total = exact.count()
+      Seq(total > 0 && overlap.toDouble / total >= 0.8).toDF("fused_recall_ge_080")
+    }),
     // IVF at the approximate config (nProbe=4 of 16 lists) cannot match
     // brute force row-for-row by design; the correctness contract is the
     // reference one for ANN indexes — recall vs exhaustive search — so
@@ -2903,6 +2924,9 @@ object GraftQueries {
           |  SELECT (SELECT base FROM b) AS cid, CAST(sum(o.n) AS BIGINT) AS n_vectors
           |  FROM occ o WHERE o.cid IN (SELECT cid FROM cold))""".stripMargin),
     "ann_topk_ivfadc" -> "SELECT true AS recall_ge_080",
+    // the query computes the fused-overlap gate itself (index-backed
+    // dense + df-capped sparse vs exact fusion); the oracle pins it
+    "hybrid_retrieval_indexed" -> "SELECT true AS fused_recall_ge_080",
     "ann_topk_opq" -> "SELECT true AS opq_err_le_pq, true AS recall_ge_080",
     "ann_index_opq" -> "SELECT true AS persisted_eq_inline",
     "ann_index_rebalance" ->

@@ -73,5 +73,89 @@ class HybridSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       Hybrid.retrieve(docs, emb, Seq(0L), k = 5, topN = 3)
     }
+    intercept[IllegalArgumentException] {
+      Hybrid.retrieveIndexed(docs, emb, "/nonexistent", Seq(0L),
+        k = 5, topN = 20, rerank = 10)
+    }
+  }
+
+  test("retrieveIndexed at full probe + corpus rerank is bit-equal to the exact composition") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft_hybidx").toString
+    AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", subspaces = 8)
+    // full probe makes the shortlist exhaustive and the corpus-sized
+    // exact rerank orders it by true cosine (sim desc, id asc) — the
+    // exact dense ranking — so the whole fused output must be
+    // bit-identical to retrieve()'s
+    val exact = Hybrid.retrieve(docs, emb, 0L to 9L, k = 5, topN = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val indexed = Hybrid.retrieveIndexed(docs, emb, s"$base/idx", 0L to 9L,
+      k = 5, topN = 20, nProbe = 16, rerank = emb.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(indexed == exact,
+      "exhaustive-index composition must reproduce the exact fusion bit-for-bit")
+  }
+
+  test("retrieveIndexed at the production config holds the fused recall gate vs exact fusion") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft_hybidx2").toString
+    AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", subspaces = 8)
+    val exact = Hybrid.retrieve(docs, emb, 0L to 9L, k = 5, topN = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexed = Hybrid.retrieveIndexed(docs, emb, s"$base/idx", 0L to 9L,
+      k = 5, topN = 20, nProbe = 8, rerank = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed.size == exact.size)
+    val overlap = indexed.intersect(exact).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"fused overlap $overlap below the 0.8 gate")
+  }
+
+  test("maxShingleDf drops hot query shingles: candidates bounded, rare signal preserved") {
+    import spark.implicits._
+    // query doc 0 carries TWO hot shingles ("h1 h2 h3", "h2 h3 h4" —
+    // present in 20 boilerplate docs and in doc 100) and one rare
+    // shingle ("r1 r2 r3", shared only with doc 200). Identical
+    // embeddings make the dense ranks a pure id ascent, so the fused
+    // order isolates the sparse side's behavior.
+    val boiler = (1L to 20L).map(i => (i, s"h1 h2 h3 h4 filler$i"))
+    val docs = (Seq(
+      (0L, "h1 h2 h3 h4 r1 r2 r3"),
+      (100L, "h1 h2 h3 h4 other words here"),
+      (200L, "r1 r2 r3 unrelated tail words")) ++ boiler)
+      .toDF("doc_id", "text")
+    val emb = docs.select(col("doc_id").as("vec_id"))
+      .withColumn("embedding", array(lit(1.0), lit(0.0)))
+    // without the cap, the boilerplate shingles dominate: doc 100
+    // (sharing BOTH hot shingles, small overlap union) outranks the
+    // rare-signal doc 200 in the sparse system
+    def sparsePick(maxDf: Long): Seq[Long] =
+      Hybrid.retrieve(docs, emb, Seq(0L), k = 22, topN = 22, maxShingleDf = maxDf)
+        .orderBy(col("rrf_micro").desc, col("neighbor_id").asc)
+        .collect().map(_.getLong(1)).toSeq
+    val uncapped = sparsePick(0L)
+    // hot shingles live in 22 docs; a cap of 5 drops them from the
+    // query representation, so ONLY the rare shingle ranks: doc 200
+    // becomes the top sparse candidate and the boilerplate crowd
+    // contributes nothing sparse
+    val capped = sparsePick(5L)
+    assert(capped.head == 200L,
+      s"rare-signal doc must lead once boilerplate is capped, got $capped")
+    assert(uncapped.head != 200L,
+      s"fixture must be hot-shingle-dominated without the cap, got $uncapped")
+    // a generous cap (nothing exceeds it) is bit-identical to no cap
+    assert(sparsePick(1000L) == uncapped)
+  }
+
+  test("maxShingleDf with no hot shingles is bit-identical on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plain = Hybrid.retrieve(docs, emb, 0L to 4L, k = 5, topN = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = Hybrid.retrieve(docs, emb, 0L to 4L, k = 5, topN = 20,
+      maxShingleDf = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == plain)
   }
 }
