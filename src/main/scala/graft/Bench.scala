@@ -99,8 +99,14 @@ object Bench {
       s"""{"name":${graft.util.Json.quote(controlName)},"sec":${f"$controlSec%.3f"}}"""
     val passTotalsJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val controlsJson = controls.map(c => f"$c%.3f").mkString("[", ",", "]")
+    // "protocol" names the measurement semantics explicitly: "value" is
+    // a SUM OF PER-LANE MINIMA across passes (a composite no single pass
+    // achieved), NOT comparable with pre-r14 single-pass artifacts —
+    // tooling diffing artifacts across protocols should fail visibly on
+    // this field instead of misreading a protocol change as a speedup
+    // (compare pass_totals[0] against single-pass-era artifacts instead)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"control":$control,"controls":$controlsJson,"pass_totals":$passTotalsJson,"ratios":$ratios,"errors":$errs,"sf":${graft.util.Json.quote(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"min-of-N-r14","passes":$passes,"queries":$qs,"control":$control,"controls":$controlsJson,"pass_totals":$passTotalsJson,"ratios":$ratios,"errors":$errs,"sf":${graft.util.Json.quote(sfDir)}}"""
     println(line)
     // stdout tail-capture has truncated this (long) line before, losing
     // the parsed totals — persist a copy so the full timing map is

@@ -843,7 +843,22 @@ object GraftQueries {
       val monotone = curve.sliding(2)
         .forall(p => p.length < 2 || p(0)._2 <= p(1)._2)
       val full = curve.last._2 == 1000000L
-      Seq((monotone, full)).toDF("monotone_in_probes", "full_probe_recall_1")
+      // the PRODUCTION config's curve (rerank = 200) as tracked VALUES:
+      // the theorems above gate the machinery (they hold only with a
+      // corpus-sized rerank — see the registry comment), these numbers
+      // make SERVING-quality drift visible round-over-round. They are
+      // fully deterministic (integer-nano Lloyd, integer ADC, exact
+      // rerank with id tie-breaks), so the oracle pins them exactly at
+      // the driver's correctness scale, the cluster_subtrees pattern.
+      val prod = AnnIndex.recallCurve(s, s"$base/idx",
+        emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
+        emb, "vec_id", "embedding",
+        probes = Seq(1, 2, 4, 8, 16), k = 5, rerank = 200)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      Seq((monotone, full, prod(1), prod(2), prod(4), prod(8), prod(16)))
+        .toDF("monotone_in_probes", "full_probe_recall_1",
+          "r200_p1_ppm", "r200_p2_ppm", "r200_p4_ppm", "r200_p8_ppm",
+          "r200_p16_ppm")
     }),
     "ann_index_persisted" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -2908,8 +2923,17 @@ object GraftQueries {
     // delete is visible to every manifest-snapshot reader
     "ann_index_delete" -> (annCoarseL2Ctes(16, 64).mkString("WITH ", ",\n", "\n") +
       "SELECT cid, count(*) AS n_vectors FROM ka2 WHERE vec_id % 7 <> 0 GROUP BY cid"),
+    // theorems pinned as booleans; the production (rerank=200) curve is
+    // pinned as exact ppm VALUES at the driver's correctness scale
+    // (sf0.01) — deterministic golden, the cluster_subtrees pattern, so
+    // any serving-quality drift turns the lane red instead of hiding
     "ann_index_recall_curve" ->
-      "SELECT true AS monotone_in_probes, true AS full_probe_recall_1",
+      """SELECT true AS monotone_in_probes, true AS full_probe_recall_1,
+        |  CAST(820000 AS BIGINT) AS r200_p1_ppm,
+        |  CAST(840000 AS BIGINT) AS r200_p2_ppm,
+        |  CAST(920000 AS BIGINT) AS r200_p4_ppm,
+        |  CAST(960000 AS BIGINT) AS r200_p8_ppm,
+        |  CAST(1000000 AS BIGINT) AS r200_p16_ppm""".stripMargin,
     "ann_index_split" -> annSplitOracle,
     "ann_index_merge" -> (
       (annCoarseL2Ctes(16, 64) ++ Seq(
