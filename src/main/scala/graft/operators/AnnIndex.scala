@@ -1460,6 +1460,15 @@ object AnnIndex {
     * a post-hoc shrunken top-k; ADC ranking within the allowed set is
     * bit-identical to the unfiltered ranking restricted to it (pinned
     * in spec). A tombstoned id stays excluded even if allowed.
+    * PROBE WIDTH under selective filters: the unfiltered recall gate
+    * does not transfer — a selective allow-list pushes the nearest
+    * ALLOWED neighbors outside the top probed cells (measured: 1%
+    * selectivity at nProbe=4/16 reads recall 0.5–0.7 vs
+    * within-allowed brute force; BASELINE.md round-15 canary). When
+    * the filter keeps less than ~1/nLists of the corpus, probe at or
+    * near full width: the semi-join already shrank the scan, so full
+    * probing costs what a narrow unfiltered probe costs and restores
+    * recall 1.0 there.
     *
     * `withRank = true` adds the per-query `rank` column (1 = nearest;
     * the ADC rank, or the exact-rerank rank when `rerank > 0`) — the
