@@ -819,6 +819,24 @@ object GraftQueries {
         emb.filter(col("vec_id") % 7 === 0), "vec_id")
       AnnIndex.stats(s, s"$base/idx")
     }),
+    // delete-then-readd WITHOUT a manual compact: append folds re-added
+    // ids out of the tombstone set and their stale rows out of the
+    // affected lists in its own pass. Every 7th id is deleted, the %14
+    // subset re-added with its ORIGINAL vector (so the frozen coarse
+    // assignment is unchanged and the SQL replay stays valid); the
+    // oracle counts the coarse chain minus exactly the net-deleted ids —
+    // a duplicate-resurrected row or a stuck tombstone both break it
+    "ann_index_readd" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val base = java.nio.file.Files.createTempDirectory("graft_annreadd_q").toString
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", residual = true)
+      AnnIndex.delete(s, s"$base/idx",
+        emb.filter(col("vec_id") % 7 === 0), "vec_id")
+      AnnIndex.append(emb.filter(col("vec_id") % 14 === 0),
+        "vec_id", "embedding", s"$base/idx")
+      AnnIndex.stats(s, s"$base/idx")
+    }),
     // the serving-quality diagnostic as a gated lane. The gates are
     // MACHINERY theorems, not fixture properties, because the shortlist
     // never truncates (rerank = corpus size): widening the probe can
@@ -2923,6 +2941,12 @@ object GraftQueries {
     // delete is visible to every manifest-snapshot reader
     "ann_index_delete" -> (annCoarseL2Ctes(16, 64).mkString("WITH ", ",\n", "\n") +
       "SELECT cid, count(*) AS n_vectors FROM ka2 WHERE vec_id % 7 <> 0 GROUP BY cid"),
+    // same coarse replay minus only the NET-deleted ids (deleted %7 set
+    // minus the re-added %14 subset) — pins that the re-add both
+    // un-tombstones and does not duplicate
+    "ann_index_readd" -> (annCoarseL2Ctes(16, 64).mkString("WITH ", ",\n", "\n") +
+      "SELECT cid, count(*) AS n_vectors FROM ka2 " +
+      "WHERE NOT (vec_id % 7 = 0 AND vec_id % 14 <> 0) GROUP BY cid"),
     // theorems pinned as booleans; the production (rerank=200) curve is
     // pinned as exact ppm VALUES at the driver's correctness scale
     // (sf0.01) — deterministic golden, the cluster_subtrees pattern, so
