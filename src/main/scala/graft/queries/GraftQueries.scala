@@ -632,7 +632,10 @@ object GraftQueries {
     // Jaccard ranking over documents (inverted shingle join — only
     // nonzero-overlap candidates exist). Only RANKS cross systems and
     // the fusion is integer micro-units, so DuckDB replays the whole
-    // chain — both rankings, truncation, fusion, final top-5 — exactly
+    // chain — both rankings, truncation, fusion, final top-5 — exactly.
+    // This is the EXACT-fusion baseline (dense = corpus crossJoin); the
+    // production serving shape is hybrid_retrieval_indexed below, which
+    // gates against this lane
     "hybrid_retrieval_documents" -> ((s, d) =>
       Hybrid.retrieve(
         s.read.parquet(s"$d/documents.parquet"),
