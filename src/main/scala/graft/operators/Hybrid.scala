@@ -69,6 +69,7 @@ object Hybrid {
       topN: Int = 20,
       k0: Int = 60,
       maxShingleDf: Long = 0L,
+      sparseSystem: String = "jaccard",
       docIdCol: String = "doc_id",
       textCol: String = "text",
       vecIdCol: String = "vec_id",
@@ -94,7 +95,8 @@ object Hybrid {
       .select(col("qid"), col("id"), col("rnk").as("dense_rank"))
 
     fuse(dense,
-      sparseRanks(docs, queryIds, topN, maxShingleDf, docIdCol, textCol),
+      sparseRanks(docs, queryIds, topN, maxShingleDf, sparseSystem,
+        docIdCol, textCol),
       k, k0)
   }
 
@@ -119,6 +121,7 @@ object Hybrid {
       nProbe: Int = 4,
       rerank: Int = 200,
       maxShingleDf: Long = 0L,
+      sparseSystem: String = "jaccard",
       docIdCol: String = "doc_id",
       textCol: String = "text",
       vecIdCol: String = "vec_id",
@@ -140,21 +143,32 @@ object Hybrid {
         col("rank").as("dense_rank"))
 
     fuse(dense,
-      sparseRanks(docs, queryIds, topN, maxShingleDf, docIdCol, textCol),
+      sparseRanks(docs, queryIds, topN, maxShingleDf, sparseSystem,
+        docIdCol, textCol),
       k, k0)
   }
 
-  /** The sparse system: word 3-gram Jaccard per-query top-`topN` via the
-    * inverted shingle join (only candidates sharing a kept shingle with
-    * the query ever appear). Returns `(qid, id, sparse_rank)`.
+  /** The sparse system, selected by `sparseSystem`: `"jaccard"` = word
+    * 3-gram Jaccard via the inverted shingle join (near-duplicate
+    * phrasing), `"bm25"` = [[Bm25]] term relevance (rare-term match
+    * with tf saturation + length normalization). Both only ever
+    * materialize candidates sharing a kept token/shingle with the
+    * query and both honor the df cap. Returns `(qid, id, sparse_rank)`.
     */
   private def sparseRanks(
       docs: DataFrame,
       queryIds: Seq[Long],
       topN: Int,
       maxShingleDf: Long,
+      sparseSystem: String,
       docIdCol: String,
       textCol: String): DataFrame = {
+    require(sparseSystem == "jaccard" || sparseSystem == "bm25",
+      s"sparseSystem must be jaccard|bm25, got $sparseSystem")
+    if (sparseSystem == "bm25")
+      return Bm25.rank(docs, queryIds, topN, maxTokenDf = maxShingleDf,
+        docIdCol = docIdCol, textCol = textCol)
+        .select(col("qid"), col("id"), col("rank").as("sparse_rank"))
     val sh = Dedup.shingles(docs, docIdCol, textCol, 3)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val qsh0 = sh.filter(col("id").isInCollection(queryIds))

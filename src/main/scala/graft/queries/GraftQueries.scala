@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.metrics.{FdMetrics, ForestInspector}
 import graft.model.{Forest, NodeRow, Schema}
-import graft.operators.{Ann, AnnIndex, Decontaminate, Dedup, Events, Graph, Hybrid, LmScore, Mixture, Multimodal, Pii, RiffAvi, TextAnalysis, Tokenizer}
+import graft.operators.{Ann, AnnIndex, Bm25, Decontaminate, Dedup, Events, Graph, Hybrid, LmScore, Mixture, Multimodal, Pii, RiffAvi, TextAnalysis, Tokenizer}
 import graft.sources.{DbConfig, RelationalLoader, Testdata}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
@@ -662,6 +662,21 @@ object GraftQueries {
       val total = exact.count()
       Seq(total > 0 && overlap.toDouble / total >= 0.8).toDF("fused_recall_ge_080")
     }),
+    // BM25 term relevance (Robertson/Zaragoza) — the standard sparse
+    // system of production hybrid retrieval. Every arithmetic step is
+    // IEEE double over exact integer corpus statistics except the IDF
+    // log; the per-term contribution is rounded to integer micro-units
+    // BEFORE the order-independent long sum, so DuckDB replays the full
+    // chain — tokenize, tf/dl/df/N/T, score, rank, top-10 — exactly
+    "bm25_rank_documents" -> ((s, d) =>
+      Bm25.rank(s.read.parquet(s"$d/documents.parquet"), 0L to 9L, topN = 10)),
+    // hybrid fusion with BM25 as the sparse system: same RRF integer
+    // fusion, dense cosine replay, BM25 replay — end-to-end exact
+    "hybrid_retrieval_bm25" -> ((s, d) =>
+      Hybrid.retrieve(
+        s.read.parquet(s"$d/documents.parquet"),
+        s.read.parquet(s"$d/embeddings.parquet"),
+        0L to 9L, k = 5, topN = 20, sparseSystem = "bm25")),
     // IVF at the approximate config (nProbe=4 of 16 lists) cannot match
     // brute force row-for-row by design; the correctness contract is the
     // reference one for ANN indexes — recall vs exhaustive search — so
@@ -2931,6 +2946,36 @@ object GraftQueries {
         |             row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, id ASC) AS rk
         |      FROM fused)
         |SELECT qid AS query_id, id AS neighbor_id, rrf_micro FROM r WHERE rk <= 5""".stripMargin,
+    // full BM25 replay: tokenize, tf/dl/df and the N/T corpus stats,
+    // per-term micro-rounded contributions (rounding BEFORE the sum
+    // makes aggregation order irrelevant on both engines), rank, top-10.
+    // Arithmetic order mirrors the Spark expression token for token —
+    // IEEE doubles make every step but ln() bit-exact, and the micro
+    // rounding absorbs a last-ulp ln() difference
+    "bm25_rank_documents" -> (bm25Ctes +
+      """SELECT qid, id, bm25_micro, CAST(rank AS INT) AS rank
+        |FROM br WHERE rank <= 10""".stripMargin),
+    // dense cosine replay (as in hybrid_retrieval_documents) fused with
+    // the BM25 replay above via the same integer micro-unit RRF
+    "hybrid_retrieval_bm25" -> (bm25Ctes +
+      """, q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |dsim AS (SELECT qid, vec_id AS id,
+        |                list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS sim
+        |         FROM q, embeddings WHERE vec_id <> qid),
+        |dr AS (SELECT qid, id,
+        |              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS rnk
+        |       FROM dsim),
+        |dtop AS (SELECT qid, id, rnk FROM dr WHERE rnk <= 20),
+        |stop AS (SELECT qid, id, rank AS rnk FROM br WHERE rank <= 20),
+        |fused AS (SELECT COALESCE(d.qid, st.qid) AS qid, COALESCE(d.id, st.id) AS id,
+        |                 COALESCE(CAST(round(1000000.0 / (60 + d.rnk)) AS BIGINT), 0)
+        |                 + COALESCE(CAST(round(1000000.0 / (60 + st.rnk)) AS BIGINT), 0) AS rrf_micro
+        |          FROM dtop d FULL OUTER JOIN stop st ON d.qid = st.qid AND d.id = st.id),
+        |r AS (SELECT qid, id, rrf_micro,
+        |             row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, id ASC) AS rk
+        |      FROM fused)
+        |SELECT qid AS query_id, id AS neighbor_id, rrf_micro FROM r WHERE rk <= 5""".stripMargin),
     "ann_topk_pq" -> pqAdcOracle,
     // exhaustive probing ≡ the exhaustive ADC scan — same replay
     "ann_topk_ivfadc_full" -> pqAdcOracle,
@@ -3851,6 +3896,39 @@ object GraftQueries {
     * the brute-force query and the full-probe IVF query (probing every
     * list is exhaustive search, so both must match this exactly).
     */
+  /** The BM25 replay CTE chain (ends at `br` = ranked scores) shared by
+    * the bm25 lane and the bm25-hybrid fusion lane. Arithmetic order
+    * mirrors [[graft.operators.Bm25.rank]] token for token — the
+    * contribution is micro-rounded per (query, candidate, term) BEFORE
+    * the sum, so aggregation order cannot move a bit on either engine.
+    */
+  private lazy val bm25Ctes: String =
+    """WITH btoks AS (SELECT doc_id AS id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents),
+      |btf AS MATERIALIZED (SELECT id, token, count(*) AS tf FROM btoks GROUP BY 1, 2),
+      |bdl AS MATERIALIZED (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM btf GROUP BY 1),
+      |bst AS MATERIALIZED (SELECT
+      |    CAST((SELECT count(DISTINCT doc_id) FROM documents) AS DOUBLE) AS n,
+      |    CAST((SELECT sum(dl) FROM bdl) AS DOUBLE) AS t),
+      |bdf AS MATERIALIZED (SELECT token, count(*) AS df FROM btf GROUP BY 1),
+      |bq AS (SELECT id AS qid, token FROM btf WHERE id < 10),
+      |bsc AS MATERIALIZED (
+      |  SELECT bq.qid, c.id,
+      |         CAST(sum(CAST(round(
+      |           ln((n - df + 0.5) / (df + 0.5) + 1.0)
+      |           * ((CAST(c.tf AS DOUBLE) * 2.2) /
+      |              (CAST(c.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n / t))))
+      |           * 1000000.0) AS BIGINT)) AS BIGINT) AS bm25_micro
+      |  FROM bq JOIN btf c ON bq.token = c.token AND c.id <> bq.qid
+      |       JOIN bdf ON bdf.token = c.token JOIN bdl ON bdl.id = c.id, bst
+      |  GROUP BY 1, 2),
+      |br AS (SELECT qid, id, bm25_micro,
+      |              row_number() OVER (PARTITION BY qid
+      |                ORDER BY bm25_micro DESC, id ASC) AS rank
+      |       FROM bsc)
+      |""".stripMargin
+
   private lazy val annBruteOracle: String =
     """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
       |           FROM embeddings WHERE vec_id < 10),
