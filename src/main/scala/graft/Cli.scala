@@ -56,6 +56,8 @@ object Cli {
         |                                                  encode new vectors with the frozen model
         |  ann compact --index DIR                        fold append fragments to one file per list
         |  ann stats --index DIR                          per-list occupancy histogram
+        |  ann fsck --index DIR [--deep true]             health report (manifest, artifacts,
+        |                                                 orphans, fragmentation; read-only)
         |  ann split <emb.parquet> --index DIR [--cid N] [--k K]   split a hot list in place
         |  ann merge --index DIR [--cids A,B] [--emb P]   fold cold lists into one
         |  ann rebalance <emb.parquet> --index DIR [--hi X] [--lo Y]
@@ -178,6 +180,25 @@ object Cli {
       graft.operators.AnnIndex.stats(spark, idx).orderBy("cid").show(1000, truncate = false)
       spark.stop()
 
+    case "ann" :: "fsck" :: rest =>
+      val opts = parseOpts(rest)
+      val idx = opts.getOrElse("index", {
+        System.err.println("ann fsck needs --index DIR [--deep true]"); sys.exit(2)
+      })
+      val spark = session()
+      val report = graft.operators.AnnIndex.fsck(spark, idx,
+        deep = opts.get("deep").exists(_.toBoolean)).collect()
+      report.foreach(r =>
+        println(f"${r.getString(1)}%-5s ${r.getString(0)}%s: ${r.getString(2)}%s"))
+      val worst = report.map(_.getString(1)).foldLeft("OK") {
+        case (acc, "ERROR") => "ERROR"
+        case ("OK", "WARN") => "WARN"
+        case (acc, _) => acc
+      }
+      println(s"fsck: $worst")
+      spark.stop()
+      if (worst == "ERROR") sys.exit(1)
+
     case "ann" :: "merge" :: rest =>
       val opts = parseOpts(rest)
       val idx = opts.getOrElse("index", {
@@ -283,7 +304,7 @@ object Cli {
           graft.operators.AnnIndex.stats(spark, idx)
             .orderBy("cid").show(1000, truncate = false)
         case other =>
-          System.err.println(s"unknown ann verb $other (build|append|compact|stats|split|merge|rebalance|vacuum|recall|query|delete)"); sys.exit(2)
+          System.err.println(s"unknown ann verb $other (build|append|compact|stats|fsck|split|merge|rebalance|vacuum|recall|query|delete)"); sys.exit(2)
       }
       spark.stop()
 

@@ -837,6 +837,162 @@ object AnnIndex {
     n
   }
 
+  /** Index health check — the operational "is this index serving-safe
+    * and does it need maintenance" report, one `(check, status, detail)`
+    * row per inspection, `status ∈ OK | WARN | ERROR`. READ-ONLY: fsck
+    * never repairs (every finding's detail names the repairing
+    * operation). Default cost is metadata-only (manifest read + one
+    * directory listing + model-sized artifact reads); `deep = true`
+    * additionally counts codes rows and per-list files (a column-pruned
+    * data scan) for fragmentation and tombstone-ratio advice.
+    *
+    * Checks: manifest presence/recoverability (a crashed flip's
+    * `INDEX.tmp` is called out), referenced-artifact existence, model
+    * shape consistency (centroid count vs meta, codebook shapes,
+    * rotation dimension), stale list partitions (a crashed split/merge's
+    * reclaim half), unreferenced on-disk artifacts (grace-retained vs
+    * unpublished staging), leftover transitional pointer files, and —
+    * deep only — per-list file fragmentation and the tombstone ratio.
+    */
+  def fsck(spark: SparkSession, path: String, deep: Boolean = false): DataFrame = {
+    val (fs, root) = fsFor(spark, path)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    def add(check: String, status: String, detail: String): Unit =
+      rows += ((check, status, detail))
+    import spark.implicits._
+    if (!fs.exists(root)) {
+      add("root", "ERROR", s"index root $path does not exist")
+      return rows.toSeq.toDF("check", "status", "detail")
+    }
+    val onDisk: Set[String] = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    val hasManifest = fs.exists(manifestFile(path))
+    val hasTmp = fs.exists(new org.apache.hadoop.fs.Path(s"$path/INDEX.tmp"))
+    val versioned = onDisk.exists(n => n.matches(ArtifactRe) && n.contains("_v"))
+    if (!hasManifest && versioned && hasTmp)
+      add("manifest", "ERROR",
+        "INDEX missing with versioned artifacts and INDEX.tmp present — " +
+          "crashed flip window; any reader/writer resolve recovers it")
+    else if (!hasManifest && versioned)
+      add("manifest", "ERROR",
+        "INDEX missing with versioned artifacts and NO INDEX.tmp — " +
+          "unpublished staging of a crashed first build; re-run build")
+    else if (!hasManifest)
+      add("manifest", "WARN",
+        "pre-manifest legacy layout (bare dirs / pointer files); the " +
+          "next maintenance write migrates it")
+    // READ-ONLY layout resolution: a crashed flip's INDEX.tmp is PARSED
+    // but never re-published here (readLayoutNow would recover it as a
+    // side effect — fsck reports, repairs are the named operations')
+    val layout: Option[Layout] =
+      if (hasManifest)
+        scala.util.Try(readManifest(fs, manifestFile(path))).toOption
+      else if (hasTmp)
+        scala.util.Try(readManifest(fs,
+          new org.apache.hadoop.fs.Path(s"$path/INDEX.tmp"))).toOption
+      else scala.util.Try(legacyLayout(fs, path)).toOption
+    layout match {
+      case None =>
+        add("manifest", "ERROR", "layout unresolvable — corrupt manifest/pointers")
+      case Some(l) =>
+        if (hasManifest)
+          add("manifest", "OK", s"generation ${l.generation}, " +
+            s"${l.retired.size} retired record(s)")
+        val missing = l.dirs.filterNot(onDisk.contains)
+        if (missing.nonEmpty)
+          add("artifacts", "ERROR",
+            s"manifest references missing dir(s): ${missing.toSeq.sorted.mkString(",")}")
+        else add("artifacts", "OK", s"all ${l.dirs.size} referenced dirs present")
+        Seq("CODES", "MODEL").foreach { p =>
+          if (hasManifest && fs.exists(new org.apache.hadoop.fs.Path(s"$path/$p")))
+            add("pointers", "WARN",
+              s"transitional $p pointer file alongside the manifest — " +
+                "ignored by readers; the next publish retires it")
+        }
+        // unreferenced on-disk artifacts: grace-retained vs staging
+        val now = System.currentTimeMillis()
+        onDisk.filter(n => n.matches(ArtifactRe) && !l.dirs.contains(n))
+          .toSeq.sorted.foreach { n =>
+            l.retired.get(n) match {
+              case Some(ts) => add("orphans", "OK",
+                s"$n retired ${(now - ts) / 1000}s ago — grace-retained; vacuum reclaims")
+              case None => add("orphans", "WARN",
+                s"$n on disk but unreferenced with no retirement record — " +
+                  "unpublished staging (crashed writer?); zero-grace vacuum reclaims")
+            }
+          }
+        if (missing.isEmpty) {
+          val model = scala.util.Try(loadModelAt(spark, path, l)).toOption
+          model match {
+            case None => add("model", "ERROR", "model artifacts unreadable")
+            case Some(m) =>
+              if (m.centroids.length != m.nLists)
+                // harmless for serving (probe order reads the centroids
+                // themselves) but worth surfacing: Lloyd collapse on a
+                // degenerate corpus, or a stale meta
+                add("model", "WARN",
+                  s"meta names ${m.nLists} lists but ${m.centroids.length} centroids exist")
+              else if (m.codebooks.length != m.subspaces ||
+                m.codebooks.exists(cb => cb.isEmpty || cb.exists(_._2.size != m.subDim)))
+                add("model", "ERROR", "codebook shapes inconsistent with meta")
+              else if (m.centroids.exists(_._2.size != m.dim))
+                add("model", "ERROR", "centroid dimension inconsistent with meta")
+              else if (m.rotation.exists(r =>
+                r.length != m.dim || r.exists(_.length != m.dim)))
+                add("model", "ERROR", "rotation is not dim x dim")
+              else add("model", "OK",
+                s"${m.centroids.length} lists, ${m.subspaces}x${m.codebook} codebooks, " +
+                  s"dim ${m.dim}${if (m.residual) ", residual" else ""}" +
+                  s"${if (m.rotation.nonEmpty) ", OPQ-rotated" else ""}")
+              // list partitions vs model cids (directory listing only)
+              val codesDir = new org.apache.hadoop.fs.Path(s"$path/${l.codes}")
+              val partCids: Set[Int] =
+                if (!fs.exists(codesDir)) Set.empty
+                else fs.listStatus(codesDir).filter(_.isDirectory)
+                  .map(_.getPath.getName)
+                  .collect { case s if s.startsWith("cid=") => s.drop(4).toInt }.toSet
+              val liveCids = m.centroids.map(_._1).toSet
+              val stale = (partCids -- liveCids).toSeq.sorted
+              if (stale.nonEmpty)
+                add("lists", "WARN",
+                  s"partition dir(s) for non-live cid(s) ${stale.mkString(",")} — " +
+                    "a crashed split/merge's reclaim half; manifest readers ignore " +
+                    "them but raw scans double-count; re-run the op or compact")
+              else add("lists", "OK",
+                s"${partCids.size} list partition(s), all live " +
+                  s"(${(liveCids -- partCids).size} live list(s) currently empty)")
+              if (deep) {
+                val files = {
+                  var nf = 0
+                  val it = fs.listFiles(codesDir, true)
+                  while (it.hasNext)
+                    if (it.next().getPath.getName.endsWith(".parquet")) nf += 1
+                  nf
+                }
+                val perList =
+                  if (partCids.isEmpty) 0.0 else files.toDouble / partCids.size
+                if (perList > 3.0)
+                  add("fragmentation", "WARN",
+                    f"$files parquet files over ${partCids.size} lists " +
+                      f"($perList%.1f/list) — compact advised")
+                else add("fragmentation", "OK",
+                  f"$files parquet files over ${partCids.size} lists ($perList%.1f/list)")
+                val phys = spark.read.parquet(codesDir.toString)
+                  .filter(col("cid").isInCollection(liveCids.toSeq)).count()
+                val tomb = tombstoneIds(spark, path, l).map(_.count()).getOrElse(0L)
+                if (tomb == 0L) add("tombstones", "OK", s"none ($phys physical rows)")
+                else if (tomb * 5 >= phys)
+                  add("tombstones", "WARN",
+                    s"$tomb tombstoned vs $phys physical rows (>=20%) — compact " +
+                      "advised to reclaim")
+                else add("tombstones", "OK", s"$tomb tombstoned vs $phys physical rows")
+              }
+          }
+        }
+    }
+    rows.toSeq.toDF("check", "status", "detail")
+  }
+
   /** Remove ids from the index WITHOUT touching the data-sized codes:
     * the ids land in a versioned tombstone artifact named by the same
     * atomic manifest as everything else, and every manifest-snapshot

@@ -662,6 +662,16 @@ object GraftQueries {
       val total = exact.count()
       Seq(total > 0 && overlap.toDouble / total >= 0.8).toDF("fused_recall_ge_080")
     }),
+    // the operational health report on a freshly built index: every
+    // check must read OK (details vary by wall-clock, so the lane pins
+    // the (check, status) pairs — the deterministic health contract)
+    "ann_index_fsck" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val base = java.nio.file.Files.createTempDirectory("graft_annfsck_q").toString
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx")
+      AnnIndex.fsck(s, s"$base/idx", deep = true).select(col("check"), col("status"))
+    }),
     // BM25 term relevance (Robertson/Zaragoza) — the standard sparse
     // system of production hybrid retrieval. Every arithmetic step is
     // IEEE double over exact integer corpus statistics except the IDF
@@ -3023,6 +3033,11 @@ object GraftQueries {
     // the query computes the fused-overlap gate itself (index-backed
     // dense + df-capped sparse vs exact fusion); the oracle pins it
     "hybrid_retrieval_indexed" -> "SELECT true AS fused_recall_ge_080",
+    // a fresh index is healthy on every check, deep included
+    "ann_index_fsck" ->
+      """SELECT * FROM (VALUES ('manifest','OK'), ('artifacts','OK'),
+        |  ('model','OK'), ('lists','OK'), ('fragmentation','OK'),
+        |  ('tombstones','OK')) AS t("check", status)""".stripMargin,
     "ann_topk_opq" -> "SELECT true AS opq_err_le_pq, true AS recall_ge_080",
     "ann_index_opq" -> "SELECT true AS persisted_eq_inline",
     "ann_index_rebalance" ->

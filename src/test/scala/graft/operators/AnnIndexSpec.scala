@@ -1319,6 +1319,75 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       .subsetOf(served.toSet))
   }
 
+  test("fsck: healthy index all OK; each corruption class surfaces with its repair hint") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path, opqIters = 1)
+    def report(deep: Boolean = false): Map[String, (String, String)] =
+      AnnIndex.fsck(spark, path, deep).collect()
+        .map(r => (r.getString(0), (r.getString(1), r.getString(2))))
+        .groupBy(_._1).map { case (k, v) => (k, v.head._2) }
+    // healthy: every check OK, deep included
+    val healthy = AnnIndex.fsck(spark, path, deep = true).collect()
+    assert(healthy.nonEmpty && healthy.forall(_.getString(1) == "OK"),
+      s"healthy index must be all-OK: ${healthy.mkString("; ")}")
+    assert(report()("manifest")._2.contains("generation 1"))
+
+    // tombstone-heavy: deep advises a compact
+    AnnIndex.delete(spark, path, emb.filter(col("vec_id") % 3 === 0), "vec_id")
+    val heavy = report(deep = true)("tombstones")
+    assert(heavy._1 == "WARN" && heavy._2.contains("compact"), s"$heavy")
+    AnnIndex.compact(spark, path, retainPrevious = false)
+
+    // grace-retained orphan: OK with the vacuum hint
+    AnnIndex.compact(spark, path) // retains the superseded codes
+    val orphan = report()("orphans")
+    assert(orphan._1 == "OK" && orphan._2.contains("vacuum"), s"$orphan")
+
+    // unpublished staging: WARN
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$path/codes_v99"))
+    val staging = AnnIndex.fsck(spark, path).collect()
+      .filter(r => r.getString(0) == "orphans" && r.getString(2).contains("codes_v99"))
+    assert(staging.length == 1 && staging.head.getString(1) == "WARN")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$path/codes_v99"))
+
+    // stale list partition (crashed split's reclaim half): WARN naming it
+    val codes = s"$path/${AnnIndex.readLayoutNow(spark, path).codes}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$codes/cid=777"))
+    val stale = report()("lists")
+    assert(stale._1 == "WARN" && stale._2.contains("777"), s"$stale")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$codes/cid=777"))
+
+    // crashed flip window: ERROR naming INDEX.tmp recovery
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$path/INDEX"),
+      java.nio.file.Paths.get(s"$path/INDEX.tmp"))
+    val crashed = report()("manifest")
+    assert(crashed._1 == "ERROR" && crashed._2.contains("INDEX.tmp"), s"$crashed")
+    // fsck is READ-ONLY: it parsed the tmp but did NOT recover it
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/INDEX")),
+      "fsck must not repair the crashed flip itself")
+    // a real read recovers, after which fsck reads OK
+    assert(AnnIndex.topK(spark, path, queriesOf(Seq(1L)),
+      "vec_id", "embedding", k = 5, nProbe = 16).count() == 5)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/INDEX")))
+    assert(report()("manifest")._1 == "OK")
+
+    // referenced artifact missing: ERROR
+    val l = AnnIndex.readLayoutNow(spark, path)
+    val victim = java.nio.file.Paths.get(s"$path/${l.centroids}")
+    val moved = java.nio.file.Paths.get(s"$path/_hidden_centroids")
+    java.nio.file.Files.move(victim, moved)
+    val miss = report()("artifacts")
+    assert(miss._1 == "ERROR" && miss._2.contains(l.centroids), s"$miss")
+    java.nio.file.Files.move(moved, victim)
+    assert(report()("artifacts")._1 == "OK")
+
+    // missing root: single ERROR row
+    val gone = AnnIndex.fsck(spark, s"$path/nope").collect()
+    assert(gone.length == 1 && gone.head.getString(1) == "ERROR")
+  }
+
   test("re-add with a DIFFERENT vector moves the row; re-adding the whole set clears the tombstones") {
     import spark.implicits._
     val path = tmpIdx()
