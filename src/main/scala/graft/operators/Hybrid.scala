@@ -70,6 +70,8 @@ object Hybrid {
       k0: Int = 60,
       maxShingleDf: Long = 0L,
       sparseSystem: String = "jaccard",
+      denseWeightMilli: Int = 1000,
+      sparseWeightMilli: Int = 1000,
       docIdCol: String = "doc_id",
       textCol: String = "text",
       vecIdCol: String = "vec_id",
@@ -97,7 +99,7 @@ object Hybrid {
     fuse(dense,
       sparseRanks(docs, queryIds, topN, maxShingleDf, sparseSystem,
         docIdCol, textCol),
-      k, k0)
+      k, k0, denseWeightMilli, sparseWeightMilli)
   }
 
   /** Per-query top-`k` over the fused ranking, dense side served by the
@@ -122,6 +124,8 @@ object Hybrid {
       rerank: Int = 200,
       maxShingleDf: Long = 0L,
       sparseSystem: String = "jaccard",
+      denseWeightMilli: Int = 1000,
+      sparseWeightMilli: Int = 1000,
       docIdCol: String = "doc_id",
       textCol: String = "text",
       vecIdCol: String = "vec_id",
@@ -145,7 +149,7 @@ object Hybrid {
     fuse(dense,
       sparseRanks(docs, queryIds, topN, maxShingleDf, sparseSystem,
         docIdCol, textCol),
-      k, k0)
+      k, k0, denseWeightMilli, sparseWeightMilli)
   }
 
   /** The sparse system, selected by `sparseSystem`: `"jaccard"` = word
@@ -210,20 +214,31 @@ object Hybrid {
       .select(col("qid"), col("id"), col("rnk").as("sparse_rank"))
   }
 
-  /** RRF fusion in integer micro-units; a document missing from one
-    * system simply contributes 0 from it (full outer join).
+  /** WEIGHTED RRF fusion in integer micro-units: each system
+    * contributes `round(w_milli · 1000 / (k0 + rank))` — at the default
+    * milli-weight 1000 this is bit-identical to unweighted RRF's
+    * `round(1e6 / (k0 + rank))`, so the existing oracles replay
+    * unchanged; other weights express the production dense-heavy /
+    * sparse-heavy blends while staying exact integer arithmetic. A
+    * document missing from one system simply contributes 0 from it
+    * (full outer join).
     */
   private def fuse(
-      dense: DataFrame, sparse: DataFrame, k: Int, k0: Int): DataFrame =
+      dense: DataFrame, sparse: DataFrame, k: Int, k0: Int,
+      denseWeightMilli: Int = 1000, sparseWeightMilli: Int = 1000): DataFrame = {
+    require(denseWeightMilli >= 0 && sparseWeightMilli >= 0 &&
+      denseWeightMilli + sparseWeightMilli > 0,
+      s"weights must be >= 0 and not both zero, got dense=$denseWeightMilli sparse=$sparseWeightMilli")
     dense.join(sparse, Seq("qid", "id"), "full_outer")
       .withColumn("rrf_micro",
-        coalesce(round(lit(1000000.0) / (lit(k0) + col("dense_rank")))
+        coalesce(round(lit(denseWeightMilli * 1000.0) / (lit(k0) + col("dense_rank")))
           .cast("long"), lit(0L)) +
-          coalesce(round(lit(1000000.0) / (lit(k0) + col("sparse_rank")))
+          coalesce(round(lit(sparseWeightMilli * 1000.0) / (lit(k0) + col("sparse_rank")))
             .cast("long"), lit(0L)))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("rrf_micro").desc, col("id").asc)))
       .filter(col("rk") <= k)
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
         col("rrf_micro"))
+  }
 }

@@ -63,6 +63,40 @@ class HybridSpec extends AnyFunSuite with SparkSpec {
     assert(again.toSet == out.toSet, "identical inputs must fuse identically")
   }
 
+  test("weighted RRF: milli-weights skew the blend; defaults are bit-identical to unweighted") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (2L, Seq(0.8, 0.2, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (4L, Seq(0.0, 0.9, 0.1, 0.0)),
+      (5L, Seq(0.5, 0.5, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "z z1 z2 z3"),
+      (2L, "b c d e f"),
+      (3L, "a b c d x"),
+      (4L, "a b c q r"),
+      (5L, "x y z w v")).toDF("doc_id", "text")
+    def order(dw: Int, sw: Int): Seq[Long] =
+      Hybrid.retrieve(docs, emb, Seq(0L), k = 5, topN = 20,
+        denseWeightMilli = dw, sparseWeightMilli = sw)
+        .orderBy(col("rrf_micro").desc, col("neighbor_id").asc)
+        .collect().map(_.getLong(1)).toSeq
+    // explicit default weights = the pinned unweighted fixture ordering
+    assert(order(1000, 1000) == Seq(2L, 3L, 4L, 1L, 5L))
+    // sparse weight 0 → pure dense ordering (ranks 1..5 = docs 1,2,5,3,4)
+    assert(order(1000, 0) == Seq(1L, 2L, 5L, 3L, 4L))
+    // dense weight 0 → pure sparse ordering (2,3,4 ranked; 1,5 zero-score
+    // tail by id)
+    assert(order(0, 1000) == Seq(2L, 3L, 4L, 1L, 5L))
+    intercept[IllegalArgumentException] {
+      Hybrid.retrieve(docs, emb, Seq(0L), k = 5,
+        denseWeightMilli = 0, sparseWeightMilli = 0)
+    }
+  }
+
   test("guards: empty queries and topN below k fail loudly") {
     import spark.implicits._
     val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
