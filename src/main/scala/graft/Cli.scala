@@ -58,6 +58,7 @@ object Cli {
         |  ann stats --index DIR                          per-list occupancy histogram
         |  ann fsck --index DIR [--deep true]             health report (manifest, artifacts,
         |                                                 orphans, fragmentation; read-only)
+        |  ann clone --index SRC --dst DST                consistent snapshot copy (backup/DR)
         |  ann split <emb.parquet> --index DIR [--cid N] [--k K]   split a hot list in place
         |  ann merge --index DIR [--cids A,B] [--emb P]   fold cold lists into one
         |  ann rebalance <emb.parquet> --index DIR [--hi X] [--lo Y]
@@ -178,6 +179,18 @@ object Cli {
       })
       val spark = session()
       graft.operators.AnnIndex.stats(spark, idx).orderBy("cid").show(1000, truncate = false)
+      spark.stop()
+
+    case "ann" :: "clone" :: rest =>
+      val opts = parseOpts(rest)
+      val (src, dst) = (opts.getOrElse("index", {
+        System.err.println("ann clone needs --index SRC --dst DST"); sys.exit(2)
+      }), opts.getOrElse("dst", {
+        System.err.println("ann clone needs --index SRC --dst DST"); sys.exit(2)
+      }))
+      val spark = session()
+      graft.operators.AnnIndex.clone(spark, src, dst)
+      println(s"cloned $src -> $dst (one consistent manifest snapshot)")
       spark.stop()
 
     case "ann" :: "fsck" :: rest =>
@@ -304,7 +317,7 @@ object Cli {
           graft.operators.AnnIndex.stats(spark, idx)
             .orderBy("cid").show(1000, truncate = false)
         case other =>
-          System.err.println(s"unknown ann verb $other (build|append|compact|stats|fsck|split|merge|rebalance|vacuum|recall|query|delete)"); sys.exit(2)
+          System.err.println(s"unknown ann verb $other (build|append|compact|stats|fsck|clone|split|merge|rebalance|vacuum|recall|query|delete)"); sys.exit(2)
       }
       spark.stop()
 

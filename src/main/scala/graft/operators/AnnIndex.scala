@@ -837,6 +837,37 @@ object AnnIndex {
     n
   }
 
+  /** Consistent snapshot COPY of the index — the backup / disaster-
+    * recovery / staging-to-serving promotion move. Resolves ONE
+    * manifest snapshot and copies exactly the artifacts it references
+    * (never retained generations, never staging orphans, never the
+    * retirement history), then publishes a fresh manifest at `dst`
+    * (generation 1). Because the source snapshot is immutable-by-
+    * convention (writers stage NEW versioned dirs and flip — they never
+    * rewrite a referenced dir in place except the in-list rewrites of
+    * split/merge/readd, which are single-writer-serialized against this
+    * by the generation guard), a clone taken outside a maintenance
+    * window is bit-identical to the source; the tombstone set rides
+    * along, so delete semantics survive the copy. The clone is
+    * INDEPENDENT: maintenance on either side never touches the other.
+    */
+  def clone(spark: SparkSession, src: String, dst: String): Unit = {
+    val (fs, _) = fsFor(spark, src)
+    val (dfs, droot) = fsFor(spark, dst)
+    require(!dfs.exists(manifestFile(dst)),
+      s"clone destination $dst already holds an index — refusing to overwrite")
+    val layout = readLayout(spark, src)
+    dfs.mkdirs(droot)
+    layout.dirs.toSeq.sorted.foreach { d =>
+      val from = new org.apache.hadoop.fs.Path(s"$src/$d")
+      require(fs.exists(from), s"source artifact $d missing — run fsck on $src")
+      org.apache.hadoop.fs.FileUtil.copy(fs, from,
+        dfs, new org.apache.hadoop.fs.Path(s"$dst/$d"),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    publishLayout(spark, dst, layout.copy(retired = Map.empty, generation = 0L))
+  }
+
   /** Index health check — the operational "is this index serving-safe
     * and does it need maintenance" report, one `(check, status, detail)`
     * row per inspection, `status ∈ OK | WARN | ERROR`. READ-ONLY: fsck

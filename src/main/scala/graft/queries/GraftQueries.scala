@@ -662,6 +662,20 @@ object GraftQueries {
       val total = exact.count()
       Seq(total > 0 && overlap.toDouble / total >= 0.8).toDF("fused_recall_ge_080")
     }),
+    // the backup/DR copy path under the relational oracle: a clone of a
+    // one-snapshot copy must serve the SAME exhaustive ADC ranking as
+    // the source — the same DuckDB replay as ann_topk_pq certifies
+    // build→clone→pruned-scan→ADC end to end
+    "ann_index_clone" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val base = java.nio.file.Files.createTempDirectory("graft_annclone_q").toString
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx")
+      AnnIndex.clone(s, s"$base/idx", s"$base/copy")
+      AnnIndex.topK(s, s"$base/copy",
+        emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
+        k = 5, nProbe = 16)
+    }),
     // the operational health report on a freshly built index: every
     // check must read OK (details vary by wall-clock, so the lane pins
     // the (check, status) pairs — the deterministic health contract)
@@ -2990,6 +3004,7 @@ object GraftQueries {
     // exhaustive probing ≡ the exhaustive ADC scan — same replay
     "ann_topk_ivfadc_full" -> pqAdcOracle,
     "ann_index_persisted" -> pqAdcOracle,
+    "ann_index_clone" -> pqAdcOracle,
     "ann_index_filtered" -> pqAdcOracleWith(" AND d0.vec_id % 3 = 0"),
     "ann_index_distributed" -> pqAdcOracle,
     "ann_index_residual" -> residualAdcOracle,

@@ -1388,6 +1388,47 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(gone.length == 1 && gone.head.getString(1) == "ERROR")
   }
 
+  test("clone: one-snapshot copy serves bit-equal, keeps deletes, stays independent") {
+    val path = tmpIdx()
+    AnnIndex.build(emb, "vec_id", "embedding", path)
+    AnnIndex.build(emb, "vec_id", "embedding", path) // leave a retained generation
+    AnnIndex.delete(spark, path, Seq(2L, 4L))
+    val src = pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    val dst = tmpIdx()
+    AnnIndex.clone(spark, path, dst)
+    // bit-equal serving, tombstones included
+    val cloned = pairs(AnnIndex.topK(spark, dst, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16))
+    assert(cloned == src && cloned.forall(p => p._2 != 2L && p._2 != 4L))
+    // fresh lineage: generation 1, no retained history — the source's
+    // grace-retained codes_v1 (superseded by the rebuild) is NOT copied
+    val l = AnnIndex.readLayoutNow(spark, dst)
+    assert(l.generation == 1L && l.retired.isEmpty)
+    assert(l.codes == "codes_v2")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/codes_v1")),
+      "fixture: the source must hold a retained generation")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/codes_v1")),
+      "retained generations must not ride along")
+    val health = AnnIndex.fsck(spark, dst, deep = true).collect()
+    assert(health.forall(_.getString(1) == "OK"),
+      s"clone must be healthy: ${health.mkString("; ")}")
+    // independence: maintenance on the clone never touches the source
+    AnnIndex.compact(spark, dst, retainPrevious = false)
+    assert(pairs(AnnIndex.topK(spark, path, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16)) == src)
+    // and vice versa: delete a neighbor the clone SERVES on the source
+    // side — the clone must keep serving it
+    val servedId = cloned.head._2
+    AnnIndex.delete(spark, path, Seq(servedId))
+    assert(pairs(AnnIndex.topK(spark, dst, queriesOf(0L to 9L),
+      "vec_id", "embedding", k = 5, nProbe = 16)).exists(_._2 == servedId))
+    // refuses to overwrite an existing index
+    intercept[IllegalArgumentException] {
+      AnnIndex.clone(spark, path, dst)
+    }
+  }
+
   test("re-add with a DIFFERENT vector moves the row; re-adding the whole set clears the tombstones") {
     import spark.implicits._
     val path = tmpIdx()
