@@ -291,13 +291,13 @@ object Schema {
       .filter(size(col("kids")) === col("nChildren") &&
         !(col("nodeType").isNull && col("name") === "ROOT"))
 
-    val prodRows: Seq[ProdRow] = joined
+    val prodRows: Seq[ProdRow] = graft.util.Spark.timed("schema-profile", "prodRows") { joined
       .select(col("nodeType"), col("name"), col("kids.lbl").as("rhs"))
       .distinct()
       .as[(String, String, Seq[String])]
       .collect()
       .toSeq
-      .map { case (t, n, rhs) => ProdRow(t, n, rhs) }
+      .map { case (t, n, rhs) => ProdRow(t, n, rhs) } }
 
     // Relation orientation: sides of 2-GROUP RELs, member-oid pair
     // multiplicity (schema.py:187-218,235-266).
@@ -320,7 +320,7 @@ object Schema {
       .union(relNodes.select(
         col("relName"), col("rightLabel").as("side"), col("rightOid").as("memberOid"), col("pairId")))
 
-    val multiFlags: Map[(String, String), Boolean] = sides
+    val multiFlags: Map[(String, String), Boolean] = graft.util.Spark.timed("schema-profile", "multiFlags") { sides
       .groupBy(col("relName"), col("side"), col("memberOid"))
       .agg(countDistinct(col("pairId")).as("pairs"))
       .groupBy(col("relName"), col("side"))
@@ -328,20 +328,20 @@ object Schema {
       .as[(String, String, Boolean)]
       .collect()
       .map { case (r, s, m) => (r, s) -> m }
-      .toMap
+      .toMap }
 
     // Deterministic left/right side order: the child order of the
     // first REL occurrence by (treeId, nodeId). The reference uses dict
     // insertion order (forest iteration order), which is equivalent for
     // forests where instance child order is consistent.
-    val sideOrder: Map[String, (String, String)] = relNodes
+    val sideOrder: Map[String, (String, String)] = graft.util.Spark.timed("schema-profile", "sideOrder") { relNodes
       .groupBy(col("relName"))
       .agg(min(struct(col("treeId"), col("nodeId"), col("leftLabel"), col("rightLabel"))).as("first"))
       .select(col("relName"), col("first.leftLabel"), col("first.rightLabel"))
       .as[(String, String, String)]
       .collect()
       .map { case (r, l, rr) => r -> (l, rr) }
-      .toMap
+      .toMap }
 
     cached.unpersist()
     assemble(prodRows, multiFlags, sideOrder, keepUnlabelled, mergeLhs)
@@ -524,6 +524,8 @@ object Schema {
       .select(col("treeId"), col("nodeId"), col("parentId"), col("pos"),
         col("nodeType"), col("name"), col("value"), col("oid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    @inline def timed[A](label: String)(body: => A): A =
+      graft.util.Spark.timed("extract-profile", label)(body)
 
     // Within one tree, same-oid occurrences are copies of the same wide
     // row (the loader materializes a group once standalone plus once per
@@ -556,7 +558,7 @@ object Schema {
       // ~32 bytes/row hashed → the default caps the build side well under
       // a gigabyte AND under Spark's 512M-row broadcast hard limit, while
       // staying far above any realistic dimension keyset
-      deduped.count() <= maxRows
+      timed("dedupCount") { deduped.count() } <= maxRows
     }
     val groupsDf = if (doBroadcast) broadcast(deduped) else deduped
     val ents = pruned
@@ -571,8 +573,8 @@ object Schema {
       .select(col("gTree"), col("gNode"), col("entName"), col("pos"), col("value"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val entCols: Seq[String] =
-        joined.select(col("entName")).distinct().collect().map(_.getString(0)).toSeq.sorted
+      val entCols: Seq[String] = timed("entCols") {
+        joined.select(col("entName")).distinct().collect().map(_.getString(0)).toSeq.sorted }
 
       val pivoted = joined
         .groupBy(col("gTree"), col("gNode"))
@@ -581,7 +583,7 @@ object Schema {
         .drop("gTree", "gNode")
 
       // materialize before releasing the intermediate caches
-      pivoted.dropDuplicates().localCheckpoint(true)
+      timed("pivot+dedup+ckpt") { pivoted.dropDuplicates().localCheckpoint(true) }
     } finally {
       joined.unpersist(blocking = false)
       deduped.unpersist(blocking = false)

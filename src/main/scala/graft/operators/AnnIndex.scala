@@ -218,7 +218,16 @@ object AnnIndex {
     val (fs, _) = fsFor(spark, path)
     val mf = manifestFile(path)
     if (fs.exists(mf)) readManifest(fs, mf)
-    else recoverManifest(spark, fs, path).getOrElse(legacyLayout(fs, path))
+    else recoverManifest(spark, fs, path).getOrElse {
+      // recoverManifest also returns None when it LOSES the recovery
+      // race (tmp parsed fine, rename failed because a concurrent
+      // recoverer/writer already published INDEX) — its doc says the
+      // caller re-reads the now-present manifest, so do that before
+      // falling back to legacy bare names that never existed on a
+      // versioned index (legacy's generation 0 would bypass the
+      // sweepStale grace guard and misfire the publish guard)
+      if (fs.exists(mf)) readManifest(fs, mf) else legacyLayout(fs, path)
+    }
   }
 
   /** Recover a crashed manifest flip: the OVERWRITE rename is
@@ -624,13 +633,13 @@ object AnnIndex {
     * Because the deleted id's OLD physical rows may still be on disk
     * (delete itself never touches the data-sized codes),
     * un-tombstoning alone would resurrect them beside the new row —
-    * duplicate neighbor candidates — so the pass first folds the old
-    * rows out of exactly the lists that hold them (affected lists
-    * only, located by one column-pruned id probe; re-adds are the rare
-    * path and the common no-readd append pays nothing). A crashed
-    * re-add pass re-runs cleanly: the rewritten lists drop the crashed
-    * run's appended rows too (still tombstoned, so never visible) and
-    * the re-run re-appends them.
+    * duplicate neighbor candidates — so when old rows exist the pass
+    * stages the folded codes (live rows minus re-added ids, plus the
+    * new batch) in a fresh versioned directory and publishes codes +
+    * tombstones in ONE manifest flip, the compact pattern: a crash at
+    * any step leaves the previous manifest fully valid, and no live
+    * row is ever deleted before its replacement is durable. Re-adds
+    * are the rare path; the common no-readd append pays nothing.
     */
   def append(
       emb: DataFrame,
@@ -659,43 +668,70 @@ object AnnIndex {
       import spark.implicits._
       val readdDf = readds.toSeq.toDF("id")
       val affected = spark.read.parquet(codesDir)
-        .join(broadcast(readdDf), "id").select("cid").distinct()
-        .collect().map(_.getInt(0)).toSeq
+        .join(broadcast(readdDf), "id").select("cid").limit(1)
+        .collect()
       if (affected.nonEmpty) {
-        // rewrite ONLY the lists holding old rows of re-added ids; the
-        // kept rows are materialized eagerly before the dirs are
-        // replaced (same in-place list rewrite contract as split/merge:
-        // a concurrent reader mid-scan retries via topKRetrying)
-        val kept = spark.read.parquet(codesDir)
-          .filter(col("cid").isInCollection(affected))
+        // Old physical rows of re-added ids exist on disk. Stage the
+        // folded codes (every live row minus the re-added ids, plus the
+        // new batch) in a fresh versioned directory and publish via the
+        // manifest flip — the compact pattern. The previous generation
+        // stays intact until the flip, so a crash at ANY step leaves
+        // the prior manifest fully valid: no live row is ever deleted
+        // before its replacement is durable. (An in-place rewrite that
+        // deletes live cid dirs before rewriting them has a crash
+        // window that permanently loses non-tombstoned rows of
+        // unrelated documents in the affected lists.)
+        val nextName = nextDir("codes", layout.codes)
+        sweepStale(spark, path, keep = layout.dirs + nextName)
+        spark.read.parquet(codesDir)
           .join(broadcast(readdDf), Seq("id"), "left_anti")
           .select("id", "codes", "cid")
-          .localCheckpoint(true)
-        val (fs, _) = fsFor(spark, path)
-        affected.foreach { c =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$codesDir/cid=$c"), true)
-        }
-        kept.repartition(col("cid"))
-          .write.mode("append").partitionBy("cid").parquet(codesDir)
+          .unionByName(encodedFrame(corpus, model).select("id", "codes", "cid"))
+          .repartition(col("cid"))
+          .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$nextName")
+        val published = publishReaddLayout(spark, path, layout, readdDf, Some(nextName))
+        // retain the superseded generation one cycle for in-flight
+        // readers (grace-guarded), like compact
+        sweepStale(spark, path, keep = layout.dirs ++ published.dirs)
+        return
       }
+      // tombstoned re-adds with no physical rows left (already folded by
+      // a compact): plain append + tombstone fold, nothing to rewrite
+      encodedFrame(corpus, model)
+        .repartition(col("cid"))
+        .write.mode("append").partitionBy("cid").parquet(codesDir)
+      publishReaddLayout(spark, path, layout, readdDf, None)
+      return
     }
 
     encodedFrame(corpus, model)
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(codesDir)
+  }
 
-    if (readds.nonEmpty) {
-      import spark.implicits._
-      val remaining = tombstoneIds(spark, path, layout).get
-        .join(readds.toSeq.toDF("id"), Seq("id"), "left_anti")
-      if (remaining.isEmpty)
-        publishLayout(spark, path, layout.copy(tombstones = None))
+  /** Publish the layout after a re-add pass: fold the re-added ids out
+    * of the live tombstone set and (when the codes were staged in a
+    * fresh generation) flip the codes pointer in the SAME manifest
+    * write.
+    */
+  private def publishReaddLayout(
+      spark: SparkSession,
+      path: String,
+      layout: Layout,
+      readdDf: DataFrame,
+      stagedCodes: Option[String]): Layout = {
+    val withCodes = stagedCodes.fold(layout)(n => layout.copy(codes = n))
+    val remaining = tombstoneIds(spark, path, layout).get
+      .join(readdDf, Seq("id"), "left_anti")
+    val next =
+      if (remaining.isEmpty) withCodes.copy(tombstones = None)
       else {
         val nextName = nextTombstoneDir(spark, path, layout)
         remaining.write.mode("overwrite").parquet(s"$path/$nextName")
-        publishLayout(spark, path, layout.copy(tombstones = Some(nextName)))
+        withCodes.copy(tombstones = Some(nextName))
       }
-    }
+    publishLayout(spark, path, next)
+    next
   }
 
   /** Rewrite the codes layout back to one file per inverted list.
@@ -1931,14 +1967,22 @@ object AnnIndex {
   private val VersionedDirRe =
     (".*(codes|meta|centroids|codebooks|rotation|tombstones)_v\\d+.*").r
   private def isReclaimedRead(e: Throwable): Boolean = {
+    var anyNamesIndex = false
+    var anyTypedFileLevel = false
     var t: Throwable = e
     var depth = 0
     while (t != null && depth < 20) {
       val m = Option(t.getMessage).getOrElse("")
       val flat = m.replace('\n', ' ')
       val namesIndex = VersionedDirRe.matches(flat)
-      val fileLevel = t.isInstanceOf[java.io.FileNotFoundException] ||
-        t.isInstanceOf[org.apache.hadoop.fs.ChecksumException] ||
+      anyNamesIndex ||= namesIndex
+      // a TYPED FileNotFoundException/ChecksumException may be wrapped
+      // with a null or pathless message on its own frame (e.g. a codec
+      // layer re-throws without the path) — it is still retryable as
+      // long as ANY frame in the chain names a versioned dir
+      anyTypedFileLevel ||= t.isInstanceOf[java.io.FileNotFoundException] ||
+        t.isInstanceOf[org.apache.hadoop.fs.ChecksumException]
+      val fileLevel =
         m.contains("FAILED_READ_FILE") || m.contains("FileNotFoundException") ||
         m.contains("Checksum error")
       val pathMissing =
@@ -1947,6 +1991,6 @@ object AnnIndex {
       t = t.getCause
       depth += 1
     }
-    false
+    anyTypedFileLevel && anyNamesIndex
   }
 }

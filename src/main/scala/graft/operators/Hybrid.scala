@@ -138,7 +138,10 @@ object Hybrid {
     graft.functions.GraftFunctions.register(spark)
 
     val queries = emb.filter(col(vecIdCol).isInCollection(queryIds))
-    val dense = AnnIndex.topK(spark, indexPath, queries, vecIdCol, vecCol,
+    // topKRetrying, not topK: this is the production serving composition,
+    // so a maintenance flip reclaiming a versioned dir mid-query retries
+    // like the other serving paths instead of failing the fused query
+    val dense = AnnIndex.topKRetrying(spark, indexPath, queries, vecIdCol, vecCol,
       k = topN, nProbe = nProbe, rerank = rerank,
       exact = if (rerank > 0) Some(emb) else None,
       exactIdCol = vecIdCol, exactVecCol = vecCol,

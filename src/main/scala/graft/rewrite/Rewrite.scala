@@ -140,46 +140,56 @@ object Rewrite {
 
       // 4. operations with early exit at the first op that changed
       // anything (tree_rewriting/__init__.py:203-218). Trials never
-      // mutate the forest, so every op's changed flag is computable on
-      // the SAME epoch input — ONE fused pass counts all of them at
-      // once, where sequential boolean trials paid a full re-read of
-      // the cached Kryo forest per op (the convergence epoch alone ran
-      // seven; per-pass deserialization of the forest, not the op
-      // arithmetic, dominated). Flags for ops after the first firing
-      // one are computed and discarded — the early-exit SEMANTICS are
-      // unchanged because only the first positive index is applied.
-      // Only the firing op is then materialized; its persisted output
-      // BACKS the forest into the next epoch — the checkpoint at the
-      // next reduceAll breaks the (one-step) lineage, so no second
-      // full-forest materialization happens here.
+      // mutate the forest, so the firing index is computable on the
+      // SAME epoch input in ONE fused pass. The consumed quantity is
+      // only the MINIMUM op index that changed any tree (the old
+      // per-op counts were only ever tested for > 0 at indexWhere), so
+      // each tree stops trialing at its own first hit AND at the
+      // partition's running minimum — ops that can no longer lower the
+      // global minimum are never evaluated. Semantics are unchanged:
+      // ops below the returned index changed NOTHING anywhere, so the
+      // global first-positive index is exactly the min over trees of
+      // each tree's first-changing index.
       val opsArr = cfg.operations.toArray
-      val counts: Array[Long] = timed("opTrials") {
+      val firing: Int = timed("opTrials") {
         trees.mapPartitions { it =>
-          val c = new Array[Long](opsArr.length)
+          var m = opsArr.length // = "no op fired" sentinel, and the bound
           it.foreach { case (id, tree) =>
             var i = 0
-            while (i < c.length) {
-              if (opsArr(i).fn(tree, modelB.value, minSupport, id.toString)._2) c(i) += 1
-              i += 1
+            var hit = false
+            while (!hit && i < m) {
+              hit = opsArr(i).fn(tree, modelB.value, minSupport, id.toString)._2
+              if (hit) m = i else i += 1
             }
           }
-          Iterator.single(c)
-        }.reduce { (a, b) => Array.tabulate(a.length)(i => a(i) + b(i)) }
+          Iterator.single(m)
+        }.reduce(math.min)
       }
-      val firing = counts.indexWhere(_ > 0)
-      if (firing >= 0) {
+      if (firing < opsArr.length) {
         val op = opsArr(firing)
-        timed(s"op:${op.name}") {
-          val mapped = trees.map { case (id, tree) =>
+        // LAZY apply: the op output's one consumer is the next epoch's
+        // reduceAll checkpoint (or the exit serialization), so the op
+        // map fuses into that pass instead of paying its own eager
+        // persist + count — one full Kryo write+read cycle per firing
+        // epoch gone. Ops below `firing` are identity on every tree
+        // (proven by the trial pass), so applying only the firing op
+        // is the reference's early-exit application exactly. The
+        // epoch-hook path adds a second consumer per epoch — only
+        // there a (lazy) cache pays for itself.
+        timed(s"op:${op.name} (lazy)") {
+          var mapped = trees.map { case (id, tree) =>
             (id, op.fn(tree, modelB.value, minSupport, id.toString)._1)
-          }.persist(StorageLevel.MEMORY_AND_DISK)
-          mapped.count()
+          }
+          if (cfg.epochHook.isDefined) {
+            val persisted = mapped.persist(StorageLevel.MEMORY_AND_DISK)
+            releasePrevOp = () => { persisted.unpersist(); () }
+            mapped = persisted
+          }
           trees = mapped
-          releasePrevOp = () => { mapped.unpersist(); () }
         }
       }
 
-      converged = firing < 0
+      converged = firing == opsArr.length
       cfg.epochHook.foreach { hook =>
         hook(epoch, trees.map { case (id, t) => TreeRow(id, TreeJson.toJson(t)) })
       }
@@ -272,11 +282,11 @@ object Rewrite {
     */
   def simplifyNames(forest: Dataset[TreeRow]): Dataset[TreeRow] = {
     import forest.sparkSession.implicits._
-    val groupNames = forest.flatMap { row =>
+    val groupNames = timed("simplify:groupNames") { forest.flatMap { row =>
       TreeJson.fromJson(row.tree).subtrees.collect {
         case t if t.hasType(NodeType.Group) => t.label.name
       }
-    }.distinct().collect().sorted
+    }.distinct().collect().sorted }
 
     val renames: Map[String, String] = groupNames
       .groupBy(baseName)

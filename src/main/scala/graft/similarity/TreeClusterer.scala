@@ -253,10 +253,24 @@ object TreeClusterer {
 
     // component stats for deterministic naming, ONE aggregation at the
     // (comp, labelName, labelTyped) grain — bounded by comps × labels —
-    // from which sizes, min nodes, and modal typed labels all derive
+    // from which sizes, min nodes, and modal typed labels all derive.
+    // When the model is wanted, the SAME pass also carries the model's
+    // per-cluster support/avgEntities/avgDepth sums and the distinct
+    // member StructKeys (collect_set at this grain ≡ the old
+    // distinct-then-collect featRows job): what used to be two more
+    // full member scans (statRows + featRows) folds into this one.
+    val structKeyCol = struct(
+      col("height"), col("depth"),
+      expr("transform(levels, l -> struct(l.label AS label, l.isTyped AS isTyped, l.ents AS ents))"))
+    val nameAggs =
+      if (!buildModel) Seq(count(lit(1)).as("n"), min("node").as("minNode"))
+      else Seq(count(lit(1)).as("n"), min("node").as("minNode"),
+        sum(size(col("levels").getItem(0).getField("ents"))).as("sumEnts"),
+        sum(col("depth")).as("sumDepth"),
+        collect_set(structKeyCol).as("feats"))
     val nameStats = timed("nameStats") { members
       .groupBy("comp", "labelName", "labelTyped")
-      .agg(count(lit(1)).as("n"), min("node").as("minNode"))
+      .agg(nameAggs.head, nameAggs.tail: _*)
       .collect()
     }
     val byComp = nameStats.groupBy(_.getString(0))
@@ -302,27 +316,14 @@ object TreeClusterer {
       Map.empty
     } else {
       // lazy projection of the (cached-or-cheap) members frame — the
-      // three model jobs below each re-derive it rather than paying a
-      // third full-width materialization per fit
+      // top-K job below re-derives it rather than paying a third
+      // full-width materialization per fit
       val memberRows = withCluster
         .select(col("cluster"), col("prob"), col("node").as("key"),
           struct(col("node").as("key"), col("treeId"), col("height"), col("depth"),
             col("labelName"), col("labelTyped"), col("levels")).as("cand"))
         .as[MemberRow]
 
-      val statRows = timed("statRows") { memberRows.groupBy("cluster")
-        .agg(
-          count(lit(1)).as("support"),
-          avg(size(col("cand.levels").getItem(0).getField("ents"))).as("avgEnts"),
-          avg(col("cand.depth")).as("avgDepth"))
-        .collect()
-      }
-      val featRows = timed("featRows") { memberRows
-        .map(m => (m.cluster, StructKey(m.cand.height, m.cand.depth,
-          m.cand.levels.map(l => StructLevel(l.label, l.isTyped, l.ents)))))
-        .distinct()
-        .collect()
-      }
       val rankWin = org.apache.spark.sql.expressions.Window
         .partitionBy("cluster").orderBy(col("prob").desc, col("key").asc)
       val topRows = timed("topRows") { memberRows.toDF()
@@ -337,16 +338,30 @@ object TreeClusterer {
       timed("assignments") { assignments.count() }
       if (schemaOnly) members.unpersist()
 
-      val featsByCluster = featRows.groupBy(_._1).map { case (n, fs) => n -> fs.map(_._2).toSet }
+      // per-cluster support / avgEntities / avgDepth / distinct
+      // StructKeys — all derived driver-side from the extended
+      // nameStats rows (exact long sums, ONE double division each:
+      // bit-identical to the former per-cluster Spark avg()), so the
+      // old statRows + featRows member scans are gone
       val membersByCluster = topRows.groupBy(_.cluster)
-      statRows.map { r =>
-        val name = r.getString(0)
+      naming.map { case (comp, name) =>
+        val rows = byComp(comp)
+        val support = rows.map(_.getLong(3)).sum
+        val sumEnts = rows.map(_.getLong(5)).sum
+        val sumDepth = rows.map(_.getLong(6)).sum
+        val feats: Set[StructKey] = rows.iterator
+          .flatMap(_.getSeq[org.apache.spark.sql.Row](7))
+          .map { f =>
+            StructKey(f.getInt(0), f.getInt(1),
+              f.getSeq[org.apache.spark.sql.Row](2).map(l =>
+                StructLevel(l.getString(0), l.getBoolean(1), l.getSeq[String](2))))
+          }.toSet
         val ms = membersByCluster.getOrElse(name, Array.empty[MemberRow])
           .sortBy(m => (-m.prob, m.key))
           .map(m => (m.cand.toFeature, m.prob)).toVector
         name -> ClusterSummary(
-          name, r.getLong(1).toInt, featsByCluster.getOrElse(name, Set.empty),
-          ms, r.getDouble(2), r.getDouble(3))
+          name, support.toInt, feats, ms,
+          sumEnts.toDouble / support, sumDepth.toDouble / support)
       }.toMap
     }
 
