@@ -26,6 +26,7 @@ object Probe {
     }
 
     import graft.sources.{RelationalLoader, Testdata}
+    import org.apache.spark.sql.functions._
     // warm-up: one full flatten so codegen/JIT costs land outside the
     // timed phases below
     t("warmup flatten count") {
@@ -34,11 +35,18 @@ object Probe {
     t("flatten count (warm)") {
       RelationalLoader.loadNodes(spark, sfDir, Testdata.ordersDb).count()
     }
-    t("flatten noop (warm)") {
-      RelationalLoader.loadNodes(spark, sfDir, Testdata.ordersDb)
-        .write.format("noop").mode("overwrite").save()
-    }
     val nodes = RelationalLoader.loadNodes(spark, sfDir, Testdata.ordersDb)
+    val prunedPlan = nodes
+      .filter(col("nodeType") === "ENT" ||
+        (col("nodeType") === "GROUP" && col("name") === "orders"))
+      .select(col("treeId"), col("nodeId"), col("parentId"), col("pos"),
+        col("nodeType"), col("name"), col("value"), col("oid"))
+    val asPersist = prunedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("pruned persist count") { asPersist.count() }
+    t("pruned persist re-scan") { asPersist.count() }
+    asPersist.unpersist(true)
+    val asCkpt = t("pruned localCkpt") { prunedPlan.localCheckpoint(true) }
+    t("pruned ckpt re-scan") { asCkpt.count() }
     t("extractDataset(orders)") {
       graft.model.Schema.extractDataset(nodes, "orders").count()
     }

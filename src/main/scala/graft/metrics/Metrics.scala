@@ -94,12 +94,19 @@ final class Metrics(
     * join: |A∩B| / |A∪B|, 1.0 when both are empty.
     */
   def coverage: Double = timed("coverage") {
-    val a = origin.entityOids.toDF("oid")
-    val b = currentSnapshot.entityOids.toDF("oid")
-    val union = a.union(b).distinct().count()
+    // ONE action: the full-outer join yields |A∪B| rows (both sides are
+    // distinct oid sets), and both-present rows are the intersection —
+    // the former union-distinct count + inner-join count pair re-ran
+    // the two oid scans twice for the same two numbers
+    val a = origin.entityOids.toDF("oid").withColumn("ina", lit(1))
+    val b = currentSnapshot.entityOids.toDF("oid").withColumn("inb", lit(1))
+    val r = a.join(b, Seq("oid"), "full_outer")
+      .agg(count(lit(1)).as("u"),
+        count(when(col("ina").isNotNull && col("inb").isNotNull, 1)).as("i"))
+      .head()
+    val union = r.getLong(0)
     if (union == 0) return 1.0
-    val inter = a.join(b, "oid").count()
-    inter.toDouble / union
+    r.getLong(1).toDouble / union
   }
 
   /** Contingency table between the two clusterings, aligned on entity
@@ -112,21 +119,23 @@ final class Metrics(
   private def contingencyTable: Map[(String, String), Long] = timed("contingency") {
     val a = origin.clustering.toDF("oid", "a")
     val b = currentSnapshot.clustering.toDF("oid", "b")
-    val j = a.join(b, Seq("oid"), "full_outer")
-      .select(col("a"), col("b")).persist()
-    val matched = j.filter(col("a").isNotNull && col("b").isNotNull)
+    // ONE aggregation over the full-outer join: a null label cell IS
+    // the one-sided case, so grouping on (a, b) directly yields the
+    // matched cells and the per-label missing-side counts in a single
+    // action — the former persist + three filtered collects re-read
+    // the joined frame three times for the same rows
+    val cells = a.join(b, Seq("oid"), "full_outer")
       .groupBy("a", "b").count().collect()
+    val matched = cells.iterator
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
     // per-label counts of entities missing on the other side; each such
     // entity is its own singleton cluster there
-    val onlyA = j.filter(col("b").isNull).groupBy("a").count().collect()
-    val onlyB = j.filter(col("a").isNull).groupBy("b").count().collect()
-    j.unpersist()
-    val singleA = onlyA.flatMap { r =>
-      (0L until r.getLong(1)).map(i => (r.getString(0), s"\u0000a:${r.getString(0)}:$i") -> 1L)
+    val singleA = cells.iterator.filter(r => !r.isNullAt(0) && r.isNullAt(1)).flatMap { r =>
+      (0L until r.getLong(2)).map(i => (r.getString(0), s"\u0000a:${r.getString(0)}:$i") -> 1L)
     }
-    val singleB = onlyB.flatMap { r =>
-      (0L until r.getLong(1)).map(i => (s"\u0000b:${r.getString(0)}:$i", r.getString(0)) -> 1L)
+    val singleB = cells.iterator.filter(r => r.isNullAt(0) && !r.isNullAt(1)).flatMap { r =>
+      (0L until r.getLong(2)).map(i => (s"\u0000b:${r.getString(1)}:$i", r.getString(1)) -> 1L)
     }
     (matched ++ singleA ++ singleB).toMap
   }

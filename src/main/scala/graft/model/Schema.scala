@@ -268,10 +268,13 @@ object Schema {
     val spark = nodes.sparkSession
     import spark.implicits._
 
-    // three collect actions below each join+aggregate over the nodes
-    // input — cache the narrow node rows once (the schema-only rewrite
-    // lane passes a fresh per-epoch forest flatten), but leave the
-    // aggregations unpersisted so each action keeps its pruned plan
+    // three collect actions below consume the self-join+aggregate of
+    // the nodes input — cache the narrow node rows for the join's two
+    // scans (the schema-only rewrite lane passes a fresh per-epoch
+    // forest flatten), materialize the JOINED per-node production rows
+    // ONCE (bounded by node count, narrow), and release the input
+    // cache: without this each collect re-ran the self-join + the
+    // collect_list aggregation from scratch
     val cached = nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val c = cached.select(
@@ -280,7 +283,7 @@ object Schema {
     val label = (t: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =>
       when(t.isNull, n).otherwise(concat(t, lit("::"), n))
 
-    val joined = cached
+    val joined = graft.util.Spark.checkpoint(cached
       .join(c, col("treeId") === col("cTreeId") && col("nodeId") === col("cParentId"))
       .groupBy(col("treeId"), col("nodeId"), col("nodeType"), col("name"), col("nChildren"))
       .agg(sort_array(collect_list(struct(
@@ -289,7 +292,8 @@ object Schema {
         col("cType"), col("cName"), col("cOid")))).as("kids"))
       // non-lexical (no leaf children) and not the ROOT label
       .filter(size(col("kids")) === col("nChildren") &&
-        !(col("nodeType").isNull && col("name") === "ROOT"))
+        !(col("nodeType").isNull && col("name") === "ROOT")))
+    cached.unpersist(blocking = false)
 
     val prodRows: Seq[ProdRow] = graft.util.Spark.timed("schema-profile", "prodRows") { joined
       .select(col("nodeType"), col("name"), col("kids.lbl").as("rhs"))
@@ -343,7 +347,7 @@ object Schema {
       .map { case (r, l, rr) => r -> (l, rr) }
       .toMap }
 
-    cached.unpersist()
+    graft.util.Spark.release(joined)
     assemble(prodRows, multiFlags, sideOrder, keepUnlabelled, mergeLhs)
   }
 
@@ -518,14 +522,20 @@ object Schema {
     // the ENT join) consume it, so the node view's lineage — which may be
     // a full loader flatten — runs exactly once, and what's cached is an
     // order of magnitude narrower than the full node view.
-    val pruned = nodes
+    @inline def timed[A](label: String)(body: => A): A =
+      graft.util.Spark.timed("extract-profile", label)(body)
+    // Eager checkpoint, NOT a columnar persist: the pruned projection is
+    // consumed by row-shaped scans only (dedup agg, ENT join), and
+    // re-encoding 8 columns into the compressed columnar cache measured
+    // ~4x the checkpoint's Tungsten-row store at the orders extraction
+    // (33.3 s vs 17.9 s to materialize on an identical flatten) for no
+    // downstream benefit. Spark.checkpoint honors a configured
+    // checkpoint dir on clusters, localCheckpoint otherwise.
+    val pruned = timed("pruned+ckpt") { graft.util.Spark.checkpoint(nodes
       .filter(col("nodeType") === "ENT" ||
         (col("nodeType") === "GROUP" && col("name") === groupName))
       .select(col("treeId"), col("nodeId"), col("parentId"), col("pos"),
-        col("nodeType"), col("name"), col("value"), col("oid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    @inline def timed[A](label: String)(body: => A): A =
-      graft.util.Spark.timed("extract-profile", label)(body)
+        col("nodeType"), col("name"), col("value"), col("oid"))) }
 
     // Within one tree, same-oid occurrences are copies of the same wide
     // row (the loader materializes a group once standalone plus once per
@@ -565,13 +575,13 @@ object Schema {
       .filter(col("nodeType") === "ENT")
       .select(col("treeId"), col("parentId"), col("pos"), col("name").as("entName"), col("value"))
 
-    // Persist the (small) joined projection: both the pivot column
-    // discovery and the pivot itself consume it, and without the persist
-    // each pass re-scans the full nodes dataset + re-runs the join.
-    val joined = ents
+    // Materialize the (small) joined projection: both the pivot column
+    // discovery and the pivot itself consume it, and without it each
+    // pass re-scans the pruned checkpoint + re-runs the join. Same
+    // checkpoint-over-columnar-cache choice as `pruned` above.
+    val joined = timed("join+ckpt") { graft.util.Spark.checkpoint(ents
       .join(groupsDf, col("treeId") === col("gTree") && col("parentId") === col("gNode"))
-      .select(col("gTree"), col("gNode"), col("entName"), col("pos"), col("value"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("gTree"), col("gNode"), col("entName"), col("pos"), col("value"))) }
     try {
       val entCols: Seq[String] = timed("entCols") {
         joined.select(col("entName")).distinct().collect().map(_.getString(0)).toSeq.sorted }
@@ -585,9 +595,13 @@ object Schema {
       // materialize before releasing the intermediate caches
       timed("pivot+dedup+ckpt") { pivoted.dropDuplicates().localCheckpoint(true) }
     } finally {
-      joined.unpersist(blocking = false)
       deduped.unpersist(blocking = false)
-      pruned.unpersist(blocking = false)
+      // pruned/joined are checkpointed, not plan-cached — release their
+      // block storage explicitly (leaving it to GC + ContextCleaner let
+      // orphaned blocks accumulate across a long session and measurably
+      // taxed every later query's storage eviction)
+      graft.util.Spark.release(joined)
+      graft.util.Spark.release(pruned)
     }
   }
 }

@@ -808,7 +808,33 @@ object AnnIndex {
       probes: Seq[Int],
       k: Int = 5,
       rerank: Int = 0): DataFrame = {
+    import spark.implicits._
+    recallCurves(spark, path, queries, qidCol, qvecCol, corpus, idCol, vecCol,
+      probes, k, Seq(rerank))
+      .map { case (_, p, r) => (p, r) }.toDF("n_probe", "recall_ppm")
+  }
+
+  /** [[recallCurve]] at several rerank depths in one pass: the exact
+    * brute baseline is the expensive half of the diagnostic and is
+    * identical across rerank configs, so comparing (say) the
+    * theorem-grade corpus-sized rerank against the production ~200
+    * config pays for it once instead of once per curve. Returns
+    * (rerank, n_probe, recall_ppm) tuples, probes sorted per rerank.
+    */
+  def recallCurves(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probes: Seq[Int],
+      k: Int,
+      reranks: Seq[Int]): Seq[(Int, Int, Long)] = {
     require(probes.nonEmpty && probes.forall(_ >= 1), s"bad probe widths $probes")
+    require(reranks.nonEmpty, "need at least one rerank depth")
     val qids = queries.select(col(qidCol).cast("long")).collect().map(_.getLong(0))
     // the brute baseline folds the SAME tombstone set topK anti-joins —
     // a deleted row is not a true neighbor, so measured recall stays
@@ -816,18 +842,22 @@ object AnnIndex {
     val corpusLive = tombstoneIds(spark, path, readLayout(spark, path))
       .fold(corpus)(t =>
         corpus.join(t.withColumnRenamed("id", idCol), Seq(idCol), "left_anti"))
-    val brute = Ann.bruteForceTopK(corpusLive, idCol, vecCol, qids.toSeq, k)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = graft.util.Spark.timed("rc-profile", "brute") {
+      Ann.bruteForceTopK(corpusLive, idCol, vecCol, qids.toSeq, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet }
     require(brute.nonEmpty, "empty query sample — nothing to measure")
-    import spark.implicits._
-    probes.distinct.sorted.map { p =>
-      val got = topK(spark, path, queries, qidCol, qvecCol, k = k,
-        nProbe = p, rerank = rerank,
-        exact = if (rerank > 0) Some(corpus) else None,
-        exactIdCol = idCol, exactVecCol = vecCol)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      (p, got.intersect(brute).size.toLong * 1000000L / brute.size)
-    }.toDF("n_probe", "recall_ppm")
+    for {
+      rerank <- reranks
+      p <- probes.distinct.sorted
+    } yield {
+      val got = graft.util.Spark.timed("rc-profile", s"topK r=$rerank p=$p") {
+        topK(spark, path, queries, qidCol, qvecCol, k = k,
+          nProbe = p, rerank = rerank,
+          exact = if (rerank > 0) Some(corpus) else None,
+          exactIdCol = idCol, exactVecCol = vecCol)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet }
+      (rerank, p, got.intersect(brute).size.toLong * 1000000L / brute.size)
+    }
   }
 
   /** Reclaim artifact directories the live manifest does not reference —
@@ -1632,7 +1662,31 @@ object AnnIndex {
   def loadModel(spark: SparkSession, path: String): Model =
     loadModelAt(spark, path, readLayout(spark, path))
 
+  /** O(model) driver-side cache of loaded models, keyed by the layout's
+    * versioned artifact directories plus the meta dir's modification
+    * time. Every maintenance op stages a NEW versioned generation and
+    * publishes via the manifest flip — artifacts are immutable once
+    * published — so a key can never serve stale content; the mtime
+    * guards the one path around that invariant (an index directory
+    * deleted outright and rebuilt from scratch restarts its version
+    * numbering). Serving a query batch otherwise paid four small Spark
+    * jobs (meta/centroids/codebooks/rotation reads) per call.
+    */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), Model]
+
   private def loadModelAt(spark: SparkSession, path: String, l: Layout): Model = {
+    val (fs, _) = fsFor(spark, path)
+    val mtime = scala.util.Try(
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/${l.meta}"))
+        .getModificationTime).getOrElse(-1L)
+    val key = (path,
+      s"${l.meta}|${l.centroids}|${l.codebooks}|${l.rotation.getOrElse("")}", mtime)
+    if (modelCache.size > 64) modelCache.clear()
+    modelCache.getOrElseUpdate(key, loadModelUncached(spark, path, l))
+  }
+
+  private def loadModelUncached(spark: SparkSession, path: String, l: Layout): Model = {
     val meta = spark.read.parquet(s"$path/${l.meta}").head
     val cents = spark.read.parquet(s"$path/${l.centroids}").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)

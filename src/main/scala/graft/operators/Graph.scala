@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   * Scale: the edge list is hash-partitioned ON THE SOURCE KEY once,
   * joined each iteration against the (much smaller) rank table — the
   * standard Pregel-lite DataFrame pattern. Per iteration: one shuffle of
-  * the rank table to the edge partitioning + one map-side-combined
-  * aggregation by destination; the big edge relation never re-shuffles.
-  * Ranks are re-persisted per iteration and the predecessor freed, so
-  * lineage cost stays O(1). Iteration count is fixed (not convergence-
-  * tested) — the production norm for rank-as-feature pipelines.
+  * the rank table to the edge partitioning (skipped outright while the
+  * measured node count fits the broadcast threshold) + one
+  * map-side-combined aggregation by destination; the big edge relation
+  * never re-shuffles. Iterations chain lazily into one job; a periodic
+  * eager checkpoint bounds lineage for long runs. Iteration count is
+  * fixed (not convergence-tested) — the production norm for
+  * rank-as-feature pipelines.
   */
 object Graph {
 
@@ -52,23 +54,40 @@ object Graph {
       .persist()
     edgesWithDeg.count()
 
-    var ranks = outDeg.select(col("src").as("nid"), lit(1000000L).as("rank_micro")).persist()
-    ranks.count()
-    for (_ <- 1 to iterations) {
-      val next = edgesWithDeg
-        .join(ranks, edgesWithDeg("src") === ranks("nid"))
+    // Small rank tables broadcast into the edge join (one shuffle per
+    // iteration — the dst aggregation — instead of two); past the
+    // threshold the shuffled join takes over. Node count is measured,
+    // not assumed, and the default threshold (5M nodes ≈ ~100 MB built)
+    // is a broadcast-sized bound, so the 100 TB shape degrades
+    // gracefully rather than relying on a local-mode assumption.
+    val nodeCount = edgesWithDeg.select(col("src")).distinct().count()
+    val bcastRanks = nodeCount <= spark.conf
+      .getOption("spark.graft.pagerank.broadcastMaxNodes").map(_.toLong)
+      .getOrElse(5000000L)
+    // Iterations chain LAZILY: each round's only consumer is the next
+    // round, so one action at the end runs the whole chain as one job
+    // (per-iteration eager persist+count paid a scheduling barrier and
+    // a cache write per round for results nothing read twice). Lineage
+    // stays bounded for long runs by a periodic eager checkpoint.
+    val ckptEvery = 10
+    var ranks = edgesWithDeg
+      .select(col("src").as("nid"), lit(1000000L).as("rank_micro"))
+      .distinct()
+    for (i <- 1 to iterations) {
+      val r = if (bcastRanks) broadcast(ranks) else ranks
+      ranks = edgesWithDeg
+        .join(r, edgesWithDeg("src") === r("nid"))
         .select(col("dst"), expr("rank_micro div out_deg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("s"))
         .select(col("dst").as("nid"),
           (lit(restMicro) + expr(s"($dampingBp * s) div 1000")).as("rank_micro"))
-        .persist()
-      next.count()
-      ranks.unpersist()
-      ranks = next
+      if (i % ckptEvery == 0 && i < iterations) ranks = graft.util.Spark.checkpoint(ranks)
     }
-    edgesWithDeg.unpersist()
-    ranks
+    // materialize before releasing the edge cache the chain reads
+    val out = graft.util.Spark.checkpoint(ranks)
+    edgesWithDeg.unpersist(blocking = false)
+    out
   }
 
   /** The part↔supplier co-purchase graph from `lineitem`, symmetrized:

@@ -131,6 +131,24 @@ object GraftQueries {
       Dedup.ngramJaccardPairs(
         s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", n = 3, threshold = 0.8))
 
+  /** Memoized READ-ONLY persisted-index builds: a real serving
+    * deployment builds an index once and many consumers query it, so
+    * the registry does too (the loader-memo discipline; each variant
+    * is one deterministic build over the same embeddings, so which
+    * lane triggers it cannot change any result). Only lanes that never
+    * mutate the index share one — delete/readd/split/merge/rebalance
+    * always build their own.
+    */
+  private val annIndexCache = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def sharedAnnIndex(s: SparkSession, d: String, variant: String)(
+      build: String => Unit): String =
+    annIndexCache.getOrElseUpdate((d, variant), {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft_annshared_$variant").toString + "/idx"
+      build(p)
+      p
+    })
+
   /** Drop every registry memo above, releasing the localCheckpoint/
     * cache storage behind them. The memos model a real session (derive
     * once, consume many times) — but a benchmark measuring the SAME
@@ -141,7 +159,7 @@ object GraftQueries {
   def resetMemos(spark: SparkSession): Unit = {
     cache.clear(); treeCache.clear(); extractCache.clear()
     schemaCache.clear(); bpeCache.clear(); metricsCache.clear()
-    mlTagCache.clear(); pairsCache.clear()
+    mlTagCache.clear(); pairsCache.clear(); annIndexCache.clear()
     spark.catalog.clearCache()
   }
 
@@ -650,11 +668,11 @@ object GraftQueries {
     // contract) and the oracle pins it
     "hybrid_retrieval_indexed" -> ((s, d) => {
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft_hybidx_q").toString
       val docs = s.read.parquet(s"$d/documents.parquet")
       val emb = s.read.parquet(s"$d/embeddings.parquet")
-      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", subspaces = 8)
-      val indexed = Hybrid.retrieveIndexed(docs, emb, s"$base/idx", 0L to 9L,
+      val idx = sharedAnnIndex(s, d, "sub8")(p =>
+        AnnIndex.build(emb, "vec_id", "embedding", p, subspaces = 8))
+      val indexed = Hybrid.retrieveIndexed(docs, emb, idx, 0L to 9L,
         k = 5, topN = 20, nProbe = 8, rerank = 200, maxShingleDf = 100000L)
       val exact = Hybrid.retrieve(docs, emb, 0L to 9L, k = 5, topN = 20,
         maxShingleDf = 100000L)
@@ -670,8 +688,9 @@ object GraftQueries {
       import org.apache.spark.sql.functions.col
       val base = java.nio.file.Files.createTempDirectory("graft_annclone_q").toString
       val emb = s.read.parquet(s"$d/embeddings.parquet")
-      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx")
-      AnnIndex.clone(s, s"$base/idx", s"$base/copy")
+      val idx = sharedAnnIndex(s, d, "default")(p =>
+        AnnIndex.build(emb, "vec_id", "embedding", p))
+      AnnIndex.clone(s, idx, s"$base/copy")
       AnnIndex.topK(s, s"$base/copy",
         emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
         k = 5, nProbe = 16)
@@ -681,10 +700,10 @@ object GraftQueries {
     // the (check, status) pairs — the deterministic health contract)
     "ann_index_fsck" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val base = java.nio.file.Files.createTempDirectory("graft_annfsck_q").toString
       val emb = s.read.parquet(s"$d/embeddings.parquet")
-      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx")
-      AnnIndex.fsck(s, s"$base/idx", deep = true).select(col("check"), col("status"))
+      val idx = sharedAnnIndex(s, d, "default")(p =>
+        AnnIndex.build(emb, "vec_id", "embedding", p))
+      AnnIndex.fsck(s, idx, deep = true).select(col("check"), col("status"))
     }),
     // BM25 term relevance (Robertson/Zaragoza) — the standard sparse
     // system of production hybrid retrieval. Every arithmetic step is
@@ -768,10 +787,10 @@ object GraftQueries {
     // per-list integer ADC bit-for-bit
     "ann_index_residual" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val base = java.nio.file.Files.createTempDirectory("graft_annres_q").toString
       val emb = s.read.parquet(s"$d/embeddings.parquet")
-      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", residual = true)
-      AnnIndex.topK(s, s"$base/idx",
+      val idx = sharedAnnIndex(s, d, "residual")(p =>
+        AnnIndex.build(emb, "vec_id", "embedding", p, residual = true))
+      AnnIndex.topK(s, idx,
         emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
         k = 5, nProbe = 16)
     }),
@@ -780,10 +799,10 @@ object GraftQueries {
     // counting the final assignment per cid, which pins the stored cid
     // partition values themselves (not just query results) against SQL
     "ann_index_stats" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_annstat_q").toString
       val emb = s.read.parquet(s"$d/embeddings.parquet")
-      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", residual = true)
-      AnnIndex.stats(s, s"$base/idx")
+      val idx = sharedAnnIndex(s, d, "residual")(p =>
+        AnnIndex.build(emb, "vec_id", "embedding", p, residual = true))
+      AnnIndex.stats(s, idx)
     }),
     // the one-call maintenance policy over the two oracled primitives:
     // gates pin conservation, the policy's occupancy bound, and plain-
@@ -892,14 +911,18 @@ object GraftQueries {
     "ann_index_recall_curve" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions.col
-      val base = java.nio.file.Files.createTempDirectory("graft_annrc_q").toString
       val emb = s.read.parquet(s"$d/embeddings.parquet")
-      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx", subspaces = 8)
-      val curve = AnnIndex.recallCurve(s, s"$base/idx",
+      val idx = sharedAnnIndex(s, d, "sub8")(p =>
+        AnnIndex.build(emb, "vec_id", "embedding", p, subspaces = 8))
+      // both curves in ONE diagnostic call: the exact brute baseline is
+      // identical across rerank depths, so it is computed once
+      val fullRerank = emb.count().toInt
+      val curves = AnnIndex.recallCurves(s, idx,
         emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
         emb, "vec_id", "embedding",
-        probes = Seq(1, 2, 4, 8, 16), k = 5, rerank = emb.count().toInt)
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        probes = Seq(1, 2, 4, 8, 16), k = 5, reranks = Seq(fullRerank, 200))
+      val curve = curves.collect { case (r, p, v) if r == fullRerank => (p, v) }
+        .sortBy(_._1)
       val monotone = curve.sliding(2)
         .forall(p => p.length < 2 || p(0)._2 <= p(1)._2)
       val full = curve.last._2 == 1000000L
@@ -910,11 +933,7 @@ object GraftQueries {
       // fully deterministic (integer-nano Lloyd, integer ADC, exact
       // rerank with id tie-breaks), so the oracle pins them exactly at
       // the driver's correctness scale, the cluster_subtrees pattern.
-      val prod = AnnIndex.recallCurve(s, s"$base/idx",
-        emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
-        emb, "vec_id", "embedding",
-        probes = Seq(1, 2, 4, 8, 16), k = 5, rerank = 200)
-        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      val prod = curves.collect { case (r, p, v) if r == 200 => p -> v }.toMap
       Seq((monotone, full, prod(1), prod(2), prod(4), prod(8), prod(16)))
         .toDF("monotone_in_probes", "full_probe_recall_1",
           "r200_p1_ppm", "r200_p2_ppm", "r200_p4_ppm", "r200_p8_ppm",
@@ -922,10 +941,10 @@ object GraftQueries {
     }),
     "ann_index_persisted" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val base = java.nio.file.Files.createTempDirectory("graft_annidx_q").toString
       val emb = s.read.parquet(s"$d/embeddings.parquet")
-      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx")
-      AnnIndex.topK(s, s"$base/idx",
+      val idx = sharedAnnIndex(s, d, "default")(p =>
+        AnnIndex.build(emb, "vec_id", "embedding", p))
+      AnnIndex.topK(s, idx,
         emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
         k = 5, nProbe = 16)
     }),
@@ -936,11 +955,11 @@ object GraftQueries {
     // round like every other lane
     "ann_index_distributed" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val base = java.nio.file.Files.createTempDirectory("graft_anndist_q").toString
       val emb = s.read.parquet(s"$d/embeddings.parquet")
-      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx")
+      val idx = sharedAnnIndex(s, d, "default")(p =>
+        AnnIndex.build(emb, "vec_id", "embedding", p))
       s.conf.set("spark.graft.ann.localDtMaxQueries", "-1")
-      try AnnIndex.topK(s, s"$base/idx",
+      try AnnIndex.topK(s, idx,
         emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
         k = 5, nProbe = 16)
       finally s.conf.unset("spark.graft.ann.localDtMaxQueries")
@@ -954,10 +973,10 @@ object GraftQueries {
     // extra candidate predicate
     "ann_index_filtered" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val base = java.nio.file.Files.createTempDirectory("graft_annfil_q").toString
       val emb = s.read.parquet(s"$d/embeddings.parquet")
-      AnnIndex.build(emb, "vec_id", "embedding", s"$base/idx")
-      AnnIndex.topK(s, s"$base/idx",
+      val idx = sharedAnnIndex(s, d, "default")(p =>
+        AnnIndex.build(emb, "vec_id", "embedding", p))
+      AnnIndex.topK(s, idx,
         emb.filter(col("vec_id").between(0, 9)), "vec_id", "embedding",
         k = 5, nProbe = 16,
         allow = Some(emb.filter(col("vec_id") % 3 === 0)),

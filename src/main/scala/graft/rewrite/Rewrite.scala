@@ -82,9 +82,20 @@ object Rewrite {
     // the epoch loop's master representation is the parsed Kryo tree
     // dataset — ONE JSON parse on entry and one serialize on exit, not a
     // codec round trip per step (the reference applies up to 7 ops ×
-    // 100 epochs; three JSON passes per epoch dominated the loop)
+    // 100 epochs; three JSON passes per epoch dominated the loop).
+    // Each checkpoint supersedes the previous one: release the old
+    // blocks as soon as the new checkpoint has materialized (GC +
+    // ContextCleaner reclaim is too lazy — superseded epochs piled up
+    // in storage and taxed every later job in the session)
+    var lastCkpt: Dataset[(Long, ArchiTree)] = null
+    def ckptReleasing(ds: Dataset[(Long, ArchiTree)]): Dataset[(Long, ArchiTree)] = {
+      val c = checkpointTrees(ds)
+      if (lastCkpt != null) graft.util.Spark.release(lastCkpt)
+      lastCkpt = c
+      c
+    }
     var trees: Dataset[(Long, ArchiTree)] =
-      checkpointTrees(Forest.trees(forest))
+      ckptReleasing(Forest.trees(forest))
     val total = trees.count()
     if (total == 0) return RewriteResult(forest, Some(0))
     val minSupport = cfg.minSupport.getOrElse(math.max((total / 10).toInt, 2))
@@ -101,7 +112,7 @@ object Rewrite {
 
     while (epoch < cfg.epochs && !converged) {
       // 1. reduce_all({ENT}) (tree_rewriting/__init__.py:196-201)
-      trees = timed("reduceAll+ckpt") { checkpointTrees(
+      trees = timed("reduceAll+ckpt") { ckptReleasing(
         trees.map { case (id, t) => (id, t.reduceAll(Set(NodeType.Ent))) })
       }
       releasePrevOp(); releasePrevOp = () => ()
@@ -132,7 +143,7 @@ object Rewrite {
             }
           }
         // materialize the cogroup output once for the op passes below
-        trees = timed("findGroups+ckpt") { checkpointTrees(trees) }
+        trees = timed("findGroups+ckpt") { ckptReleasing(trees) }
       }
       // the per-fit assignments cache is consumed (or unused) now —
       // release it, or N epochs stack N caches in executor storage
@@ -209,6 +220,7 @@ object Rewrite {
 
     if (cfg.simplifyNames) current = timed("simplifyNames") { simplifyNames(current) }
     val out = timed("final ckpt") { Forest.checkpoint(current) }
+    if (lastCkpt != null) graft.util.Spark.release(lastCkpt)
     releasePrevOp()
     // the loop exits with `epoch` one past the last pass run; when that
     // last pass fired nothing, it IS the natural fixpoint epoch

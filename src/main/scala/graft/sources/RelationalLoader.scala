@@ -216,7 +216,16 @@ object RelationalLoader {
       extra.foldLeft(rootForest)(_ union _)
     }
 
-    forests.reduceOption(_ union _).getOrElse(spark.emptyDataset[TreeRow])
+    val forest = forests.reduceOption(_ union _).getOrElse(spark.emptyDataset[TreeRow])
+    // Tree ids are assigned ABOVE (positional per source partition), so
+    // redistributing the finished TreeRows changes no id and no
+    // downstream result — but without it a root table read as one
+    // parquet split (or one JDBC partition) pins EVERY per-tree map
+    // stage of every consumer (parse, rewrite epochs, candidate
+    // extraction, node flattens) to a single core. The shuffle moves
+    // only the serialized trees once; consumers checkpoint right after.
+    val para = spark.sparkContext.defaultParallelism
+    if (forest.rdd.getNumPartitions >= para) forest else forest.repartition(para)
   }
 
   /** Globally-unique tree id: forest salt (6 bits), partition (22
@@ -614,13 +623,35 @@ object RelationalLoader {
       .map { case (root, salt) =>
         val plan = buildPlan(root, cfg)
         val limited = if (sample > 0) tables(root.name).limit(sample) else tables(root.name)
-        val wide = joinPlan(limited, plan, tables, columns)
+        // The dimension joins are broadcast, so the per-row node
+        // emission below inherits the ROOT SCAN's partitioning — and a
+        // root table small on disk (one parquet split) but wide in
+        // emitted nodes would run the whole flatten on one core. Stamp
+        // each root row's positional identity FIRST (partition << 33 |
+        // row-in-partition over the original scan layout — exactly the
+        // pair the pre-spread emission derived, so tree ids are
+        // BIT-IDENTICAL to the unspread path and to the tree-building
+        // path's assembler), then spread the rows to the session's
+        // parallelism for the emission. The exchange moves only the
+        // pre-join root rows — tiny next to the emitted nodes.
+        val para = spark.sparkContext.defaultParallelism
+        val base0 = prefixed(limited, plan.alias, columns)
+          .withColumn("__graft_mid", monotonically_increasing_id())
+        val base =
+          if (base0.rdd.getNumPartitions >= para) base0
+          else base0.repartition(para)
+        val wide = plan.fks.foldLeft(base) { case (df, (fk, child)) =>
+          attach(df, plan.alias, fk, child, tables, columns)
+        }
         val ord = wide.schema.fieldNames.zipWithIndex.toMap
         val cp = compilePlan(plan, columns, ord)
         val ns = cfg.namespace
-        val rdd = wide.rdd.mapPartitionsWithIndex { (pid, it) =>
-          it.zipWithIndex.flatMap { case (row, i) =>
-            emitNodeRows(cp, row, ns, treeId(salt.toLong, pid, i.toLong))
+        val midOrd = ord("__graft_mid")
+        val rdd = wide.rdd.mapPartitions { it =>
+          it.flatMap { row =>
+            val mid = row.getLong(midOrd)
+            emitNodeRows(cp, row, ns,
+              treeId(salt.toLong, (mid >> 33).toInt, mid & ((1L << 33) - 1)))
           }
         }
         spark.createDataset(rdd)(org.apache.spark.sql.Encoders.product[graft.model.NodeRow])

@@ -29,4 +29,18 @@ object Spark {
   def checkpoint[T](ds: Dataset[T]): Dataset[T] =
     if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) ds.checkpoint(true)
     else ds.localCheckpoint(true)
+
+  /** Release the block storage behind a [[checkpoint]]ed dataset NOW.
+    * `Dataset.unpersist` only drops plan-level caches, so a finished
+    * intermediate checkpoint otherwise holds its blocks until the RDD
+    * reference is GC'd and the ContextCleaner gets to it — across a
+    * long session those orphans pile into storage memory and tax every
+    * later job's eviction/GC. Callers release exactly the intermediates
+    * THEY created once their consumers have materialized.
+    */
+  def release(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }
