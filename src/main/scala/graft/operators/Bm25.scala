@@ -60,18 +60,15 @@ object Bm25 {
       s"need k1Milli >= 0 and bMilli in [0,1000], got k1=$k1Milli b=$bMilli")
 
     // (id, token) with per-document term frequency; dl = document
-    // length in tokens. One tokenize pass feeds tf, dl, df, and T —
-    // and tf is CACHED for the call: its consumers (dl, df, the query
-    // projection, the T probe, the df-cap probe, the scoring join)
-    // otherwise each re-run the tokenize + tf aggregation inside one
-    // logical plan, paying the corpus scan up to six times per rank
-    // call. Released below after the (topN-bounded) result
-    // materializes.
+    // length in tokens. One tokenize pass feeds tf, dl, df, and T.
+    // (Measured: caching tf for the call COSTS more than the repeated
+    // aggregation it saves — the tf consumers share their exchange, so
+    // recompute is mostly scan+explode, while the columnar cache write
+    // is a full extra materialization. Keep it lazy.)
     val toks = docs.select(col(docIdCol).cast("long").as("id"),
       explode(split(col(textCol), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
     // corpus statistics: document count over the DOCS frame (documents
     // with no tokens still count toward N), total token count, and
@@ -117,7 +114,7 @@ object Bm25 {
         lit(k1Milli.toDouble / 1000.0) *
           (lit((1000 - bMilli).toDouble / 1000.0) +
             lit(bMilli.toDouble / 1000.0) * lenNorm))
-    val ranked = tf.join(broadcast(qtok), Seq("token"))
+    tf.join(broadcast(qtok), Seq("token"))
       .filter(col("id") =!= col("qid"))
       .join(df_, "token")
       .join(dl, "id")
@@ -130,11 +127,5 @@ object Bm25 {
           .orderBy(col("bm25_micro").desc, col("id").asc)))
       .filter(col("rank") <= topN)
       .select("qid", "id", "bm25_micro", "rank")
-    // materialize the (queries × topN)-bounded result, then release the
-    // corpus-sized tf cache — callers get cached rows, never a lazy
-    // plan over an unpersisted frame
-    val out = graft.util.Spark.checkpoint(ranked)
-    tf.unpersist(blocking = false)
-    out
   }
 }

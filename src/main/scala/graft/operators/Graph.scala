@@ -47,12 +47,58 @@ object Graph {
     // out-degree rides with every edge so an iteration needs no second
     // join; partition the (big, loop-invariant) relation by the join key
     // once and reuse that exchange every round
+    @inline def timed[A](label: String)(body: => A): A =
+      graft.util.Spark.timed("pagerank-profile", label)(body)
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     val edgesWithDeg = edges
       .join(outDeg, "src")
       .repartition(col("src"))
       .persist()
-    edgesWithDeg.count()
+    val edgeCount = timed("edges prep") { edgesWithDeg.count() }
+
+    // Provably-small graphs iterate DRIVER-SIDE: at low edge counts the
+    // distributed loop is pure per-stage scheduling latency (each round
+    // is a broadcast build + an aggregation over kilobytes), the
+    // localTauGraph pattern. Same integer arithmetic — long sums are
+    // order-independent and `div` truncates identically — so results
+    // are bit-equal to the distributed rounds; the threshold is a
+    // measured count with a conf override, so the 100 TB shape never
+    // takes this path.
+    val localMax = spark.conf
+      .getOption("spark.graft.pagerank.localMaxEdges").map(_.toLong)
+      .getOrElse(5000000L)
+    if (edgeCount <= localMax) {
+      val srcType = edgesWithDeg.schema("src").dataType
+      val rows = timed("local edges collect") {
+        edgesWithDeg.select(
+          col("src").cast("long"), col("dst").cast("long"), col("out_deg"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      val out = timed("local iterations") {
+        // rank map mirrors the distributed rounds exactly: the first
+        // table is every distinct source at 1_000_000µ, and after each
+        // round only nodes that RECEIVED contributions carry a rank
+        // (the groupBy(dst) semantics)
+        var rank = rows.iterator.map(_._1).toSet[Long]
+          .iterator.map(_ -> 1000000L).toMap
+        for (_ <- 1 to iterations) {
+          val acc = scala.collection.mutable.HashMap.empty[Long, Long]
+          rows.foreach { case (src, dst, deg) =>
+            rank.get(src).foreach { r =>
+              acc.update(dst, acc.getOrElse(dst, 0L) + r / deg)
+            }
+          }
+          rank = acc.iterator
+            .map { case (nid, s) => nid -> (restMicro + dampingBp * s / 1000L) }
+            .toMap
+        }
+        import spark.implicits._
+        rank.toSeq.toDF("nid", "rank_micro")
+          .select(col("nid").cast(srcType).as("nid"), col("rank_micro"))
+      }
+      edgesWithDeg.unpersist(blocking = false)
+      return out
+    }
 
     // Small rank tables broadcast into the edge join (one shuffle per
     // iteration — the dst aggregation — instead of two); past the
@@ -60,7 +106,7 @@ object Graph {
     // not assumed, and the default threshold (5M nodes ≈ ~100 MB built)
     // is a broadcast-sized bound, so the 100 TB shape degrades
     // gracefully rather than relying on a local-mode assumption.
-    val nodeCount = edgesWithDeg.select(col("src")).distinct().count()
+    val nodeCount = timed("nodeCount") { edgesWithDeg.select(col("src")).distinct().count() }
     val bcastRanks = nodeCount <= spark.conf
       .getOption("spark.graft.pagerank.broadcastMaxNodes").map(_.toLong)
       .getOrElse(5000000L)
@@ -85,7 +131,7 @@ object Graph {
       if (i % ckptEvery == 0 && i < iterations) ranks = graft.util.Spark.checkpoint(ranks)
     }
     // materialize before releasing the edge cache the chain reads
-    val out = graft.util.Spark.checkpoint(ranks)
+    val out = timed("iteration chain") { graft.util.Spark.checkpoint(ranks) }
     edgesWithDeg.unpersist(blocking = false)
     out
   }

@@ -176,12 +176,7 @@ object Hybrid {
       return Bm25.rank(docs, queryIds, topN, maxTokenDf = maxShingleDf,
         docIdCol = docIdCol, textCol = textCol)
         .select(col("qid"), col("id"), col("rank").as("sparse_rank"))
-    // cache the corpus shingle explosion for the call: its consumers
-    // (sizes, the query projection, the df probe, the candidate join)
-    // otherwise each re-tokenize the corpus; released below after the
-    // (topN-bounded) ranks materialize
     val sh = Dedup.shingles(docs, docIdCol, textCol, 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val qsh0 = sh.filter(col("id").isInCollection(queryIds))
       .select(col("id").as("qid"), col("shingle"))
@@ -209,7 +204,7 @@ object Hybrid {
         } else qsh0
       }
     val qn = qsh.groupBy("qid").agg(count(lit(1)).as("qn"))
-    val ranked = sh.join(broadcast(qsh), "shingle")
+    sh.join(broadcast(qsh), "shingle")
       .filter(col("id") =!= col("qid"))
       .groupBy("qid", "id").agg(count(lit(1)).as("inter"))
       .join(sizes, "id")
@@ -220,9 +215,6 @@ object Hybrid {
         Window.partitionBy("qid").orderBy(col("j").desc, col("id").asc)))
       .filter(col("rnk") <= topN)
       .select(col("qid"), col("id"), col("rnk").as("sparse_rank"))
-    val out = graft.util.Spark.checkpoint(ranked)
-    sh.unpersist(blocking = false)
-    out
   }
 
   /** WEIGHTED RRF fusion in integer micro-units: each system

@@ -218,8 +218,17 @@ object Rewrite {
       t2
     }
 
+    // simplifyNames adds a second exit action (its group-name collect)
+    // on top of the final checkpoint — cache the serialized exit chain
+    // lazily so the (possibly still-pending lazy op plus) serialize +
+    // post-process work runs once, not once per action
+    val sharedExit =
+      if (cfg.simplifyNames) Some(current.persist(StorageLevel.MEMORY_AND_DISK))
+      else None
+    sharedExit.foreach(c => current = c)
     if (cfg.simplifyNames) current = timed("simplifyNames") { simplifyNames(current) }
     val out = timed("final ckpt") { Forest.checkpoint(current) }
+    sharedExit.foreach(_.unpersist(blocking = false))
     if (lastCkpt != null) graft.util.Spark.release(lastCkpt)
     releasePrevOp()
     // the loop exits with `epoch` one past the last pass run; when that
