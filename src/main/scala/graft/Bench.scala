@@ -86,11 +86,6 @@ object Bench {
 
     val qs = results.map { case (k, v, _) => graft.util.Json.quote(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val ratios =
-      if (controlSec <= 0) "{}"
-      else results.collect { case (k, v, None) =>
-        graft.util.Json.quote(k) + ":" + f"${v / controlSec}%.3f"
-      }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       graft.util.Json.quote(k) + ":" + graft.util.Json.quote(e)
     }.mkString("{", ",", "}")
@@ -104,9 +99,12 @@ object Bench {
     // achieved), NOT comparable with pre-r14 single-pass artifacts —
     // tooling diffing artifacts across protocols should fail visibly on
     // this field instead of misreading a protocol change as a speedup
-    // (compare pass_totals[0] against single-pass-era artifacts instead)
+    // (compare pass_totals[0] against single-pass-era artifacts instead).
+    // The (former) "ratios" map duplicated queries÷control byte-for-byte
+    // and doubled the line length past any stdout tail-capture window —
+    // dropped; consumers divide by control.sec themselves.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"min-of-N-r14","passes":$passes,"queries":$qs,"control":$control,"controls":$controlsJson,"pass_totals":$passTotalsJson,"ratios":$ratios,"errors":$errs,"sf":${graft.util.Json.quote(sfDir)}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","protocol":"min-of-N-r14","passes":$passes,"queries":$qs,"control":$control,"controls":$controlsJson,"pass_totals":$passTotalsJson,"errors":$errs,"sf":${graft.util.Json.quote(sfDir)}}"""
     println(line)
     // stdout tail-capture has truncated this (long) line before, losing
     // the parsed totals — persist a copy so the full timing map is
@@ -114,6 +112,18 @@ object Bench {
     val copy = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LAST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(copy), line + "\n")
     catch { case _: Throwable => () }
+    // FINAL short summary line (a few hundred bytes): drivers that only
+    // keep a bounded stdout tail lost the (long) full line two rounds
+    // running ("parsed": null) — this one always fits the tail whole.
+    // It deliberately carries NO "queries" key (a truncated lane map
+    // would read as dropped lanes); the full per-lane map is the line
+    // above and the file copy. Error NAMES only, so a pathological error
+    // message cannot blow this line past the capture window either.
+    val errNames = results.collect { case (k, _, Some(_)) => graft.util.Json.quote(k) }
+      .mkString("[", ",", "]")
+    val summary =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","protocol":"min-of-N-r14","passes":$passes,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"error_names":$errNames,"control":$control,"controls":$controlsJson,"pass_totals":$passTotalsJson,"bench_file":${graft.util.Json.quote(copy)},"sf":${graft.util.Json.quote(sfDir)}}"""
+    println(summary)
     spark.stop()
   }
 }

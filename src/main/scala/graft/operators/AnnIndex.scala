@@ -1672,18 +1672,35 @@ object AnnIndex {
     * numbering). Serving a query batch otherwise paid four small Spark
     * jobs (meta/centroids/codebooks/rotation reads) per call.
     */
-  private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Long), Model]
+  private val modelCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String, String), Model](64, 0.75f, true) {
+      // true LRU (access-ordered) capped at 64 — the old size>64 clear()
+      // flushed every resident model on the 65th insert
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String), Model]): Boolean = size() > 64
+    })
 
   private def loadModelAt(spark: SparkSession, path: String, l: Layout): Model = {
     val (fs, _) = fsFor(spark, path)
-    val mtime = scala.util.Try(
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/${l.meta}"))
-        .getModificationTime).getOrElse(-1L)
+    // rebuild nonce: the meta dir's FILE listing (name:length:mtime).
+    // Parquet part files carry a fresh write-UUID in their names, so an
+    // index deleted and rebuilt from scratch at the same path — which
+    // restarts version numbering and can land inside one mtime tick —
+    // still changes this signature. (Published generations themselves
+    // are immutable by the manifest-flip discipline.)
+    val metaSig = scala.util.Try(
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/${l.meta}"))
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString(",")).getOrElse("?")
     val key = (path,
-      s"${l.meta}|${l.centroids}|${l.codebooks}|${l.rotation.getOrElse("")}", mtime)
-    if (modelCache.size > 64) modelCache.clear()
-    modelCache.getOrElseUpdate(key, loadModelUncached(spark, path, l))
+      s"${l.meta}|${l.centroids}|${l.codebooks}|${l.rotation.getOrElse("")}", metaSig)
+    val hit = modelCache.get(key)
+    if (hit != null) hit
+    else {
+      val m = loadModelUncached(spark, path, l)
+      modelCache.put(key, m)
+      m
+    }
   }
 
   private def loadModelUncached(spark: SparkSession, path: String, l: Layout): Model = {

@@ -54,7 +54,15 @@ object Graph {
       .join(outDeg, "src")
       .repartition(col("src"))
       .persist()
-    val edgeCount = timed("edges prep") { edgesWithDeg.count() }
+    // one job measures BOTH the size and the local-path preconditions
+    // (null ids would be dropped by the cast/getLong collect but form
+    // real null-key groups in the distributed rounds — such graphs must
+    // never take the local path)
+    val prep = timed("edges prep") {
+      edgesWithDeg.agg(count(lit(1)), count(col("src")), count(col("dst"))).head
+    }
+    val edgeCount = prep.getLong(0)
+    val noNullIds = prep.getLong(1) == edgeCount && prep.getLong(2) == edgeCount
 
     // Provably-small graphs iterate DRIVER-SIDE: at low edge counts the
     // distributed loop is pure per-stage scheduling latency (each round
@@ -63,34 +71,60 @@ object Graph {
     // order-independent and `div` truncates identically — so results
     // are bit-equal to the distributed rounds; the threshold is a
     // measured count with a conf override, so the 100 TB shape never
-    // takes this path.
+    // takes this path. Guarded to graphs the long-keyed driver loop
+    // provably reproduces: integral id columns, no null ids (the
+    // operator's documented contract is just "src, dst columns", so a
+    // string-keyed or nullable graph falls through to the distributed
+    // rounds, which handle any equi-joinable type). Default bound 2M
+    // edges = 48 MB as three primitive long arrays — a driver-heap
+    // budget, not a local-mode constant.
     val localMax = spark.conf
       .getOption("spark.graft.pagerank.localMaxEdges").map(_.toLong)
-      .getOrElse(5000000L)
-    if (edgeCount <= localMax) {
-      val srcType = edgesWithDeg.schema("src").dataType
-      val rows = timed("local edges collect") {
-        edgesWithDeg.select(
-          col("src").cast("long"), col("dst").cast("long"), col("out_deg"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .getOrElse(2000000L)
+    val srcType = edgesWithDeg.schema("src").dataType
+    val integralIds = Seq(srcType, edgesWithDeg.schema("dst").dataType).forall {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (edgeCount <= localMax && integralIds && noNullIds) {
+      // primitive columns, not boxed tuples: the boxed (Long,Long,Long)
+      // array tripled the resident footprint and lived for the whole
+      // iteration loop
+      val nE = edgeCount.toInt
+      val srcA = new Array[Long](nE); val dstA = new Array[Long](nE)
+      val degA = new Array[Long](nE)
+      timed("local edges collect") {
+        val it = edgesWithDeg.select(
+          col("src").cast("long"), col("dst").cast("long"), col("out_deg")).collect()
+        var i = 0
+        while (i < nE) {
+          val r = it(i); srcA(i) = r.getLong(0); dstA(i) = r.getLong(1)
+          degA(i) = r.getLong(2); i += 1
+        }
       }
       val out = timed("local iterations") {
         // rank map mirrors the distributed rounds exactly: the first
         // table is every distinct source at 1_000_000µ, and after each
         // round only nodes that RECEIVED contributions carry a rank
         // (the groupBy(dst) semantics)
-        var rank = rows.iterator.map(_._1).toSet[Long]
-          .iterator.map(_ -> 1000000L).toMap
+        var rank: scala.collection.Map[Long, Long] = {
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          var i = 0
+          while (i < nE) { m.update(srcA(i), 1000000L); i += 1 }
+          m
+        }
         for (_ <- 1 to iterations) {
           val acc = scala.collection.mutable.HashMap.empty[Long, Long]
-          rows.foreach { case (src, dst, deg) =>
-            rank.get(src).foreach { r =>
-              acc.update(dst, acc.getOrElse(dst, 0L) + r / deg)
+          var i = 0
+          while (i < nE) {
+            rank.get(srcA(i)).foreach { r =>
+              acc.update(dstA(i), acc.getOrElse(dstA(i), 0L) + r / degA(i))
             }
+            i += 1
           }
-          rank = acc.iterator
-            .map { case (nid, s) => nid -> (restMicro + dampingBp * s / 1000L) }
-            .toMap
+          acc.mapValuesInPlace((_, s) => restMicro + dampingBp * s / 1000L)
+          rank = acc
         }
         import spark.implicits._
         rank.toSeq.toDF("nid", "rank_micro")
@@ -107,15 +141,24 @@ object Graph {
     // is a broadcast-sized bound, so the 100 TB shape degrades
     // gracefully rather than relying on a local-mode assumption.
     val nodeCount = timed("nodeCount") { edgesWithDeg.select(col("src")).distinct().count() }
-    val bcastRanks = nodeCount <= spark.conf
+    val broadcastMaxNodes = spark.conf
       .getOption("spark.graft.pagerank.broadcastMaxNodes").map(_.toLong)
       .getOrElse(5000000L)
+    val bcastRanks = nodeCount <= broadcastMaxNodes
     // Iterations chain LAZILY: each round's only consumer is the next
     // round, so one action at the end runs the whole chain as one job
     // (per-iteration eager persist+count paid a scheduling barrier and
     // a cache write per round for results nothing read twice). Lineage
     // stays bounded for long runs by a periodic eager checkpoint.
-    val ckptEvery = 10
+    // When rounds broadcast, every un-checkpointed level nests another
+    // resident BroadcastExchange (and the outermost build must finish
+    // the whole inner chain inside spark.sql.broadcastTimeout) — so the
+    // checkpoint cadence TIGHTENS as the measured node count approaches
+    // the broadcast bound: ≤3 nested ~100 MB broadcasts near the bound,
+    // the full 10 only when each broadcast is provably small.
+    val ckptEvery =
+      if (!bcastRanks) 10
+      else math.max(3, (10L * broadcastMaxNodes / math.max(1L, nodeCount * 3L)).toInt.min(10))
     var ranks = edgesWithDeg
       .select(col("src").as("nid"), lit(1000000L).as("rank_micro"))
       .distinct()

@@ -1462,4 +1462,32 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(served.contains((donor, victim)),
       "the re-added duplicate of the donor vector must be its nearest neighbor")
   }
+
+  test("model cache: rm-rf + rebuild at the same path inside one mtime tick is not served stale") {
+    import java.nio.file.{Files, Paths, Path => JPath}
+    import java.nio.file.attribute.FileTime
+    val path = tmpIdx()
+    val root = Paths.get(path)
+    def setAllMtimes(t: FileTime): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.foreach(p => Files.setLastModifiedTime(p, t))
+    }
+    def rmRf(): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    // pin every mtime to one fixed tick in BOTH generations — the
+    // worst-case coarse-granularity filesystem where a rebuild lands on
+    // the identical version dir names AND the identical mtime
+    val tick = FileTime.fromMillis(1700000000000L)
+    AnnIndex.build(emb, "vec_id", "embedding", path, nLists = 8)
+    setAllMtimes(tick)
+    assert(AnnIndex.loadModel(spark, path).nLists == 8)
+    rmRf()
+    AnnIndex.build(emb, "vec_id", "embedding", path, nLists = 4)
+    setAllMtimes(tick)
+    assert(AnnIndex.loadModel(spark, path).nLists == 4,
+      "a from-scratch rebuild at the same path must never serve the previous build's model")
+  }
 }
