@@ -94,7 +94,12 @@ object MlTagger {
       (Tags.indexOf(tag).toDouble,
         Vectors.sparse(featIndex.size, idx, Array.fill(idx.length)(1.0)))
     }
-    val df = rows.toDF("label", "features")
+    // ~100 tiny rows: left at the session default this local relation
+    // parallelizes to defaultParallelism partitions and EVERY LBFGS
+    // iteration (up to 200) schedules that many near-empty tasks — the
+    // whole fit is scheduler latency. One partition makes each iteration
+    // one task; the gradient sum order is deterministic either way.
+    val df = rows.toDF("label", "features").coalesce(1)
     val lr = new LogisticRegression()
       .setMaxIter(200)
       .setRegParam(1e-4)
@@ -127,13 +132,26 @@ final case class MlTagModel(
     }
   }
 
+  // tag(w) is a pure function of the word and the (frozen) weights, and
+  // corpus tokens draw from a small vocabulary — memoize per deserialized
+  // model instance so the per-token cost in the parse/tag scans is one
+  // hash probe, not six feature-string builds + a dense dot product.
+  // Size-capped: an adversarial unbounded vocabulary stops inserting but
+  // existing entries keep serving.
+  @transient private lazy val tagCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Argmax tag; ties break on tag order (deterministic). */
   def tag(w: String): String = {
+    val hit = tagCache.get(w)
+    if (hit != null) return hit
     val sc = scores(w)
     var best = 0
     var i = 1
     while (i < sc.length) { if (sc(i) > sc(best)) best = i; i += 1 }
-    tags(best)
+    val t = tags(best)
+    if (tagCache.size < 1000000) tagCache.put(w, t)
+    t
   }
 }
 

@@ -149,6 +149,28 @@ object GraftQueries {
       p
     })
 
+  /** Recursively delete one shared-index temp tree (the createTempDirectory
+    * parent of the cached `<tmp>/idx` path). Best-effort: a failed delete
+    * must never fail a reset or the shutdown hook.
+    */
+  private def deleteSharedIndexDir(idxPath: String): Unit =
+    try {
+      val root = java.nio.file.Paths.get(idxPath).getParent
+      if (root != null && java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    } catch { case _: Throwable => () }
+
+  // the LAST generation of shared indexes would otherwise outlive the JVM
+  // (resetMemos only runs at pass boundaries) — sweep it on exit
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      annIndexCache.values.foreach(deleteSharedIndexDir)))
+  }
+
   /** Drop every registry memo above, releasing the localCheckpoint/
     * cache storage behind them. The memos model a real session (derive
     * once, consume many times) — but a benchmark measuring the SAME
@@ -159,7 +181,12 @@ object GraftQueries {
   def resetMemos(spark: SparkSession): Unit = {
     cache.clear(); treeCache.clear(); extractCache.clear()
     schemaCache.clear(); bpeCache.clear(); metricsCache.clear()
-    mlTagCache.clear(); pairsCache.clear(); annIndexCache.clear()
+    mlTagCache.clear(); pairsCache.clear()
+    // the shared index builds live under java.io.tmpdir — delete the
+    // trees, not just the map entries, or every reset leaks a full
+    // index on disk (and the next pass rebuilds beside the orphan)
+    annIndexCache.values.foreach(deleteSharedIndexDir)
+    annIndexCache.clear()
     spark.catalog.clearCache()
   }
 
@@ -476,8 +503,13 @@ object GraftQueries {
       val w = graft.operators.QualityClassifier.train(labeled, "doc_id", "text", "label")
       val scored = graft.operators.QualityClassifier.scoreWith(docs, "doc_id", "text", w)
       val joined = scored.join(labeled.select("doc_id", "label"), "doc_id")
-      val agree = joined.filter(col("is_quality") === (col("label") === 1)).count()
-      val total = joined.count()
+      // ONE aggregation job for the gate (agree + total were two full
+      // scan+join actions); count(when(cond,1)) counts exactly the rows
+      // the old filter(cond).count() kept
+      val gate = joined.agg(
+        count(lit(1)).as("total"),
+        count(when(col("is_quality") === (col("label") === 1), 1)).as("agree")).head
+      val (total, agree) = (gate.getLong(0), gate.getLong(1))
       Seq(total > 0 && agree.toDouble / total >= 0.9).toDF("accuracy_ge_090")
     }),
     "fingerprint_documents" -> ((s, d) =>
@@ -1463,15 +1495,19 @@ object GraftQueries {
       // string_split(text, ' ') splits on single spaces — so guard BOTH
       // divergence classes: any non-space whitespace (the tokenizations
       // would disagree) and any token outside the dictionary (the
-      // oracle's dict join would drop it)
-      val bad = docsDs.flatMap { t =>
-        if (t.exists(c => c.isWhitespace && c != ' ')) Iterator(s"non-space whitespace in: ${t.take(40)}")
-        else t.split(" ").iterator.filter(w => w.nonEmpty && !vocab.contains(w)).map(w => s"OOV token: $w")
-      }.take(1)
-      require(bad.isEmpty,
-        s"ml_parse_documents oracle requires full vocabulary coverage; ${bad.mkString}")
+      // oracle's dict join would drop it). The guard runs INSIDE the
+      // parse scan (it used to be its own full corpus pass): a dirty
+      // document fails the job loudly before any result commits, and a
+      // clean corpus — the oracle-checked case — pays zero extra scans.
       docsDs
         .flatMap { t =>
+          if (t.exists(c => c.isWhitespace && c != ' '))
+            throw new IllegalArgumentException(
+              s"ml_parse_documents oracle requires space-only whitespace; non-space whitespace in: ${t.take(40)}")
+          t.split(" ").iterator.filter(w => w.nonEmpty && !vocab.contains(w)).take(1).foreach { w =>
+            throw new IllegalArgumentException(
+              s"ml_parse_documents oracle requires full vocabulary coverage; OOV token: $w")
+          }
           parser.parse(t, "English").toSeq.flatMap(_.children.collect {
             case graft.core.Child.Node(c) => c.label.name
           })

@@ -207,27 +207,32 @@ object Rewrite {
       epoch += 1
     }
 
-    var current: Dataset[TreeRow] =
-      trees.map { case (id, t) => TreeRow(id, TreeJson.toJson(t)) }
-
     // post-process (tree_rewriting/__init__.py:227-259): naming-only
-    // relations + collections, no early exit
-    current = Forest.mapTrees(current) { t =>
+    // relations + collections, no early exit. The WHOLE exit chain stays
+    // on the parsed Kryo trees: the old TreeRow-shaped exit serialized
+    // to JSON first and then paid a parse+serialize round trip in the
+    // post-process map plus a parse in EACH simplifyNames pass — three
+    // full-forest JSON codec passes whose only purpose was crossing the
+    // row boundary. Now the forest is serialized exactly once, at the
+    // very end.
+    var curTrees: Dataset[(Long, ArchiTree)] = trees.map { case (id, t) =>
       val (t1, _) = TreeOps.findRelations(t, namingOnly = true)
       val (t2, _) = TreeOps.findCollections(t1, namingOnly = true)
-      t2
+      (id, t2)
     }
 
     // simplifyNames adds a second exit action (its group-name collect)
-    // on top of the final checkpoint — cache the serialized exit chain
-    // lazily so the (possibly still-pending lazy op plus) serialize +
+    // on top of the final checkpoint — cache the post-processed exit
+    // chain lazily so the (possibly still-pending lazy op plus)
     // post-process work runs once, not once per action
     val sharedExit =
-      if (cfg.simplifyNames) Some(current.persist(StorageLevel.MEMORY_AND_DISK))
+      if (cfg.simplifyNames) Some(curTrees.persist(StorageLevel.MEMORY_AND_DISK))
       else None
-    sharedExit.foreach(c => current = c)
-    if (cfg.simplifyNames) current = timed("simplifyNames") { simplifyNames(current) }
-    val out = timed("final ckpt") { Forest.checkpoint(current) }
+    sharedExit.foreach(c => curTrees = c)
+    if (cfg.simplifyNames)
+      curTrees = timed("simplifyNames") { simplifyNamesTrees(curTrees) }
+    val out = timed("final ckpt") { Forest.checkpoint(
+      curTrees.map { case (id, t) => TreeRow(id, TreeJson.toJson(t)) }) }
     sharedExit.foreach(_.unpersist(blocking = false))
     if (lastCkpt != null) graft.util.Spark.release(lastCkpt)
     releasePrevOp()
@@ -308,47 +313,70 @@ object Rewrite {
         case t if t.hasType(NodeType.Group) => t.label.name
       }
     }.distinct().collect().sorted }
+    val renamesB = forest.sparkSession.sparkContext.broadcast(renameMap(groupNames))
+    Forest.mapTrees(forest)(t => renameTree(renamesB.value, t))
+  }
 
-    val renames: Map[String, String] = groupNames
+  /** [[simplifyNames]] over the parsed Kryo tree dataset — the rewrite
+    * exit path's variant: same name collection, same rename map, same
+    * per-tree transform, no JSON codec round trips.
+    */
+  private def simplifyNamesTrees(
+      trees: Dataset[(Long, ArchiTree)]): Dataset[(Long, ArchiTree)] = {
+    import trees.sparkSession.implicits._
+    implicit val kryoEnc: org.apache.spark.sql.Encoder[(Long, ArchiTree)] =
+      org.apache.spark.sql.Encoders.kryo[(Long, ArchiTree)]
+    val groupNames = timed("simplify:groupNames") { trees.flatMap { case (_, tree) =>
+      tree.subtrees.collect {
+        case t if t.hasType(NodeType.Group) => t.label.name
+      }
+    }.distinct().collect().sorted }
+    val renamesB = trees.sparkSession.sparkContext.broadcast(renameMap(groupNames))
+    trees.map { case (id, t) => (id, renameTree(renamesB.value, t)) }
+  }
+
+  private def renameMap(groupNames: Array[String]): Map[String, String] =
+    groupNames
       .groupBy(baseName)
       .flatMap { case (base, originals) =>
         originals.sorted.zipWithIndex.map { case (orig, i) =>
           orig -> (if (i == 0) base else s"${base}_$i")
         }
       }
-    val renamesB = forest.sparkSession.sparkContext.broadcast(renames)
 
-    Forest.mapTrees(forest) { tree =>
-      def rename(t: ArchiTree): ArchiTree = {
-        val kids = t.children.map {
-          case Child.Node(c) => Child.Node(rename(c)): Child
-          case l             => l
-        }
-        val relabelled = t.label match {
-          case Typed(NodeType.Group, n) =>
-            Typed(NodeType.Group, renamesB.value.getOrElse(n, n))
-          case other => other
-        }
-        t.copy(label = relabelled, children = kids)
+  /** The per-tree simplify transform: group renames, then REL/COLL
+    * relabelling after the contained groups.
+    */
+  private def renameTree(renames: Map[String, String], tree: ArchiTree): ArchiTree = {
+    def rename(t: ArchiTree): ArchiTree = {
+      val kids = t.children.map {
+        case Child.Node(c) => Child.Node(rename(c)): Child
+        case l             => l
       }
-      val renamed = rename(tree)
-      def fixRelColl(t: ArchiTree): ArchiTree = {
-        val kids = t.children.map {
-          case Child.Node(c) => Child.Node(fixRelColl(c)): Child
-          case l             => l
-        }
-        val withKids = t.copy(children = kids)
-        val groups = withKids.groups
-        val relabelled =
-          if (withKids.hasType(NodeType.Rel) && groups.nonEmpty)
-            withKids.copy(label = Typed(NodeType.Rel, groups.toSeq.sorted.mkString("<->")))
-          else if (withKids.hasType(NodeType.Coll) && groups.nonEmpty)
-            withKids.copy(label = Typed(NodeType.Coll, groups.toSeq.sorted.head))
-          else withKids
-        relabelled
+      val relabelled = t.label match {
+        case Typed(NodeType.Group, n) =>
+          Typed(NodeType.Group, renames.getOrElse(n, n))
+        case other => other
       }
-      fixRelColl(renamed)
+      t.copy(label = relabelled, children = kids)
     }
+    val renamed = rename(tree)
+    def fixRelColl(t: ArchiTree): ArchiTree = {
+      val kids = t.children.map {
+        case Child.Node(c) => Child.Node(fixRelColl(c)): Child
+        case l             => l
+      }
+      val withKids = t.copy(children = kids)
+      val groups = withKids.groups
+      val relabelled =
+        if (withKids.hasType(NodeType.Rel) && groups.nonEmpty)
+          withKids.copy(label = Typed(NodeType.Rel, groups.toSeq.sorted.mkString("<->")))
+        else if (withKids.hasType(NodeType.Coll) && groups.nonEmpty)
+          withKids.copy(label = Typed(NodeType.Coll, groups.toSeq.sorted.head))
+        else withKids
+      relabelled
+    }
+    fixRelColl(renamed)
   }
 
   private def baseName(name: String): String = {

@@ -67,6 +67,31 @@ final class ClusterModel(
 
   @transient private lazy val metric = SeqMetrics.byName(metricName)
 
+  // --- getEquivOf memo --------------------------------------------------
+  // The score depends on the query feature f only through (a) its
+  // StructKey — labels, typed flags, sorted entity sets, height, depth —
+  // and (b) level-id EQUALITY against a kept member's level id (the
+  // reference's oid check, similarity.py:148-151). When none of f's ids
+  // occurs among the model's member ids, (b) can never fire and the
+  // result is a pure function of (StructKey, topK) — cacheable. The ids
+  // that CAN match are only those of the kept top-K member features
+  // (the similarity paths see no others), a set bounded by
+  // clusters × keepPerCluster × levels. One epoch's trees are
+  // structurally repetitive (the fit collapse measures hundredfold
+  // rep ratios), so op trials across structural twins re-ask the same
+  // keys thousands of times; the cache lives inside the (per-epoch)
+  // broadcast instance and dies with it. Size-capped as a guard against
+  // pathological shape variety — past the cap lookups still hit, new
+  // shapes just stop being added.
+  @transient private lazy val memberIds: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    clusters.valuesIterator.foreach(_.members.foreach(_._1.levels.foreach(l => s.add(l.id))))
+    s
+  }
+  @transient private lazy val equivCache =
+    new java.util.concurrent.ConcurrentHashMap[(StructKey, Int), Option[String]]()
+  private val EquivCacheCap = 100000
+
   def support(name: String): Int = clusters.get(name).map(_.support).getOrElse(0)
 
   /** Mirror of TreeClusterer.get_equiv_of: membership by id; else early
@@ -76,6 +101,20 @@ final class ClusterModel(
     */
   def getEquivOf(f: SubtreeFeature, topK: Int = 20): Option[String] = {
     val sk = StructKey.of(f)
+    var idFree = true
+    f.levels.foreach(l => if (memberIds.contains(l.id)) idFree = false)
+    if (!idFree) return computeEquiv(f, sk, topK)
+    val key = (sk, topK)
+    val hit = equivCache.get(key)
+    if (hit != null) hit
+    else {
+      val r = computeEquiv(f, sk, topK)
+      if (equivCache.size < EquivCacheCap) equivCache.put(key, r)
+      r
+    }
+  }
+
+  private def computeEquiv(f: SubtreeFeature, sk: StructKey, topK: Int): Option[String] = {
     val centerSims = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     for ((name, c) <- clusters) {
       if (c.memberFeats.contains(sk)) return Some(name)
