@@ -1374,13 +1374,19 @@ object GraftQueries {
       // (the nodes view and the tree view flatten identically)
       val schema = customerSchema(s, d)
       val ex = graft.cypher.CypherExporter.export(forest, schema)
+      // precompiled patterns: String.replaceAll re-compiles its regex on
+      // EVERY call — one compile per statement across the whole export
+      // stream; these are the same expressions, compiled once per task
+      val nodeRe = java.util.regex.Pattern.compile("(?s)^MERGE \\(n:`([^`]+)`.*")
+      val idxRe = java.util.regex.Pattern.compile("(?s).*FOR \\(n:`([^`]+)`\\).*")
+      val edgeRe = java.util.regex.Pattern.compile("(?s).*MERGE \\(src\\)-\\[r:`([^`]+)`.*")
       ex.statements.map { st =>
         if (st.startsWith("MERGE (n:"))
-          ("node", st.replaceAll("(?s)^MERGE \\(n:`([^`]+)`.*", "$1"))
+          ("node", nodeRe.matcher(st).replaceAll("$1"))
         else if (st.startsWith("CREATE INDEX"))
-          ("index", st.replaceAll("(?s).*FOR \\(n:`([^`]+)`\\).*", "$1"))
+          ("index", idxRe.matcher(st).replaceAll("$1"))
         else
-          ("edge", st.replaceAll("(?s).*MERGE \\(src\\)-\\[r:`([^`]+)`.*", "$1"))
+          ("edge", edgeRe.matcher(st).replaceAll("$1"))
       }.toDF("kind", "name").groupBy("kind", "name").count()
         .withColumnRenamed("count", "n_stmts")
     }),

@@ -50,13 +50,10 @@ object GroupOps {
       val entityLabels = entityTrees.map(_._1.label.name).toSet
 
       // search-space pruning (groups.py:92-130): entity-label sets of
-      // members in clusters with higher support that intersect ours
-      val entityGroups: Set[Seq[String]] = model.clusters.values.iterator
-        .filter(_.support > groupSupport)
-        .flatMap(_.members.iterator.map(_._1.self.entLabels))
-        .filter(ls => ls.exists(entityLabels.contains))
-        .map(_.toSeq.sorted)
-        .toSet
+      // members in clusters with higher support that intersect ours —
+      // memoized in the model (same result as the former inline walk)
+      val entityGroups: Set[Seq[String]] =
+        model.entityGroupsAbove(groupSupport, entityLabels)
       if (entityGroups.isEmpty) return subtree
 
       val availableLabels = entityGroups.flatten.toSet

@@ -78,31 +78,84 @@ object Similarity {
     *
     * @return (pathKey, feature) per candidate subtree
     */
+  /** Bottom-up node summary for the linear-time extraction below. `kids`
+    * carries each node child's index within the FULL children vector
+    * (leaves included) — candidate paths are positions in that vector.
+    */
+  private final class NodeInfo(
+      val node: ArchiTree,
+      val level: LevelFeature,
+      val height: Int,
+      val entCount: Int,
+      val kids: Vector[(Int, NodeInfo)])
+
   def treeFeatures(
       tree: ArchiTree,
       treeKey: String,
       maxHeight: Int = 5,
   ): Vector[(String, SubtreeFeature)] = {
-    // assign synthetic ids in pre-order
-    val positioned = tree.positionedSubtrees
-    val idOf: Map[Vector[Int], String] = positioned.zipWithIndex.map {
-      case ((path, t), i) => path -> (if (t.oid.nonEmpty) t.oid else s"$treeKey@$i")
-    }.toMap
+    // Two linear passes replacing the old positionedSubtrees + path-map +
+    // per-level root-walk shape, which recomputed height/entityLabels/
+    // hasDuplicateEntity (each itself a subtree walk) per node and per
+    // ancestor level — O(n · subtree) per tree, the dominant per-epoch
+    // cost of the rewrite loop's fit. Identical output: same pre-order
+    // synthetic ids, same candidate order, same level chains.
 
-    positioned.collect {
-      case (path, t) if isCandidate(t, maxHeight) =>
-        val chain = Iterator
-          .iterate(path)(p => p.dropRight(1))
-          .takeWhile(_ => true)
-          .take(path.size + 1)
-          .take(MaxSimCtxDepth)
-          .toVector
-        val levels = chain.map { p =>
-          val node = tree(p)
-          LevelFeature(idOf(p), node.label.render, node.label.isTyped, node.entityLabels)
+    // pass 1 (pre-order ids on entry, bottom-up summaries on exit):
+    // height, ENT count, ENT label set — dup check is entCount > set size
+    var nextId = 0
+    def build(t: ArchiTree): NodeInfo = {
+      val idx = nextId
+      nextId += 1
+      val id = if (t.oid.nonEmpty) t.oid else s"$treeKey@$idx"
+      val kids = Vector.newBuilder[(Int, NodeInfo)]
+      var maxChild = 0
+      var i = 0
+      t.children.foreach { c =>
+        c match {
+          case Child.Leaf(_) => if (maxChild < 1) maxChild = 1
+          case Child.Node(ct) =>
+            val info = build(ct)
+            kids += ((i, info))
+            if (info.height > maxChild) maxChild = info.height
         }
-        val key = s"$treeKey/${path.mkString(".")}"
-        key -> SubtreeFeature(levels, t.height, path.size)
+        i += 1
+      }
+      val ks = kids.result()
+      val selfEnt = t.hasType(NodeType.Ent)
+      var entCount = if (selfEnt) 1 else 0
+      var entLabels: Set[String] = if (selfEnt) Set(t.label.name) else Set.empty
+      ks.foreach { case (_, k) =>
+        entCount += k.entCount
+        entLabels =
+          if (entLabels.isEmpty) k.level.entLabels
+          else entLabels | k.level.entLabels
+      }
+      new NodeInfo(t,
+        LevelFeature(id, t.label.render, t.label.isTyped, entLabels),
+        1 + maxChild, entCount, ks)
     }
+    val root = build(tree)
+
+    // pass 2 (pre-order): emit candidates with the self level plus up to
+    // MaxSimCtxDepth−1 nearest ancestors (nearest first)
+    val out = Vector.newBuilder[(String, SubtreeFeature)]
+    def walk(info: NodeInfo, pathStr: String, depth: Int,
+             ancestors: List[LevelFeature]): Unit = {
+      val t = info.node
+      if (info.height <= maxHeight && !t.hasType(NodeType.Ent) &&
+        info.entCount == info.level.entLabels.size) {
+        val levels = (info.level :: ancestors.take(MaxSimCtxDepth - 1)).toVector
+        out += (s"$treeKey/$pathStr" -> SubtreeFeature(levels, info.height, depth))
+      }
+      if (info.kids.nonEmpty) {
+        val childAncestors = info.level :: ancestors
+        info.kids.foreach { case (i, k) =>
+          walk(k, if (depth == 0) i.toString else s"$pathStr.$i", depth + 1, childAncestors)
+        }
+      }
+    }
+    walk(root, "", 0, Nil)
+    out.result()
   }
 }

@@ -94,6 +94,34 @@ final class ClusterModel(
 
   def support(name: String): Int = clusters.get(name).map(_.support).getOrElse(0)
 
+  // flat (support, member self ent-set, its sorted rendering) index for
+  // entityGroupsAbove — iterated once per miss instead of re-walking the
+  // cluster map / re-sorting each member set per query
+  @transient private lazy val memberEnts: Array[(Int, Set[String], Seq[String])] =
+    clusters.valuesIterator.flatMap(c =>
+      c.members.iterator.map(m =>
+        (c.support, m._1.self.entLabels, m._1.self.entLabels.toSeq.sorted))).toArray
+  @transient private lazy val entityGroupsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Set[String]), Set[Seq[String]]]()
+
+  /** Entity-label sets of members in clusters with support strictly above
+    * `support` that intersect `entityLabels`, as sorted label seqs — the
+    * FindSubGroups search-space prune (groups.py:92-130). Memoized: the
+    * op trials re-ask this for every candidate node of every structural
+    * twin in an epoch.
+    */
+  def entityGroupsAbove(support: Int, entityLabels: Set[String]): Set[Seq[String]] = {
+    val key = (support, entityLabels)
+    val hit = entityGroupsCache.get(key)
+    if (hit != null) return hit
+    val r = memberEnts.iterator
+      .filter { case (s, ls, _) => s > support && ls.exists(entityLabels.contains) }
+      .map(_._3)
+      .toSet
+    if (entityGroupsCache.size < 100000) entityGroupsCache.put(key, r)
+    r
+  }
+
   /** Mirror of TreeClusterer.get_equiv_of: membership by id; else early
     * accept when similarity to the cluster center ≥ tau; else
     * probability-weighted mean similarity against the top_k members in

@@ -178,6 +178,94 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(labels.values.toSet.size == 1)
   }
 
+  test("entityGroupsAbove matches the inline cluster walk it memoizes") {
+    def tree(p: String, f: String, a: String) =
+      SExpr.parse(s"(S (X (ENT::person $p) (ENT::fruit $f)) (Y (ENT::person $p) (ENT::animal $a)))")
+    val forest = Forest.fromTrees(spark,
+      Seq(tree("Alice", "apple", "rabbit"), tree("Bob", "banana", "dog"), tree("Carol", "cherry", "cat")))
+    val model = TreeClusterer.fit(forest, tau = 0.7, metricName = "jaccard").model
+    assert(model.clusters.nonEmpty)
+    for {
+      support <- 0 to 4
+      labels <- Seq(Set("person"), Set("animal"), Set("fruit", "animal"), Set("zzz"))
+    } {
+      val expected: Set[Seq[String]] = model.clusters.values.iterator
+        .filter(_.support > support)
+        .flatMap(_.members.iterator.map(_._1.self.entLabels))
+        .filter(ls => ls.exists(labels.contains))
+        .map(_.toSeq.sorted)
+        .toSet
+      assert(model.entityGroupsAbove(support, labels) == expected,
+        s"support=$support labels=$labels")
+      // memoized second ask returns the same value
+      assert(model.entityGroupsAbove(support, labels) == expected)
+    }
+  }
+
+  // Reference re-implementation of treeFeatures as it stood before the
+  // linear-time rewrite: positionedSubtrees + pre-order synthetic-id map
+  // + per-candidate ancestor chain via root walks. The production version
+  // must emit EXACTLY this (same keys, same order, same level chains) —
+  // it only changes the asymptotics, O(n·subtree) → O(n).
+  private def referenceTreeFeatures(
+      tree: ArchiTree,
+      treeKey: String,
+      maxHeight: Int = 5,
+  ): Vector[(String, SubtreeFeature)] = {
+    val positioned = tree.positionedSubtrees
+    val idOf: Map[Vector[Int], String] = positioned.zipWithIndex.map {
+      case ((path, t), i) => path -> (if (t.oid.nonEmpty) t.oid else s"$treeKey@$i")
+    }.toMap
+    positioned.collect {
+      case (path, t) if Similarity.isCandidate(t, maxHeight) =>
+        val chain = Iterator
+          .iterate(path)(p => p.dropRight(1))
+          .take(path.size + 1)
+          .take(Similarity.MaxSimCtxDepth)
+          .toVector
+        val levels = chain.map { p =>
+          val node = tree(p)
+          LevelFeature(idOf(p), node.label.render, node.label.isTyped, node.entityLabels)
+        }
+        s"$treeKey/${path.mkString(".")}" -> SubtreeFeature(levels, t.height, path.size)
+    }
+  }
+
+  test("property: treeFeatures matches the quadratic reference on random trees") {
+    val rnd = new scala.util.Random(42)
+    // mixed leaf/node children at varying positions (the candidate path
+    // indexes the FULL children vector), depths past maxHeight, duplicate
+    // entity labels, and typed/untyped labels — every branch of the
+    // candidate predicate and of the ancestor-chain truncation
+    def nodeStr(depth: Int): String = {
+      val label = Seq("X", "Y", "GROUP::G", "REL::r", "ENT::person", "ENT::fruit",
+        "ENT::person")(rnd.nextInt(7))
+      val n = 1 + rnd.nextInt(3)
+      val kids = (0 until n).map { _ =>
+        if (depth >= 7 || rnd.nextInt(3) == 0) "leaf" + rnd.nextInt(5)
+        else nodeStr(depth + 1)
+      }
+      s"($label ${kids.mkString(" ")})"
+    }
+    // stamp oids on every third pre-order node: both id paths (oid kept,
+    // synthetic fallback) appear in the same tree
+    def stampOids(t: ArchiTree, counter: Iterator[Int]): ArchiTree = {
+      val i = counter.next()
+      val kids = t.children.map {
+        case Child.Node(c) => Child.Node(stampOids(c, counter)): Child
+        case l             => l
+      }
+      t.copy(children = kids, oid = if (i % 3 == 0) s"oid$i" else "")
+    }
+    (1 to 200).foreach { _ =>
+      val it = Iterator.from(0)
+      val tree = stampOids(SExpr.parse(s"(S ${nodeStr(0)} ${nodeStr(0)})"), it)
+      assert(Similarity.treeFeatures(tree, "t") == referenceTreeFeatures(tree, "t"))
+      assert(Similarity.treeFeatures(tree, "t", maxHeight = 3) ==
+        referenceTreeFeatures(tree, "t", maxHeight = 3))
+    }
+  }
+
   test("property: tau-graph paths agree on random forests") {
     import org.scalacheck.Gen
     // random small forests over a shared entity alphabet so blocking
